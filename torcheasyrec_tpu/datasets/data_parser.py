@@ -1,0 +1,181 @@
+"""DataParser: Arrow record batches -> static-shape numpy Batch pytrees.
+
+Counterpart of /root/reference/tzrec/datasets/data_parser.py (DataParser:62,
+parse:184, to_batch:402). Differences by design (TPU/XLA):
+
+- outputs bucketed static shapes (SURVEY.md §7 hard part #1): jagged value
+  counts round up to power-of-2 buckets; sequences pad to the configured
+  ``sequence_length`` (or a bucketed max);
+- no KJT/KT: per-feature dict pytrees, grouped statically by the
+  EmbeddingGroup at model build time.
+"""
+
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+import pyarrow as pa
+
+from torcheasyrec_tpu.datasets.utils import (
+    Batch,
+    BatchInfo,
+    DenseField,
+    SequenceDenseField,
+    SparseField,
+    bucketize_size,
+    pad_jagged_np,
+)
+from torcheasyrec_tpu.features.feature import (
+    BaseFeature,
+    DenseData,
+    SequenceDenseData,
+    SequenceSparseData,
+    SparseData,
+)
+
+
+class DataParser:
+    def __init__(
+        self,
+        features: List[BaseFeature],
+        labels: Optional[List[str]] = None,
+        sample_weights: Optional[List[str]] = None,
+        is_training: bool = False,
+        force_base_data_group: bool = False,
+    ) -> None:
+        self._features = features
+        self._labels = labels or []
+        self._sample_weights = sample_weights or []
+        self._is_training = is_training
+        self._force_base_data_group = force_base_data_group
+
+    def parse(self, input_data: Dict[str, pa.Array]) -> Dict[str, Any]:
+        """Run every feature's parse; returns name -> ParsedData."""
+        out: Dict[str, Any] = {}
+        for feature in self._features:
+            out[feature.name] = feature.parse(input_data, self._is_training)
+        for label in self._labels:
+            if label in input_data:
+                arr = input_data[label]
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                out[f"__label__{label}"] = np.nan_to_num(
+                    arr.cast(pa.float32(), safe=False).to_numpy(
+                        zero_copy_only=False
+                    )
+                )
+        for w in self._sample_weights:
+            if w in input_data:
+                arr = input_data[w]
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                out[f"__weight__{w}"] = np.nan_to_num(
+                    arr.cast(pa.float32(), safe=False).to_numpy(
+                        zero_copy_only=False
+                    )
+                )
+        return out
+
+    def to_batch(
+        self, parsed: Dict[str, Any], info: Optional[BatchInfo] = None
+    ) -> Batch:
+        """Assemble a static-shape Batch from parsed feature data."""
+        batch = Batch()
+        for feature in self._features:
+            data = parsed.get(feature.name)
+            if data is None:
+                continue
+            name = feature.name
+            if isinstance(data, SparseData):
+                batch.sparse_features[name] = pad_jagged_np(
+                    data.values,
+                    data.lengths,
+                    bucket=bucketize_size(len(data.values)),
+                    weights=data.weights,
+                )
+            elif isinstance(data, DenseData):
+                batch.dense_features[name] = DenseField(
+                    values=data.values.astype(np.float32)
+                )
+            elif isinstance(data, SequenceSparseData):
+                batch.sequence_sparse_features[name] = _pad_sequence_sparse(
+                    feature, data
+                )
+            elif isinstance(data, SequenceDenseData):
+                batch.sequence_dense_features[name] = _pad_sequence_dense(
+                    feature, data
+                )
+            else:
+                raise TypeError(f"unknown parsed data {type(data)} for {name}")
+        for label in self._labels:
+            key = f"__label__{label}"
+            if key in parsed:
+                batch.labels[label] = parsed[key].astype(np.float32)
+        for w in self._sample_weights:
+            key = f"__weight__{w}"
+            if key in parsed:
+                batch.sample_weights[w] = parsed[key].astype(np.float32)
+        return batch
+
+    def parse_to_batch(
+        self, input_data: Dict[str, pa.Array], info: Optional[BatchInfo] = None
+    ) -> Batch:
+        return self.to_batch(self.parse(input_data), info)
+
+
+def _pad_sequence_sparse(
+    feature: BaseFeature, data: SequenceSparseData
+) -> SparseField:
+    """SequenceSparseData -> SparseField(values [B, L] ids, lengths [B]).
+
+    Multi-value steps (lengths > 1) are not yet supported on this path;
+    the reference pools them with segment_reduce
+    (embedding.py:1296-1309) — tracked for the sequence widening phase.
+    """
+    b = len(data.seq_lengths)
+    max_len = feature.effective_sequence_length
+    if max_len <= 0:
+        max_len = bucketize_size(
+            int(data.seq_lengths.max()) if b else 1, minimum=8
+        )
+    seq_lengths = np.minimum(data.seq_lengths, max_len).astype(np.int32)
+    ids = np.zeros((b, max_len), dtype=np.int64)
+    if np.any(data.lengths > 1):
+        # multi-value per step: keep the first id per step (lossy fallback)
+        step_starts = np.concatenate([[0], np.cumsum(data.lengths)])[:-1]
+        step_first = data.values[
+            np.minimum(step_starts, max(len(data.values) - 1, 0))
+        ] if len(data.values) else np.zeros((0,), np.int64)
+        vals = step_first
+    else:
+        vals = data.values
+    # distribute per-sample steps; truncate to the most recent max_len
+    pos = 0
+    for i in range(b):
+        n = int(data.seq_lengths[i])
+        take = min(n, max_len)
+        # keep the LAST `take` steps (most recent history)
+        ids[i, :take] = vals[pos + n - take : pos + n]
+        pos += n
+    return SparseField(values=ids, lengths=seq_lengths)
+
+
+def _pad_sequence_dense(
+    feature: BaseFeature, data: SequenceDenseData
+) -> SequenceDenseField:
+    b = len(data.seq_lengths)
+    d = data.values.shape[-1] if data.values.ndim > 1 else 1
+    max_len = feature.effective_sequence_length
+    if max_len <= 0:
+        max_len = bucketize_size(
+            int(data.seq_lengths.max()) if b else 1, minimum=8
+        )
+    seq_lengths = np.minimum(data.seq_lengths, max_len).astype(np.int32)
+    out = np.zeros((b, max_len, d), dtype=np.float32)
+    vals = data.values.reshape(-1, d)
+    pos = 0
+    for i in range(b):
+        n = int(data.seq_lengths[i])
+        take = min(n, max_len)
+        out[i, :take] = vals[pos + n - take : pos + n]
+        pos += n
+    return SequenceDenseField(values=out, lengths=seq_lengths)

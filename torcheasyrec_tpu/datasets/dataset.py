@@ -1,0 +1,385 @@
+"""Dataset / Reader / Writer registries and the dataloader.
+
+Counterpart of /root/reference/tzrec/datasets/dataset.py (BaseDataset:88,
+BaseReader:508, BaseWriter:643, create_dataloader:753). Host-side:
+readers buffer Arrow record batches, slice them into fixed-size batches
+(with shuffle-buffer support), inject checkpoint-position columns
+(__ckpt_source_id__/__ckpt_row_idx__, reference datasets/utils.py:39-71),
+run the negative sampler, and parse into static-shape numpy Batches. A
+background prefetch thread replaces the torch DataLoader worker pool
+(pyarrow releases the GIL on IO/compute).
+"""
+
+import queue
+import random
+import threading
+from typing import Any, Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+from torcheasyrec_tpu.datasets.data_parser import DataParser
+from torcheasyrec_tpu.datasets.utils import (
+    CKPT_ROW_IDX,
+    CKPT_SOURCE_ID,
+    Batch,
+    BatchInfo,
+)
+from torcheasyrec_tpu.features.feature import BaseFeature
+from torcheasyrec_tpu.utils.load_class import get_register_class_meta
+from torcheasyrec_tpu.utils.logging_util import logger
+
+_READER_CLASS_MAP: Dict[str, type] = {}
+_WRITER_CLASS_MAP: Dict[str, type] = {}
+_DATASET_CLASS_MAP: Dict[str, type] = {}
+
+_reader_meta = get_register_class_meta(_READER_CLASS_MAP)
+_writer_meta = get_register_class_meta(_WRITER_CLASS_MAP)
+_dataset_meta = get_register_class_meta(_DATASET_CLASS_MAP)
+
+
+class BaseReader(metaclass=_reader_meta):
+    """Buffered reader over one or more input sources."""
+
+    def __init__(
+        self,
+        input_path: str,
+        batch_size: int,
+        selected_cols: Optional[List[str]] = None,
+        drop_remainder: bool = False,
+        shuffle: bool = False,
+        shuffle_buffer_size: int = 32,
+        **kwargs: Any,
+    ) -> None:
+        self._input_path = input_path
+        self._batch_size = batch_size
+        self._selected_cols = selected_cols
+        self._drop_remainder = drop_remainder
+        self._shuffle = shuffle
+        self._shuffle_buffer_size = shuffle_buffer_size
+        # resume state: source_id -> rows already consumed
+        self._resume_state: Dict[int, int] = {}
+
+    def load_state(self, state: Dict[int, int]) -> None:
+        self._resume_state = dict(state or {})
+
+    def schema(self) -> pa.Schema:
+        raise NotImplementedError
+
+    def num_files(self) -> int:
+        return 1
+
+    def _iter_record_batches(
+        self, worker_id: int, num_workers: int
+    ) -> Iterator[Tuple[int, int, pa.RecordBatch]]:
+        """Yield (source_id, start_row, record_batch)."""
+        raise NotImplementedError
+
+    def to_batches(
+        self, worker_id: int = 0, num_workers: int = 1
+    ) -> Iterator[Dict[str, pa.Array]]:
+        """Yield fixed-size column dicts with ckpt columns injected
+        (buffer/slice logic mirrors reference dataset.py:569-587)."""
+        buf: List[pa.RecordBatch] = []
+        buffered = 0
+        shuffle_pool: List[pa.RecordBatch] = []
+        rng = random.Random(worker_id)
+
+        def _slice_out() -> Iterator[Dict[str, pa.Array]]:
+            nonlocal buf, buffered
+            while buffered >= self._batch_size:
+                tbl = pa.Table.from_batches(buf)
+                head = tbl.slice(0, self._batch_size)
+                rest = tbl.slice(self._batch_size)
+                buf = rest.combine_chunks().to_batches()
+                buffered = rest.num_rows
+                yield {
+                    name: head.column(i)
+                    for i, name in enumerate(head.schema.names)
+                }
+
+        for source_id, start_row, rb in self._iter_record_batches(
+            worker_id, num_workers
+        ):
+            consumed = self._resume_state.get(source_id, -1)
+            if start_row + rb.num_rows <= consumed + 1:
+                continue
+            if start_row <= consumed:
+                skip = consumed + 1 - start_row
+                rb = rb.slice(skip)
+                start_row += skip
+            rb = self._inject_ckpt_cols(rb, source_id, start_row)
+            if self._shuffle:
+                shuffle_pool.append(rb)
+                if len(shuffle_pool) >= self._shuffle_buffer_size:
+                    rng.shuffle(shuffle_pool)
+                    take = shuffle_pool.pop(0)
+                    buf.append(take)
+                    buffered += take.num_rows
+                    yield from _slice_out()
+            else:
+                buf.append(rb)
+                buffered += rb.num_rows
+                yield from _slice_out()
+
+        rng.shuffle(shuffle_pool)
+        for rb in shuffle_pool:
+            buf.append(rb)
+            buffered += rb.num_rows
+            yield from _slice_out()
+        if buffered > 0 and not self._drop_remainder:
+            tbl = pa.Table.from_batches(buf)
+            yield {
+                name: tbl.column(i) for i, name in enumerate(tbl.schema.names)
+            }
+
+    def _inject_ckpt_cols(
+        self, rb: pa.RecordBatch, source_id: int, start_row: int
+    ) -> pa.RecordBatch:
+        n = rb.num_rows
+        rb = rb.append_column(
+            CKPT_SOURCE_ID, pa.array(np.full(n, source_id, np.int64))
+        )
+        rb = rb.append_column(
+            CKPT_ROW_IDX,
+            pa.array(np.arange(start_row, start_row + n, dtype=np.int64)),
+        )
+        return rb
+
+
+class BaseWriter(metaclass=_writer_meta):
+    def __init__(self, output_path: str, **kwargs: Any) -> None:
+        self._output_path = output_path
+        self._lock = threading.Lock()
+
+    def write(self, output_dict: Dict[str, pa.Array]) -> None:
+        raise NotImplementedError
+
+    def close(self) -> None:
+        pass
+
+
+class BaseDataset(metaclass=_dataset_meta):
+    """Iterable over (Batch, BatchInfo)."""
+
+    def __init__(
+        self,
+        data_config: Any,
+        features: List[BaseFeature],
+        input_path: str,
+        reader: BaseReader,
+        mode: str = "train",
+        sampler: Optional[Any] = None,
+        debug_level: int = 0,
+    ) -> None:
+        self._data_config = data_config
+        self._features = features
+        self._input_path = input_path
+        self._reader = reader
+        self._mode = mode
+        self._sampler = sampler
+        self._parser = DataParser(
+            features,
+            labels=list(data_config.label_fields) if mode != "predict" else [],
+            sample_weights=list(data_config.sample_weight_fields),
+            is_training=(mode == "train"),
+            force_base_data_group=data_config.force_base_data_group,
+        )
+
+    @property
+    def parser(self) -> DataParser:
+        return self._parser
+
+    def load_state_dict(self, state: Dict[int, int]) -> None:
+        self._reader.load_state(state)
+
+    def __iter__(self) -> Iterator[Tuple[Batch, BatchInfo]]:
+        if self._sampler is not None:
+            self._sampler.init()
+        for columns in self._reader.to_batches():
+            yield self._build_batch(columns)
+
+    def _build_batch(
+        self, columns: Dict[str, pa.Array]
+    ) -> Tuple[Batch, BatchInfo]:
+        info = BatchInfo()
+        # pop ckpt metadata (reference dataset.py:322-337)
+        if CKPT_SOURCE_ID in columns:
+            sid = columns.pop(CKPT_SOURCE_ID)
+            ridx = columns.pop(CKPT_ROW_IDX)
+            sid_np = sid.to_numpy(zero_copy_only=False)
+            ridx_np = ridx.to_numpy(zero_copy_only=False)
+            for s in np.unique(sid_np):
+                info.checkpoint_info[int(s)] = int(ridx_np[sid_np == s].max())
+        n_rows = len(next(iter(columns.values())))
+        info.batch_size = n_rows
+
+        # sample masking (reference dataset.py:348-355)
+        mask_prob = self._data_config.sample_mask_prob
+        if self._mode == "train" and mask_prob > 0:
+            pass  # feature-level masking is applied by use_mask features
+
+        # run negative sampler (reference dataset.py:390-464)
+        if self._sampler is not None:
+            columns = self._sampler.process(columns)
+
+        batch = self._parser.parse_to_batch(columns, info)
+        return batch, info
+
+
+class PrefetchIterator:
+    """Background-thread prefetch of (Batch, BatchInfo) items."""
+
+    def __init__(self, iterable, prefetch: int = 4) -> None:
+        self._q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        self._done = object()
+        self._err: Optional[BaseException] = None
+
+        def _worker() -> None:
+            try:
+                for item in iterable:
+                    self._q.put(item)
+            except BaseException as e:  # noqa: BLE001
+                self._err = e
+            finally:
+                self._q.put(self._done)
+
+        self._t = threading.Thread(target=_worker, daemon=True)
+        self._t.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._done:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+
+def create_reader(
+    input_path: str,
+    batch_size: int,
+    selected_cols: Optional[List[str]] = None,
+    dataset_type: Optional[int] = None,
+    **kwargs: Any,
+) -> BaseReader:
+    from torcheasyrec_tpu.protos import data_pb2
+
+    name = data_pb2.DatasetType.Name(dataset_type or _infer_type(input_path))
+    reader_name = name.replace("Dataset", "Reader")
+    cls = _READER_CLASS_MAP.get(reader_name)
+    if cls is None:
+        raise ValueError(
+            f"no reader for {name}; available {sorted(_READER_CLASS_MAP)}"
+        )
+    return cls(input_path, batch_size, selected_cols, **kwargs)
+
+
+def create_writer(output_path: str, writer_type: str, **kwargs: Any) -> BaseWriter:
+    cls = _WRITER_CLASS_MAP.get(writer_type)
+    if cls is None:
+        raise ValueError(
+            f"no writer {writer_type}; available {sorted(_WRITER_CLASS_MAP)}"
+        )
+    return cls(output_path, **kwargs)
+
+
+def _infer_type(input_path: str) -> int:
+    from torcheasyrec_tpu.protos import data_pb2
+
+    if input_path.endswith(".csv") or ".csv" in input_path:
+        return data_pb2.DatasetType.CsvDataset
+    return data_pb2.DatasetType.ParquetDataset
+
+
+def create_dataloader(
+    data_config: Any,
+    features: List[BaseFeature],
+    input_path: str,
+    mode: str = "train",
+    reserved_columns: Optional[List[str]] = None,
+    sampler_config: Optional[Any] = None,
+    debug_level: int = 0,
+    resume_state: Optional[Dict[int, int]] = None,
+    prefetch: int = 4,
+):
+    """Build the (prefetching) dataset iterator factory.
+
+    Returns a zero-arg callable producing a fresh iterator per epoch
+    (replaces torch DataLoader + persistent workers,
+    reference dataset.py:753-852).
+    """
+    from torcheasyrec_tpu.protos import data_pb2
+
+    batch_size = data_config.batch_size
+    if mode != "train" and data_config.HasField("eval_batch_size"):
+        batch_size = data_config.eval_batch_size
+
+    selected_cols = _selected_columns(data_config, features, mode, reserved_columns)
+
+    sampler = None
+    sampler_type = data_config.WhichOneof("sampler")
+    if sampler_type is not None and mode != "predict":
+        from torcheasyrec_tpu.datasets import sampler as sampler_mod
+
+        sampler_cfg = getattr(data_config, sampler_type)
+        cls_name = type(sampler_cfg).__name__
+        sampler = sampler_mod.BaseSampler.create_class(cls_name)(
+            sampler_cfg,
+            fields=None,
+            batch_size=batch_size,
+            is_training=(mode == "train"),
+        )
+
+    reader = create_reader(
+        input_path,
+        batch_size,
+        selected_cols=selected_cols,
+        dataset_type=data_config.dataset_type,
+        drop_remainder=data_config.drop_remainder or (mode == "train"),
+        shuffle=data_config.shuffle and mode == "train",
+        shuffle_buffer_size=data_config.shuffle_buffer_size,
+        delimiter=data_config.delimiter,
+        with_header=data_config.with_header,
+        input_fields=list(data_config.input_fields),
+    )
+    if resume_state:
+        reader.load_state(resume_state)
+
+    dataset = BaseDataset(
+        data_config, features, input_path, reader, mode, sampler, debug_level
+    )
+
+    def _make_iter():
+        return PrefetchIterator(iter(dataset), prefetch=prefetch)
+
+    _make_iter.dataset = dataset
+    _make_iter.reader = reader
+    return _make_iter
+
+
+def _selected_columns(
+    data_config: Any,
+    features: List[BaseFeature],
+    mode: str,
+    reserved: Optional[List[str]],
+) -> List[str]:
+    cols: List[str] = []
+    for f in features:
+        for c in f.inputs:
+            if c not in cols:
+                cols.append(c)
+    if mode != "predict":
+        for label in data_config.label_fields:
+            if label not in cols:
+                cols.append(label)
+        for w in data_config.sample_weight_fields:
+            if w not in cols:
+                cols.append(w)
+    for r in reserved or []:
+        if r not in cols:
+            cols.append(r)
+    return cols

@@ -1,0 +1,263 @@
+"""In-process negative samplers.
+
+TPU-native replacement for the reference's graphlearn gRPC sampling
+cluster (/root/reference/tzrec/datasets/sampler.py:235-1168). Since the
+TPU runtime is one process per host, sampling runs in-process over
+memory-mapped item tables with O(1) weighted alias sampling — no server
+processes, no bootstrap collective.
+
+Samplers take the current batch's columns and append negative item rows
+as new columns named after ``attr_fields``; the DataParser then parses
+item-side features from them into the __NEG__ data group.
+"""
+
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+import pyarrow as pa
+
+from torcheasyrec_tpu.utils.load_class import get_register_class_meta
+
+_SAMPLER_CLASS_MAP: Dict[str, type] = {}
+_meta = get_register_class_meta(_SAMPLER_CLASS_MAP)
+
+
+class AliasTable:
+    """Walker alias method for O(1) weighted sampling."""
+
+    def __init__(self, weights: np.ndarray) -> None:
+        w = np.asarray(weights, dtype=np.float64)
+        w = np.where(w > 0, w, 0.0)
+        n = len(w)
+        self._n = n
+        prob = w * n / max(w.sum(), 1e-12)
+        self._prob = np.ones(n)
+        self._alias = np.arange(n)
+        small = [i for i in range(n) if prob[i] < 1.0]
+        large = [i for i in range(n) if prob[i] >= 1.0]
+        while small and large:
+            s, l = small.pop(), large.pop()
+            self._prob[s] = prob[s]
+            self._alias[s] = l
+            prob[l] = prob[l] - (1.0 - prob[s])
+            (small if prob[l] < 1.0 else large).append(l)
+
+    def sample(self, k: int, rng: np.random.Generator) -> np.ndarray:
+        idx = rng.integers(0, self._n, size=k)
+        accept = rng.random(k) < self._prob[idx]
+        return np.where(accept, idx, self._alias[idx])
+
+
+def _read_table(path: str) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    if path.endswith(".csv"):
+        import pyarrow.csv as pacsv
+
+        return pacsv.read_csv(path)
+    return pq.read_table(path)
+
+
+class BaseSampler(metaclass=_meta):
+    """Base for all samplers; subclasses implement process()."""
+
+    def __init__(
+        self,
+        config: Any,
+        fields: Optional[List[Any]] = None,
+        batch_size: int = 1024,
+        is_training: bool = True,
+    ) -> None:
+        self._config = config
+        self._batch_size = batch_size
+        self._is_training = is_training
+        self._num_sample = int(getattr(config, "num_sample", 0))
+        if not is_training and getattr(config, "num_eval_sample", 0):
+            self._num_sample = int(config.num_eval_sample)
+        self._attr_fields = list(config.attr_fields)
+        self._attr_delim = getattr(config, "attr_delimiter", ":") or ":"
+        self._item_id_field = config.item_id_field
+        self._rng = np.random.default_rng(0)
+        self._inited = False
+
+    @property
+    def estimated_sample_num(self) -> int:
+        return self._num_sample
+
+    def init(self) -> None:
+        if not self._inited:
+            self._load()
+            self._inited = True
+
+    def _load(self) -> None:
+        raise NotImplementedError
+
+    def process(self, columns: Dict[str, pa.Array]) -> Dict[str, pa.Array]:
+        raise NotImplementedError
+
+    # -- shared helpers -----------------------------------------------------
+
+    def _load_item_table(self, path: str) -> None:
+        tbl = _read_table(path)
+        names = tbl.schema.names
+        self._item_ids = tbl.column(0).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        self._item_weights = (
+            tbl.column(1).to_numpy(zero_copy_only=False).astype(np.float64)
+            if len(names) > 1
+            else np.ones(len(self._item_ids))
+        )
+        self._id_to_row = {int(v): i for i, v in enumerate(self._item_ids)}
+        # attrs column: delimiter-joined attr values per item
+        self._attrs: Optional[List[List[str]]] = None
+        if len(names) > 2 and self._attr_fields:
+            raw = tbl.column(2).cast(pa.string()).to_pylist()
+            self._attrs = [
+                (s or "").split(self._attr_delim) for s in raw
+            ]
+        self._alias = AliasTable(self._item_weights)
+
+    def _attrs_to_columns(self, rows: np.ndarray) -> Dict[str, pa.Array]:
+        """Build negative attr columns for sampled item rows."""
+        out: Dict[str, pa.Array] = {}
+        if self._attrs is not None:
+            n_attr = len(self._attr_fields)
+            cols: List[List[str]] = [[] for _ in range(n_attr)]
+            for r in rows:
+                vals = self._attrs[r]
+                for j in range(n_attr):
+                    cols[j].append(vals[j] if j < len(vals) else "")
+            for j, name in enumerate(self._attr_fields):
+                out[f"__NEG__{name}"] = pa.array(cols[j], type=pa.string())
+        else:
+            # only the item id is available
+            out[f"__NEG__{self._item_id_field}"] = pa.array(
+                self._item_ids[rows]
+            )
+        return out
+
+
+class NegativeSampler(BaseSampler):
+    """Weighted random negatives (reference sampler.py:464-537)."""
+
+    def _load(self) -> None:
+        self._load_item_table(self._config.input_path)
+
+    def process(self, columns: Dict[str, pa.Array]) -> Dict[str, pa.Array]:
+        self.init()
+        rows = self._alias.sample(self._num_sample, self._rng)
+        # exclude in-batch positive ids by resampling (best effort, 2 tries)
+        if self._item_id_field in columns:
+            pos = set(
+                columns[self._item_id_field]
+                .cast(pa.int64(), safe=False)
+                .to_pylist()
+            )
+            for _ in range(2):
+                bad = np.asarray(
+                    [int(self._item_ids[r]) in pos for r in rows]
+                )
+                if not bad.any():
+                    break
+                rows[bad] = self._alias.sample(int(bad.sum()), self._rng)
+        out = dict(columns)
+        out.update(self._attrs_to_columns(rows))
+        return out
+
+
+class NegativeSamplerV2(BaseSampler):
+    """Negatives excluding the user's positive edges
+    (reference sampler.py:540-636)."""
+
+    def _load(self) -> None:
+        self._load_item_table(self._config.item_input_path)
+        edges = _read_table(self._config.pos_edge_input_path)
+        u = edges.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        i = edges.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+        self._pos_edges: Dict[int, set] = {}
+        for uu, ii in zip(u, i):
+            self._pos_edges.setdefault(int(uu), set()).add(int(ii))
+        self._user_id_field = self._config.user_id_field
+
+    def process(self, columns: Dict[str, pa.Array]) -> Dict[str, pa.Array]:
+        self.init()
+        rows = self._alias.sample(self._num_sample, self._rng)
+        if self._user_id_field in columns:
+            users = (
+                columns[self._user_id_field]
+                .cast(pa.int64(), safe=False)
+                .to_pylist()
+            )
+            banned = set()
+            for uu in users:
+                banned |= self._pos_edges.get(int(uu), set())
+            for _ in range(2):
+                bad = np.asarray(
+                    [int(self._item_ids[r]) in banned for r in rows]
+                )
+                if not bad.any():
+                    break
+                rows[bad] = self._alias.sample(int(bad.sum()), self._rng)
+        out = dict(columns)
+        out.update(self._attrs_to_columns(rows))
+        return out
+
+
+class HardNegativeSampler(NegativeSamplerV2):
+    """Random negatives + neighbor-sampled hard negatives
+    (reference sampler.py:639-747). Hard negatives ride in the same
+    __NEG__ columns; HARD_NEG_INDICES bookkeeping lands with DAT/match
+    model support."""
+
+    def _load(self) -> None:
+        self._load_item_table(self._config.item_input_path)
+        edges = _read_table(self._config.hard_neg_edge_input_path)
+        u = edges.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        i = edges.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+        self._hard_edges: Dict[int, List[int]] = {}
+        for uu, ii in zip(u, i):
+            self._hard_edges.setdefault(int(uu), []).append(int(ii))
+        self._user_id_field = self._config.user_id_field
+        self._num_hard = int(self._config.num_hard_sample)
+
+    def process(self, columns: Dict[str, pa.Array]) -> Dict[str, pa.Array]:
+        self.init()
+        rows = list(self._alias.sample(self._num_sample, self._rng))
+        if self._user_id_field in columns:
+            users = (
+                columns[self._user_id_field]
+                .cast(pa.int64(), safe=False)
+                .to_pylist()
+            )
+            for uu in users:
+                cands = self._hard_edges.get(int(uu), [])
+                if cands:
+                    take = self._rng.choice(
+                        cands, size=min(self._num_hard, len(cands)),
+                        replace=False,
+                    )
+                    rows.extend(
+                        self._id_to_row[int(t)]
+                        for t in take
+                        if int(t) in self._id_to_row
+                    )
+        rows = np.asarray(rows, dtype=np.int64)
+        out = dict(columns)
+        out.update(self._attrs_to_columns(rows))
+        return out
+
+
+class HardNegativeSamplerV2(HardNegativeSampler):
+    pass
+
+
+class TDMSampler(BaseSampler):
+    """Tree-based sampler: ancestor positives + per-layer negatives
+    (reference sampler.py:867-1079). Lands with the TDM model phase."""
+
+    def _load(self) -> None:
+        raise NotImplementedError("TDMSampler lands with the TDM model phase")
+
+    def process(self, columns: Dict[str, pa.Array]) -> Dict[str, pa.Array]:
+        raise NotImplementedError

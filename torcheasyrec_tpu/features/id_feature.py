@@ -1,0 +1,82 @@
+"""IdFeature: categorical id feature.
+
+Counterpart of /root/reference/tzrec/features/id_feature.py (140 LoC):
+hash_bucket / num_buckets / vocab_list / vocab_dict / vocab_file id
+mapping, optional weighting, multi-value with separator.
+"""
+
+from typing import Any, Dict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from torcheasyrec_tpu.features.feature import (
+    BaseFeature,
+    SequenceSparseData,
+    SparseData,
+)
+
+
+class IdFeature(BaseFeature):
+    @property
+    def is_sparse(self) -> bool:
+        return True
+
+    def _parse_fg(self, input_data: Dict[str, pa.Array], is_training: bool) -> Any:
+        feat = self._input_column(input_data)
+        c = self.config
+        sep = getattr(c, "separator", "\x1d") or "\x1d"
+        default = getattr(c, "default_value", "")
+
+        if self.is_sequence:
+            delim = self.sequence_delim or getattr(c, "sequence_delim", ";")
+            feat = feat.cast(pa.string(), safe=False)
+            is_empty = pc.equal(feat, pa.scalar(""))
+            feat = pc.if_else(is_empty, pa.nulls(len(feat)), feat)
+            if default:
+                feat = feat.fill_null(default)
+            steps = pc.split_pattern(feat.fill_null(""), delim)
+            toks = pc.split_pattern(steps.values, sep)
+            seq_offs = steps.offsets.to_numpy()
+            seq_lengths = (seq_offs[1:] - seq_offs[:-1]).astype(np.int32)
+            tok_offs = toks.offsets.to_numpy()
+            tok_lengths = (tok_offs[1:] - tok_offs[:-1]).astype(np.int32)
+            tokens = np.asarray(toks.values.to_pylist(), dtype=object)
+            ids = self._vocab_to_ids(tokens) if len(tokens) else np.zeros(
+                (0,), np.int64
+            )
+            return SequenceSparseData(self.name, ids, tok_lengths, seq_lengths)
+
+        weights = None
+        if pa.types.is_string(feat.type) or pa.types.is_large_string(feat.type):
+            is_empty = pc.equal(feat, pa.scalar(""))
+            feat = pc.if_else(is_empty, pa.nulls(len(feat)), feat)
+            if default:
+                feat = feat.fill_null(default)
+            nulls = feat.is_null().to_numpy(zero_copy_only=False)
+            lf = pc.split_pattern(feat.fill_null(""), sep)
+            offs = lf.offsets.to_numpy()
+            lengths = (offs[1:] - offs[:-1]).astype(np.int32)
+            lengths = np.where(nulls, 0, lengths).astype(np.int32)
+            all_tokens = lf.values.to_pylist()
+            keep = np.repeat(~nulls, offs[1:] - offs[:-1])
+            tokens = np.asarray(
+                [t for t, k in zip(all_tokens, keep) if k], dtype=object
+            )
+            if self.is_weighted and len(tokens):
+                pairs = [str(t).split(":") for t in tokens]
+                tokens = np.asarray([p[0] for p in pairs], dtype=object)
+                weights = np.asarray(
+                    [float(p[1]) if len(p) > 1 else 1.0 for p in pairs],
+                    dtype=np.float32,
+                )
+        else:
+            if default:
+                feat = feat.fill_null(default)
+            vals = feat.to_pylist()
+            keep = [v is not None for v in vals]
+            tokens = np.asarray([v for v in vals if v is not None], dtype=object)
+            lengths = np.asarray(keep, dtype=np.int32)
+        ids = self._vocab_to_ids(tokens) if len(tokens) else np.zeros((0,), np.int64)
+        return SparseData(self.name, ids, lengths, weights)

@@ -1,0 +1,341 @@
+"""Remaining feature classes.
+
+Counterparts of /root/reference/tzrec/features/{combo_feature,lookup_feature,
+match_feature,expr_feature,overlap_feature,tokenize_feature,kv_dot_product,
+custom_feature,bool_mask_feature,combine_feature}.py. All support the
+FG_NONE (pre-encoded) path through BaseFeature; FG_NORMAL transforms are
+implemented in numpy where the semantics are local (combo/expr/overlap/
+lookup); plugin-backed ones (custom/tokenize) currently require FG_NONE.
+"""
+
+from typing import Any, Dict, List
+
+import numpy as np
+import pyarrow as pa
+
+from torcheasyrec_tpu.features.feature import (
+    BaseFeature,
+    DenseData,
+    SparseData,
+    stable_hash64,
+)
+
+
+class ComboFeature(BaseFeature):
+    """Cross of multiple inputs, hashed into one id space
+    (reference features/combo_feature.py, 106 LoC)."""
+
+    @property
+    def is_sparse(self) -> bool:
+        return True
+
+    def _parse_fg(self, input_data: Dict[str, pa.Array], is_training: bool) -> Any:
+        cols = [input_data[c].cast(pa.string(), safe=False).to_pylist()
+                for _, c in self.side_inputs]
+        n = len(cols[0])
+        tokens: List[str] = []
+        lengths = np.zeros((n,), np.int32)
+        for i in range(n):
+            vals = [c[i] for c in cols]
+            if any(v is None or v == "" for v in vals):
+                continue
+            tokens.append("\x1d".join(str(v) for v in vals))
+            lengths[i] = 1
+        ids = self._vocab_to_ids(np.asarray(tokens, dtype=object)) if tokens \
+            else np.zeros((0,), np.int64)
+        return SparseData(self.name, ids, lengths)
+
+
+class LookupFeature(BaseFeature):
+    """Map-lookup by key (reference features/lookup_feature.py, 204 LoC)."""
+
+    @property
+    def is_sparse(self) -> bool:
+        c = self.config
+        return bool(
+            len(c.boundaries) or c.hash_bucket_size or c.num_buckets
+            or len(c.vocab_list) or len(c.vocab_dict)
+        )
+
+    def _parse_fg(self, input_data: Dict[str, pa.Array], is_training: bool) -> Any:
+        # expressions: [map, key]
+        (_, map_col), (_, key_col) = self.side_inputs[0], self.side_inputs[1]
+        maps = input_data[map_col].to_pylist()
+        keys = input_data[key_col].cast(pa.string(), safe=False).to_pylist()
+        sep = self.config.separator or "\x1d"
+        n = len(keys)
+        out = np.zeros((n,), np.float32)
+        for i in range(n):
+            m, k = maps[i], keys[i]
+            if m is None or k is None:
+                continue
+            if isinstance(m, str):
+                kv = dict(
+                    p.split(":", 1) for p in m.split(sep) if ":" in p
+                )
+                v = kv.get(k)
+            elif isinstance(m, dict):
+                v = m.get(k)
+            else:
+                v = None
+            if v is not None:
+                try:
+                    out[i] = float(v)
+                except ValueError:
+                    out[i] = 0.0
+        if self.is_sparse and len(self.config.boundaries):
+            ids = self._bucketize(out)
+            return SparseData(self.name, ids, np.ones((n,), np.int32))
+        return DenseData(self.name, out[:, None])
+
+
+class MatchFeature(BaseFeature):
+    """Nested kv match by primary/secondary key
+    (reference features/match_feature.py, 189 LoC)."""
+
+    @property
+    def is_sparse(self) -> bool:
+        c = self.config
+        return bool(
+            len(c.boundaries) or c.hash_bucket_size or c.num_buckets
+            or len(c.vocab_list) or len(c.vocab_dict)
+        )
+
+    def _parse_fg(self, input_data: Dict[str, pa.Array], is_training: bool) -> Any:
+        (_, nested_col), (_, pkey_col), (_, skey_col) = self.side_inputs[:3]
+        nested = input_data[nested_col].cast(pa.string(), safe=False).to_pylist()
+        pkeys = input_data[pkey_col].cast(pa.string(), safe=False).to_pylist()
+        skeys = input_data[skey_col].cast(pa.string(), safe=False).to_pylist()
+        n = len(nested)
+        out = np.zeros((n,), np.float32)
+        for i in range(n):
+            if nested[i] is None:
+                continue
+            # format: pk1^kv1:v1,kv2:v2|pk2^...
+            table = {}
+            for grp in str(nested[i]).split("|"):
+                if "^" not in grp:
+                    continue
+                pk, kvs = grp.split("^", 1)
+                table[pk] = dict(
+                    p.split(":", 1) for p in kvs.split(",") if ":" in p
+                )
+            v = table.get(pkeys[i], {}).get(skeys[i])
+            if v is not None:
+                try:
+                    out[i] = float(v)
+                except ValueError:
+                    pass
+        if self.is_sparse and len(self.config.boundaries):
+            ids = self._bucketize(out)
+            return SparseData(self.name, ids, np.ones((n,), np.int32))
+        return DenseData(self.name, out[:, None])
+
+
+class ExprFeature(BaseFeature):
+    """Arithmetic expression over input variables
+    (reference features/expr_feature.py)."""
+
+    @property
+    def is_sparse(self) -> bool:
+        return len(self.config.boundaries) > 0
+
+    @property
+    def expressions(self) -> List[str]:
+        return list(self.config.variables)
+
+    def _parse_fg(self, input_data: Dict[str, pa.Array], is_training: bool) -> Any:
+        local: Dict[str, np.ndarray] = {}
+        for _, col in self.side_inputs:
+            arr = input_data[col].cast(pa.float64(), safe=False)
+            local[col] = np.nan_to_num(
+                arr.to_numpy(zero_copy_only=False).astype(np.float64)
+            )
+        expr = self.config.expression
+        # restricted eval: numpy namespace only
+        allowed = {"np": np, "log": np.log, "exp": np.exp, "sqrt": np.sqrt,
+                   "abs": np.abs, "min": np.minimum, "max": np.maximum,
+                   "sigmoid": lambda x: 1.0 / (1.0 + np.exp(-x))}
+        out = eval(expr, {"__builtins__": {}}, {**allowed, **local})  # noqa: S307
+        out = np.asarray(out, dtype=np.float32)
+        n = len(next(iter(local.values())))
+        if out.ndim == 0:
+            out = np.full((n,), float(out), np.float32)
+        if self.is_sparse:
+            ids = self._bucketize(out)
+            return SparseData(self.name, ids, np.ones((n,), np.int32))
+        return DenseData(self.name, out[:, None])
+
+
+class OverlapFeature(BaseFeature):
+    """Query/title overlap ratios (reference features/overlap_feature.py)."""
+
+    @property
+    def is_sparse(self) -> bool:
+        return len(self.config.boundaries) > 0
+
+    def _parse_fg(self, input_data: Dict[str, pa.Array], is_training: bool) -> Any:
+        (_, qcol), (_, tcol) = self.side_inputs[:2]
+        sep = self.config.separator or "\x1d"
+        qs = input_data[qcol].cast(pa.string(), safe=False).to_pylist()
+        ts = input_data[tcol].cast(pa.string(), safe=False).to_pylist()
+        method = self.config.method
+        n = len(qs)
+        out = np.zeros((n,), np.float32)
+        for i in range(n):
+            q = (qs[i] or "").split(sep)
+            t = (ts[i] or "").split(sep)
+            qset, tset = set(q) - {""}, set(t) - {""}
+            if method == "query_common_ratio":
+                out[i] = len(qset & tset) / max(len(qset), 1)
+            elif method == "title_common_ratio":
+                out[i] = len(qset & tset) / max(len(tset), 1)
+            elif method == "is_contain":
+                out[i] = float(bool(qset) and qset <= tset)
+            elif method == "is_equal":
+                out[i] = float(qset == tset and bool(qset))
+        if self.is_sparse:
+            ids = self._bucketize(out)
+            return SparseData(self.name, ids, np.ones((n,), np.int32))
+        return DenseData(self.name, out[:, None])
+
+
+class TokenizeFeature(BaseFeature):
+    """Text tokenizer feature (reference features/tokenize_feature.py,
+    224 LoC). FG_NORMAL uses a HuggingFace tokenizer.json when available."""
+
+    _tokenizer = None
+
+    @property
+    def is_sparse(self) -> bool:
+        return True
+
+    @property
+    def num_embeddings(self) -> int:
+        if self.config.vocab_file:
+            tok = self._get_tokenizer()
+            if tok is not None:
+                return tok.get_vocab_size()
+            return super()._vocab_file_size()
+        return super().num_embeddings
+
+    def _get_tokenizer(self):
+        if self._tokenizer is None and self.config.vocab_file:
+            try:
+                from tokenizers import Tokenizer
+
+                self._tokenizer = Tokenizer.from_file(self.config.vocab_file)
+            except Exception:  # noqa: BLE001
+                self._tokenizer = None
+        return self._tokenizer
+
+    def _parse_fg(self, input_data: Dict[str, pa.Array], is_training: bool) -> Any:
+        feat = self._input_column(input_data)
+        texts = feat.cast(pa.string(), safe=False).to_pylist()
+        tok = self._get_tokenizer()
+        values: List[int] = []
+        lengths = np.zeros((len(texts),), np.int32)
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            if tok is not None:
+                ids = tok.encode(str(t)).ids
+            else:
+                ids = (
+                    stable_hash64(np.asarray(str(t).split(), dtype=object))
+                    % np.uint64(max(self.num_embeddings, 1))
+                ).astype(np.int64).tolist()
+            values.extend(ids)
+            lengths[i] = len(ids)
+        return SparseData(
+            self.name, np.asarray(values, np.int64), lengths
+        )
+
+
+class KvDotProduct(BaseFeature):
+    """Weighted kv dot product (reference features/kv_dot_product.py, 84 LoC)."""
+
+    @property
+    def is_sparse(self) -> bool:
+        return len(self.config.boundaries) > 0
+
+    def _parse_fg(self, input_data: Dict[str, pa.Array], is_training: bool) -> Any:
+        (_, c1), (_, c2) = self.side_inputs[:2]
+        sep = self.config.separator or "\x1d"
+        a1 = input_data[c1].cast(pa.string(), safe=False).to_pylist()
+        a2 = input_data[c2].cast(pa.string(), safe=False).to_pylist()
+        n = len(a1)
+        out = np.zeros((n,), np.float32)
+
+        def _kv(s):
+            return {
+                k: float(v)
+                for k, _, v in (p.partition(":") for p in (s or "").split(sep))
+                if v
+            }
+
+        for i in range(n):
+            kv1, kv2 = _kv(a1[i]), _kv(a2[i])
+            out[i] = sum(kv1[k] * kv2[k] for k in kv1.keys() & kv2.keys())
+        if self.is_sparse:
+            ids = self._bucketize(out)
+            return SparseData(self.name, ids, np.ones((n,), np.int32))
+        return DenseData(self.name, out[:, None])
+
+
+class CustomFeature(BaseFeature):
+    """User plugin feature (reference features/custom_feature.py, 194 LoC).
+
+    FG_NORMAL would need the user op; pre-encoded FG_NONE path works via
+    BaseFeature. A python plugin hook is supported through operator_name
+    resolving to a registered callable in TZREC_USER_MODULE_DIR.
+    """
+
+    @property
+    def is_sparse(self) -> bool:
+        return not bool(getattr(self.config, "is_dense", False))
+
+
+class BoolMaskFeature(BaseFeature):
+    """Boolean masking of an id list (reference features/bool_mask_feature.py)."""
+
+    @property
+    def is_sparse(self) -> bool:
+        return True
+
+    def _parse_fg(self, input_data: Dict[str, pa.Array], is_training: bool) -> Any:
+        (_, vcol), (_, mcol) = self.side_inputs[:2]
+        sep = self.config.separator or "\x1d"
+        vals = input_data[vcol].cast(pa.string(), safe=False).to_pylist()
+        masks = input_data[mcol].cast(pa.string(), safe=False).to_pylist()
+        n = len(vals)
+        tokens: List[str] = []
+        lengths = np.zeros((n,), np.int32)
+        for i in range(n):
+            vs = (vals[i] or "").split(sep)
+            ms = (masks[i] or "").split(sep)
+            kept = [
+                v for v, m in zip(vs, ms)
+                if v and m in ("1", "true", "True")
+            ]
+            tokens.extend(kept)
+            lengths[i] = len(kept)
+        ids = self._vocab_to_ids(np.asarray(tokens, dtype=object)) if tokens \
+            else np.zeros((0,), np.int64)
+        return SparseData(self.name, ids, lengths)
+
+
+class CombineFeature(BaseFeature):
+    """Combine upstream feature outputs (reference features/combine_feature.py).
+
+    FG_NONE path: the combined column is pre-encoded. FG_NORMAL combining of
+    upstream features runs after their parses in the DataParser.
+    """
+
+    @property
+    def is_sparse(self) -> bool:
+        c = self.config
+        return bool(
+            c.hash_bucket_size or c.num_buckets or len(c.vocab_list)
+            or len(c.vocab_dict) or len(c.boundaries)
+        )
