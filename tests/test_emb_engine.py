@@ -1,0 +1,205 @@
+"""Embedding-engine tests: lookup + fused update, replicated vs sharded."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torcheasyrec_tpu.datasets.utils import SparseField
+from torcheasyrec_tpu.parallel.emb_engine import (
+    DATA_PARALLEL,
+    ROW_WISE,
+    EmbeddingEngine,
+    LookupSpec,
+    TableSpec,
+)
+from torcheasyrec_tpu.parallel.mesh import create_mesh
+from torcheasyrec_tpu.parallel.sparse_optim import SparseOptimizer
+
+
+def _mk_engine(mesh=None, optimizer=None, sharding=ROW_WISE):
+    tables = [
+        TableSpec("t_a", rows=100, dim=16, sharding=sharding),
+        TableSpec("t_b", rows=50, dim=16, sharding=sharding),
+        TableSpec("t_c", rows=30, dim=8, sharding=sharding),
+    ]
+    lookups = [
+        LookupSpec("a", "f_a", "t_a", "sum"),
+        LookupSpec("b", "f_b", "t_b", "mean"),
+        LookupSpec("c", "f_c", "t_c", "sum"),
+        LookupSpec("s", "f_s", "t_a", combiner="none", is_sequence=True),
+    ]
+    return EmbeddingEngine(tables, lookups, mesh=mesh, optimizer=optimizer)
+
+
+def _batch(b=8):
+    rng = np.random.default_rng(0)
+    # jagged feature: variable ids per row, bucketed to 16
+    lengths = rng.integers(0, 3, size=b).astype(np.int32)
+    n = int(lengths.sum())
+    vals = np.zeros(16, np.int64)
+    vals[:n] = rng.integers(0, 100, size=n)
+    sparse = {
+        "f_a": SparseField(values=jnp.asarray(vals),
+                           lengths=jnp.asarray(lengths)),
+        "f_b": SparseField(values=jnp.asarray(
+            rng.integers(0, 50, size=(b, 2)))),
+        "f_c": SparseField(values=jnp.asarray(
+            rng.integers(0, 30, size=(b, 1)))),
+    }
+    seq = {
+        "f_s": SparseField(
+            values=jnp.asarray(rng.integers(0, 100, size=(b, 4))),
+            lengths=jnp.asarray(rng.integers(0, 5, size=b).astype(np.int32)),
+        )
+    }
+    return sparse, seq, lengths, vals, n
+
+
+def _np_reference_lookup(tables_np, sparse, seq, engine):
+    """Dense numpy reference."""
+    out = {}
+    w_a = tables_np["t_a"]
+    w_b = tables_np["t_b"]
+    w_c = tables_np["t_c"]
+    f_a = sparse["f_a"]
+    b = f_a.lengths.shape[0]
+    pooled = np.zeros((b, 16), np.float32)
+    pos = 0
+    vals = np.asarray(f_a.values)
+    for i in range(b):
+        for _ in range(int(f_a.lengths[i])):
+            pooled[i] += w_a[vals[pos]]
+            pos += 1
+    out["a"] = pooled
+    ids_b = np.asarray(sparse["f_b"].values)
+    out["b"] = w_b[ids_b].sum(axis=1) / 2.0  # mean over fixed L=2
+    out["c"] = w_c[np.asarray(sparse["f_c"].values)[:, 0]]
+    out["s"] = w_a[np.asarray(seq["f_s"].values)]
+    return out
+
+
+def _extract_all(engine, tables):
+    return {
+        name: engine.extract_table(tables, name)
+        for name in ("t_a", "t_b", "t_c")
+    }
+
+
+def test_lookup_replicated_matches_numpy():
+    engine = _mk_engine()
+    tables = engine.init(jax.random.key(0))
+    sparse, seq, *_ = _batch()
+    outputs, _ = engine.lookup(tables, sparse, seq)
+    ref = _np_reference_lookup(_extract_all(engine, tables), sparse, seq, engine)
+    for k in ("a", "b", "c", "s"):
+        np.testing.assert_allclose(outputs[k], ref[k], rtol=1e-5, atol=1e-6)
+
+
+def test_update_adagrad_touched_rows_only():
+    opt = SparseOptimizer("adagrad", {"lr": 0.1})
+    engine = _mk_engine(optimizer=opt)
+    tables = engine.init(jax.random.key(0))
+    opt_state = engine.init_opt_state()
+    sparse, seq, lengths, vals, n = _batch()
+    outputs, res = engine.lookup(tables, sparse, seq)
+    # all-ones grads on output 'c' only
+    grads = {"c": jnp.ones_like(outputs["c"])}
+    before = engine.extract_table(tables, "t_c")
+    new_tables, new_state = engine.update(
+        tables, opt_state, res, grads, jnp.float32(1.0)
+    )
+    after = engine.extract_table(new_tables, "t_c")
+    touched = np.unique(np.asarray(sparse["f_c"].values)[:, 0])
+    delta = np.abs(after - before).sum(axis=1)
+    assert (delta[touched] > 0).all()
+    untouched = np.setdiff1d(np.arange(30), touched)
+    np.testing.assert_allclose(delta[untouched], 0.0)
+    # other groups untouched
+    np.testing.assert_allclose(
+        engine.extract_table(new_tables, "t_a"),
+        engine.extract_table(tables, "t_a"),
+    )
+
+
+def test_update_duplicate_ids_summed():
+    """Rows hit by multiple samples must see the SUM of their grads once."""
+    opt = SparseOptimizer("sgd", {"lr": 1.0})
+    tables_spec = [TableSpec("t", rows=10, dim=4)]
+    lookups = [LookupSpec("o", "f", "t", "sum")]
+    engine = EmbeddingEngine(tables_spec, lookups, optimizer=opt)
+    tables = engine.init(jax.random.key(0))
+    st = engine.init_opt_state()
+    # 4 samples all referencing id 3
+    sparse = {"f": SparseField(values=jnp.full((4, 1), 3, jnp.int32))}
+    out, res = engine.lookup(tables, sparse)
+    g = jnp.ones_like(out["o"])
+    new_tables, _ = engine.update(tables, st, res, {"o": g}, jnp.float32(1.0))
+    before = engine.extract_table(tables, "t")
+    after = engine.extract_table(new_tables, "t")
+    # sgd: w3 -= lr * sum(grads) = 4.0 per dim
+    np.testing.assert_allclose(before[3] - after[3], 4.0, rtol=1e-6)
+    np.testing.assert_allclose(after[:3], before[:3])
+
+
+@pytest.mark.parametrize("sharding", [ROW_WISE, DATA_PARALLEL])
+def test_sharded_matches_single_device(sharding):
+    assert len(jax.devices()) == 8, "conftest must provide 8 cpu devices"
+    mesh = create_mesh()
+    opt = SparseOptimizer("rowwise_adagrad", {"lr": 0.05})
+    single = _mk_engine(optimizer=opt, sharding=sharding)
+    multi = _mk_engine(mesh=mesh, optimizer=opt, sharding=sharding)
+
+    t1 = single.init(jax.random.key(42))
+    t2 = multi.init(jax.random.key(42))
+    for name in ("t_a", "t_b", "t_c"):
+        np.testing.assert_allclose(
+            single.extract_table(t1, name), multi.extract_table(t2, name),
+            rtol=1e-6,
+        )
+
+    sparse, seq, *_ = _batch(b=16)
+    o1, r1 = single.lookup(t1, sparse, seq)
+    o2, r2 = jax.jit(lambda t, s, q: multi.lookup(t, s, q))(t2, sparse, seq)
+    for k in o1:
+        np.testing.assert_allclose(o1[k], o2[k], rtol=1e-5, atol=1e-6)
+
+    grads = {k: jnp.ones_like(v) * 0.5 for k, v in o1.items()}
+    s1 = single.init_opt_state()
+    s2 = multi.init_opt_state()
+    nt1, _ = single.update(t1, s1, r1, grads, jnp.float32(1.0))
+    nt2, _ = jax.jit(
+        lambda t, s, r, g: multi.update(t, s, r, g, jnp.float32(1.0))
+    )(t2, s2, r2, grads)
+    for name in ("t_a", "t_b", "t_c"):
+        np.testing.assert_allclose(
+            single.extract_table(nt1, name),
+            multi.extract_table(nt2, name),
+            rtol=1e-5, atol=1e-6,
+        )
+
+
+def test_all_sparse_optimizers_run():
+    kinds = [
+        "sgd", "adagrad", "adam", "lars_sgd", "lamb",
+        "partial_rowwise_lamb", "partial_rowwise_adam", "rowwise_adagrad",
+        "adadelta", "rmsprop",
+    ]
+    for kind in kinds:
+        opt = SparseOptimizer(kind, {"lr": 0.01})
+        engine = EmbeddingEngine(
+            [TableSpec("t", rows=20, dim=8)],
+            [LookupSpec("o", "f", "t", "sum")],
+            optimizer=opt,
+        )
+        tables = engine.init(jax.random.key(0))
+        st = engine.init_opt_state()
+        sparse = {"f": SparseField(values=jnp.arange(6).reshape(6, 1))}
+        out, res = engine.lookup(tables, sparse)
+        nt, ns = engine.update(
+            tables, st, res, {"o": jnp.ones_like(out["o"])}, jnp.float32(1.0)
+        )
+        before = engine.extract_table(tables, "t")
+        after = engine.extract_table(nt, "t")
+        assert np.abs(after[:6] - before[:6]).sum() > 0, kind
+        np.testing.assert_allclose(after[6:], before[6:], err_msg=kind)

@@ -1,0 +1,506 @@
+"""Sharded embedding engine — the TorchRec/fbgemm replacement.
+
+Replaces the reference's ShardedEmbeddingBagCollection + TBE fused
+kernels + KJT/pooled-embedding all-to-alls (SURVEY.md §2.1 row 3;
+reference tzrec/utils/dist_util.py:164-195, tzrec/modules/embedding.py).
+TPU-first design:
+
+- **Fused table groups**: tables with the same (embedding_dim, sharding)
+  are stacked into one megatable ``[sum_rows, dim]`` with static row
+  offsets (the TBE "table batching" idea), so each step does ONE gather +
+  ONE segment-sum + ONE pair of collectives per group instead of
+  per-feature ops.
+- **Sharding**: ``row_wise`` block-shards megatable rows over the
+  ``"data"`` mesh axis. The per-step exchange is
+  ``all_gather(ids) -> local masked gather -> psum_scatter(rows)``,
+  which is always correct under arbitrary id skew (no all-to-all
+  capacity overflow) and whose backward is the symmetric
+  ``all_gather(row-grads) -> local scatter``. ``data_parallel`` keeps
+  the table replicated and all-gathers (ids, grads) at update time so
+  replicas stay in sync.
+- **Fused in-backward optimizer**: update() routes pooled-output grads
+  back to owning shards, dedups duplicate ids by sort + segment-sum,
+  and applies the sparse optimizer to touched rows only
+  (parallel/sparse_optim.py) — the ``apply_optimizer_in_backward``
+  equivalent without ever materializing a dense table gradient.
+
+The engine is pure: tables/optimizer state are pytrees threaded through
+``lookup`` / ``update`` inside one jitted train step.
+"""
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from torcheasyrec_tpu.datasets.utils import SparseField, segment_ids_from_lengths
+from torcheasyrec_tpu.features.feature import EmbConfig
+from torcheasyrec_tpu.modules.module import default_emb_init, parse_init_fn
+from torcheasyrec_tpu.parallel.mesh import DATA_AXIS
+from torcheasyrec_tpu.parallel.sparse_optim import SparseOptimizer
+
+ROW_WISE = "row_wise"
+DATA_PARALLEL = "data_parallel"
+
+
+@dataclasses.dataclass(frozen=True)
+class TableSpec:
+    name: str
+    rows: int
+    dim: int
+    init_fn: Optional[str] = None
+    trainable: bool = True
+    sharding: str = ROW_WISE
+
+
+@dataclasses.dataclass(frozen=True)
+class LookupSpec:
+    """One (feature -> table) pooled or per-position lookup."""
+
+    key: str  # output key
+    feature_name: str  # batch sparse field name
+    table_name: str
+    combiner: str = "sum"  # sum | mean | none (none = sequence per-position)
+    is_sequence: bool = False
+
+
+@dataclasses.dataclass
+class _Group:
+    """A fused megatable: same (dim, sharding) tables stacked row-wise."""
+
+    dim: int
+    sharding: str
+    specs: List[TableSpec]
+    offsets: Dict[str, int]
+    total_rows: int
+    padded_rows: int
+
+
+def _group_key(dim: int, sharding: str) -> str:
+    return f"d{dim}_{sharding}"
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PlanEntry:
+    """Per-lookup slice of a fused group's flat id vector.
+
+    Arrays (seg/weights/lengths) are pytree children so residuals can
+    cross jit boundaries; the rest is static aux data.
+    """
+
+    lk: LookupSpec
+    start: int
+    count: int
+    kind: str  # "pool" | "seq"
+    seg: Optional[jnp.ndarray]
+    weights: Optional[jnp.ndarray]
+    lengths: Optional[jnp.ndarray]
+    shape: Tuple[int, int]
+
+    def tree_flatten(self):
+        return (self.seg, self.weights, self.lengths), (
+            self.lk, self.start, self.count, self.kind, self.shape,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        lk, start, count, kind, shape = aux
+        seg, weights, lengths = children
+        return cls(lk, start, count, kind, seg, weights, lengths, shape)
+
+
+class EmbeddingEngine:
+    def __init__(
+        self,
+        tables: Sequence[TableSpec],
+        lookups: Sequence[LookupSpec],
+        mesh: Optional[Mesh] = None,
+        optimizer: Optional[SparseOptimizer] = None,
+    ) -> None:
+        self.mesh = mesh
+        self.num_shards = mesh.devices.size if mesh is not None else 1
+        self.optimizer = optimizer or SparseOptimizer("adagrad", {"lr": 0.001})
+        self._specs = {t.name: t for t in tables}
+        self.lookups = list(lookups)
+
+        # build fused groups
+        self.groups: Dict[str, _Group] = {}
+        for t in tables:
+            sharding = t.sharding if self.num_shards > 1 else DATA_PARALLEL
+            gk = _group_key(t.dim, sharding)
+            g = self.groups.setdefault(
+                _group_key(t.dim, sharding),
+                _Group(t.dim, sharding, [], {}, 0, 0),
+            )
+            g.offsets[t.name] = g.total_rows
+            g.specs.append(t)
+            g.total_rows += t.rows
+        for g in self.groups.values():
+            # pad rows to a multiple of shards (block sharding)
+            mult = self.num_shards * 8
+            g.padded_rows = ((g.total_rows + mult - 1) // mult) * mult
+
+        self._table_group = {
+            t.name: _group_key(
+                t.dim, t.sharding if self.num_shards > 1 else DATA_PARALLEL
+            )
+            for t in tables
+        }
+        self._lookups_by_group: Dict[str, List[LookupSpec]] = {}
+        for lk in self.lookups:
+            gk = self._table_group[lk.table_name]
+            self._lookups_by_group.setdefault(gk, []).append(lk)
+
+    # ------------------------------------------------------------------
+    # init
+    # ------------------------------------------------------------------
+
+    def init(self, key: jax.Array) -> Dict[str, jnp.ndarray]:
+        """Init megatable weights; per-table init fn honored via row slices."""
+        out: Dict[str, jnp.ndarray] = {}
+        for gk, g in self.groups.items():
+            pieces = []
+            for t in g.specs:
+                key, sub = jax.random.split(key)
+                fn = parse_init_fn(t.init_fn) or default_emb_init
+                pieces.append(fn(sub, (t.rows, t.dim), jnp.float32))
+            pad = g.padded_rows - g.total_rows
+            if pad:
+                pieces.append(jnp.zeros((pad, g.dim), jnp.float32))
+            w = jnp.concatenate(pieces, axis=0)
+            out[gk] = self._device_put_table(w, g)
+        return out
+
+    def init_opt_state(self) -> Dict[str, Any]:
+        out: Dict[str, Any] = {}
+        for gk, g in self.groups.items():
+            st = self.optimizer.init_state(g.padded_rows, g.dim)
+            out[gk] = jax.tree_util.tree_map(
+                lambda x: self._device_put_table(x, g)
+                if getattr(x, "ndim", 0) >= 1 and x.shape[0] == g.padded_rows
+                else x,
+                st,
+            )
+        return out
+
+    def _device_put_table(self, x: jnp.ndarray, g: _Group) -> jnp.ndarray:
+        if self.mesh is None:
+            return x
+        spec = (
+            P(DATA_AXIS, *([None] * (x.ndim - 1)))
+            if g.sharding == ROW_WISE
+            else P()
+        )
+        return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+    def table_shardings(self) -> Dict[str, Any]:
+        """NamedSharding per group key (for checkpoint/jit out_shardings)."""
+        out = {}
+        for gk, g in self.groups.items():
+            if self.mesh is None:
+                out[gk] = None
+            else:
+                out[gk] = NamedSharding(
+                    self.mesh,
+                    P(DATA_AXIS, None) if g.sharding == ROW_WISE else P(),
+                )
+        return out
+
+    # ------------------------------------------------------------------
+    # forward lookup
+    # ------------------------------------------------------------------
+
+    def lookup(
+        self,
+        tables: Dict[str, jnp.ndarray],
+        sparse: Dict[str, SparseField],
+        sequence_sparse: Optional[Dict[str, SparseField]] = None,
+    ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, Any]]:
+        """Returns (outputs, residuals).
+
+        outputs[key]: [B, dim] pooled, or [B, L, dim] for sequence lookups.
+        residuals: per-group routing info for update().
+        """
+        sequence_sparse = sequence_sparse or {}
+        outputs: Dict[str, jnp.ndarray] = {}
+        residuals: Dict[str, Any] = {}
+        for gk, lks in self._lookups_by_group.items():
+            g = self.groups[gk]
+            flat_ids, plan = self._flatten_group_ids(g, lks, sparse, sequence_sparse)
+            rows = self._dist_gather(tables[gk], flat_ids, g)
+            self._emit_outputs(g, lks, plan, rows, outputs)
+            residuals[gk] = (flat_ids, plan)
+        return outputs, residuals
+
+    def _flatten_group_ids(self, g, lks, sparse, sequence_sparse):
+        """Concat all features' ids (offset into megatable) + per-feature
+        slicing plan. Plan entries:
+        (lk, start, count, kind, seg_or_none, weights_or_none, lengths)."""
+        ids_list = []
+        plan = []
+        pos = 0
+        for lk in lks:
+            off = g.offsets[lk.table_name]
+            if lk.is_sequence:
+                field = sequence_sparse[lk.feature_name]
+                b, L = field.values.shape
+                ids = (field.values.astype(jnp.int32) + off).reshape(-1)
+                plan.append(PlanEntry(
+                    lk, pos, b * L, "seq", None, None, field.lengths, (b, L)
+                ))
+                ids_list.append(ids)
+                pos += b * L
+            else:
+                field = sparse[lk.feature_name]
+                if field.is_fixed:
+                    b, L = field.values.shape
+                    ids = (field.values.astype(jnp.int32) + off).reshape(-1)
+                    seg = jnp.repeat(
+                        jnp.arange(b, dtype=jnp.int32), L
+                    )
+                    w = (
+                        field.weights.reshape(-1)
+                        if field.weights is not None
+                        else None
+                    )
+                    lengths = jnp.full((b,), L, jnp.int32)
+                    plan.append(PlanEntry(
+                        lk, pos, b * L, "pool", seg, w, lengths, (b, L)
+                    ))
+                    ids_list.append(ids)
+                    pos += b * L
+                else:
+                    n = field.values.shape[0]
+                    b = field.lengths.shape[0]
+                    seg = segment_ids_from_lengths(field.lengths, n)
+                    valid = seg < b
+                    ids = jnp.where(
+                        valid, field.values.astype(jnp.int32) + off, -1
+                    )
+                    plan.append(PlanEntry(
+                        lk, pos, n, "pool", seg, field.weights,
+                        field.lengths, (b, n),
+                    ))
+                    ids_list.append(ids)
+                    pos += n
+        flat = (
+            jnp.concatenate(ids_list)
+            if len(ids_list) > 1
+            else ids_list[0]
+        )
+        return flat, plan
+
+    def _emit_outputs(self, g, lks, plan, rows, outputs):
+        for e in plan:
+            lk, start, count, kind = e.lk, e.start, e.count, e.kind
+            seg, w, lengths, shape = e.seg, e.weights, e.lengths, e.shape
+            r = jax.lax.dynamic_slice_in_dim(rows, start, count, axis=0)
+            if kind == "seq":
+                b, L = shape
+                outputs[lk.key] = r.reshape(b, L, g.dim)
+                continue
+            b = lengths.shape[0]
+            if w is not None:
+                r = r * w[:, None]
+            if seg is not None and shape[1] != 0 and kind == "pool":
+                pooled = jax.ops.segment_sum(
+                    r, seg, num_segments=b + 1
+                )[:b]
+            else:
+                pooled = r.reshape(b, -1, g.dim).sum(axis=1)
+            if lk.combiner == "mean":
+                denom = jnp.maximum(lengths.astype(jnp.float32), 1.0)
+                pooled = pooled / denom[:, None]
+            outputs[lk.key] = pooled
+
+    # ------------------------------------------------------------------
+    # distributed gather
+    # ------------------------------------------------------------------
+
+    def _dist_gather(
+        self, weight: jnp.ndarray, flat_ids: jnp.ndarray, g: _Group
+    ) -> jnp.ndarray:
+        """rows[i] = weight[flat_ids[i]] with cross-shard exchange.
+
+        flat_ids == -1 (invalid padding) returns zeros.
+        """
+        if self.mesh is None or g.sharding == DATA_PARALLEL:
+            return weight.at[flat_ids].get(mode="fill", fill_value=0.0)
+
+        rows_per_shard = g.padded_rows // self.num_shards
+
+        def _shard_fn(w_loc, ids_loc):
+            # w_loc: [rows/D, dim]; ids_loc: [N_loc]
+            my = jax.lax.axis_index(DATA_AXIS)
+            all_ids = jax.lax.all_gather(ids_loc, DATA_AXIS)  # [D, N_loc]
+            owner = all_ids // rows_per_shard
+            local_row = all_ids - owner * rows_per_shard
+            mine = (owner == my) & (all_ids >= 0)
+            safe_row = jnp.where(mine, local_row, 0)
+            r = w_loc[safe_row]  # [D, N_loc, dim]
+            r = jnp.where(mine[..., None], r, 0.0)
+            # sum over shards, return my chunk: [N_loc, dim]
+            return jax.lax.psum_scatter(
+                r, DATA_AXIS, scatter_dimension=0, tiled=False
+            )
+
+        return jax.shard_map(
+            _shard_fn,
+            mesh=self.mesh,
+            in_specs=(P(DATA_AXIS, None), P(DATA_AXIS)),
+            out_specs=P(DATA_AXIS, None),
+        )(weight, flat_ids)
+
+    # ------------------------------------------------------------------
+    # backward + fused optimizer update
+    # ------------------------------------------------------------------
+
+    def update(
+        self,
+        tables: Dict[str, jnp.ndarray],
+        opt_state: Dict[str, Any],
+        residuals: Dict[str, Any],
+        out_grads: Dict[str, jnp.ndarray],
+        lr_scale: jnp.ndarray,
+    ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, Any]]:
+        """Apply fused sparse updates from pooled-output grads."""
+        new_tables = dict(tables)
+        new_state = dict(opt_state)
+        lr = jnp.asarray(lr_scale, jnp.float32) * self.optimizer.base_lr
+        for gk, (flat_ids, plan) in residuals.items():
+            g = self.groups[gk]
+            grads = self._flat_row_grads(g, plan, out_grads)
+            if grads is None:
+                continue
+            new_tables[gk], new_state[gk] = self._dist_update(
+                tables[gk], opt_state[gk], flat_ids, grads, g, lr
+            )
+        return new_tables, new_state
+
+    def _flat_row_grads(self, g, plan, out_grads):
+        pieces = []
+        any_grad = False
+        for e in plan:
+            lk, start, count, kind = e.lk, e.start, e.count, e.kind
+            seg, w, lengths, shape = e.seg, e.weights, e.lengths, e.shape
+            og = out_grads.get(lk.key)
+            if og is None:
+                pieces.append(jnp.zeros((count, g.dim), jnp.float32))
+                continue
+            any_grad = True
+            og = og.astype(jnp.float32)
+            if kind == "seq":
+                pieces.append(og.reshape(count, g.dim))
+                continue
+            b = lengths.shape[0]
+            if lk.combiner == "mean":
+                denom = jnp.maximum(lengths.astype(jnp.float32), 1.0)
+                og = og / denom[:, None]
+            if seg is not None:
+                padded = jnp.concatenate(
+                    [og, jnp.zeros((1, g.dim), og.dtype)], axis=0
+                )
+                rg = padded[seg]  # [count, dim]
+            else:
+                rg = jnp.repeat(og, count // b, axis=0)
+            if w is not None:
+                rg = rg * w[:, None]
+            pieces.append(rg)
+        if not any_grad:
+            return None
+        return jnp.concatenate(pieces) if len(pieces) > 1 else pieces[0]
+
+    def _dedup_apply(self, weight, state, ids, grads, n_rows, lr):
+        """Sort + segment-sum duplicate ids, then sparse-apply optimizer.
+
+        ids: [N] int32, -1 for invalid slots. OOB padding rows map past
+        the table so scatter mode='drop' ignores them.
+        """
+        n = ids.shape[0]
+        oob = jnp.int32(n_rows)
+        ids = jnp.where(ids < 0, oob, ids)
+        order = jnp.argsort(ids)
+        sids = ids[order]
+        sg = grads[order]
+        head = jnp.concatenate(
+            [jnp.ones((1,), jnp.int32),
+             (sids[1:] != sids[:-1]).astype(jnp.int32)]
+        )
+        seg = jnp.cumsum(head) - 1  # [N] dense unique index
+        gsum = jax.ops.segment_sum(sg, seg, num_segments=n)
+        uids = jnp.full((n,), oob, jnp.int32).at[seg].set(sids)
+        return self.optimizer.apply(weight, state, uids, gsum, lr)
+
+    def _dist_update(self, weight, state, flat_ids, grads, g, lr):
+        if self.mesh is None:
+            return self._dedup_apply(
+                weight, state, flat_ids, grads, g.padded_rows, lr
+            )
+
+        rows_per_shard = g.padded_rows // self.num_shards
+
+        if g.sharding == DATA_PARALLEL:
+            def _dp_fn(w, st, ids_loc, g_loc, lr_):
+                # gather every shard's (ids, grads); apply identically
+                all_ids = jax.lax.all_gather(
+                    ids_loc, DATA_AXIS, tiled=True
+                )
+                all_g = jax.lax.all_gather(g_loc, DATA_AXIS, tiled=True)
+                return self._dedup_apply(
+                    w, st, all_ids, all_g, g.padded_rows, lr_
+                )
+
+            return jax.shard_map(
+                _dp_fn,
+                mesh=self.mesh,
+                in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P()),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )(weight, state, flat_ids, grads, lr)
+
+        def _rw_fn(w_loc, st_loc, ids_loc, g_loc, lr_):
+            my = jax.lax.axis_index(DATA_AXIS)
+            all_ids = jax.lax.all_gather(ids_loc, DATA_AXIS, tiled=True)
+            all_g = jax.lax.all_gather(g_loc, DATA_AXIS, tiled=True)
+            owner = all_ids // rows_per_shard
+            mine = (owner == my) & (all_ids >= 0)
+            local = jnp.where(mine, all_ids - owner * rows_per_shard, -1)
+            return self._dedup_apply(
+                w_loc, st_loc, local, all_g, rows_per_shard, lr_
+            )
+
+        st_specs = jax.tree_util.tree_map(
+            lambda x: P(DATA_AXIS, None)
+            if getattr(x, "ndim", 0) >= 2 and x.shape[0] == g.padded_rows
+            else (P(DATA_AXIS) if getattr(x, "ndim", 0) == 1 else P()),
+            state,
+        )
+        return jax.shard_map(
+            _rw_fn,
+            mesh=self.mesh,
+            in_specs=(P(DATA_AXIS, None), st_specs, P(DATA_AXIS),
+                      P(DATA_AXIS), P()),
+            out_specs=(P(DATA_AXIS, None), st_specs),
+            check_vma=False,
+        )(weight, state, flat_ids, grads, lr)
+
+    # ------------------------------------------------------------------
+    # introspection / export helpers
+    # ------------------------------------------------------------------
+
+    def table_rows(self, table_name: str) -> Tuple[str, int, int]:
+        """(group_key, row_offset, rows) for extracting one table."""
+        gk = self._table_group[table_name]
+        g = self.groups[gk]
+        return gk, g.offsets[table_name], self._specs[table_name].rows
+
+    def extract_table(
+        self, tables: Dict[str, jnp.ndarray], table_name: str
+    ) -> jnp.ndarray:
+        gk, off, rows = self.table_rows(table_name)
+        return jax.device_get(tables[gk])[off : off + rows]
