@@ -118,23 +118,39 @@ class BaseSampler(metaclass=_meta):
             ]
         self._alias = AliasTable(self._item_weights)
 
-    def _attrs_to_columns(self, rows: np.ndarray) -> Dict[str, pa.Array]:
-        """Build negative attr columns for sampled item rows."""
-        out: Dict[str, pa.Array] = {}
+    def _append_negatives(
+        self, columns: Dict[str, pa.Array], rows: np.ndarray
+    ) -> Dict[str, pa.Array]:
+        """Append sampled item rows to the batch's item-side columns.
+
+        Mirrors reference dataset.py:390-464: the __NEG__ data-group
+        features then parse at length B + num_sample (positive items
+        first, shared negatives after).
+        """
+        out = dict(columns)
+        neg_vals: Dict[str, List[str]] = {
+            name: [] for name in self._attr_fields
+        }
         if self._attrs is not None:
-            n_attr = len(self._attr_fields)
-            cols: List[List[str]] = [[] for _ in range(n_attr)]
             for r in rows:
                 vals = self._attrs[r]
-                for j in range(n_attr):
-                    cols[j].append(vals[j] if j < len(vals) else "")
-            for j, name in enumerate(self._attr_fields):
-                out[f"__NEG__{name}"] = pa.array(cols[j], type=pa.string())
+                for j, name in enumerate(self._attr_fields):
+                    neg_vals[name].append(vals[j] if j < len(vals) else "")
         else:
-            # only the item id is available
-            out[f"__NEG__{self._item_id_field}"] = pa.array(
-                self._item_ids[rows]
-            )
+            neg_vals = {self._item_id_field: [str(self._item_ids[r])
+                                              for r in rows]}
+        for name, vals in neg_vals.items():
+            if name not in columns:
+                continue
+            col = columns[name]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            neg_arr = pa.array(vals, type=pa.string())
+            try:
+                neg_arr = neg_arr.cast(col.type)
+            except pa.ArrowInvalid:
+                col = col.cast(pa.string())
+            out[name] = pa.concat_arrays([col, neg_arr])
         return out
 
 
@@ -161,9 +177,7 @@ class NegativeSampler(BaseSampler):
                 if not bad.any():
                     break
                 rows[bad] = self._alias.sample(int(bad.sum()), self._rng)
-        out = dict(columns)
-        out.update(self._attrs_to_columns(rows))
-        return out
+        return self._append_negatives(columns, rows)
 
 
 class NegativeSamplerV2(BaseSampler):
@@ -199,9 +213,7 @@ class NegativeSamplerV2(BaseSampler):
                 if not bad.any():
                     break
                 rows[bad] = self._alias.sample(int(bad.sum()), self._rng)
-        out = dict(columns)
-        out.update(self._attrs_to_columns(rows))
-        return out
+        return self._append_negatives(columns, rows)
 
 
 class HardNegativeSampler(NegativeSamplerV2):
@@ -243,9 +255,7 @@ class HardNegativeSampler(NegativeSamplerV2):
                         if int(t) in self._id_to_row
                     )
         rows = np.asarray(rows, dtype=np.int64)
-        out = dict(columns)
-        out.update(self._attrs_to_columns(rows))
-        return out
+        return self._append_negatives(columns, rows)
 
 
 class HardNegativeSamplerV2(HardNegativeSampler):

@@ -1,0 +1,21 @@
+"""Eval CLI (reference /root/reference/tzrec/eval.py)."""
+
+import argparse
+
+from torcheasyrec_tpu.main import evaluate
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--pipeline_config_path", type=str, required=True)
+    parser.add_argument("--checkpoint_path", type=str, default=None)
+    parser.add_argument("--eval_input_path", type=str, default=None)
+    parser.add_argument(
+        "--eval_result_filename", type=str, default="eval_result.txt"
+    )
+    args = parser.parse_args()
+    evaluate(
+        args.pipeline_config_path,
+        checkpoint_path=args.checkpoint_path,
+        eval_input_path=args.eval_input_path,
+        eval_result_filename=args.eval_result_filename,
+    )

@@ -1,0 +1,611 @@
+"""Driver: train/eval/export/predict pipelines.
+
+Counterpart of /root/reference/tzrec/main.py (train_and_evaluate:595,
+evaluate:861, export:961, predict:1120). TPU-native structure: one
+jitted train step fuses embedding lookup -> dense fwd/bwd -> fused
+sparse update -> dense optax update; the host loop streams prefetched
+numpy batches, folds checkpoint-position state, and drives cadence
+(log / eval / checkpoint), replacing TorchRec's TrainPipelineSparseDist
+(XLA overlaps transfer/compute via async dispatch).
+"""
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from torcheasyrec_tpu import constant
+from torcheasyrec_tpu.datasets.dataset import create_dataloader
+from torcheasyrec_tpu.datasets.utils import Batch
+from torcheasyrec_tpu.features import create_features as _create_feature_objs
+from torcheasyrec_tpu.models import create_model
+from torcheasyrec_tpu.modules import module as M
+from torcheasyrec_tpu.optim.optimizer_builder import (
+    create_dense_optimizer,
+    create_grad_clipper,
+    create_sparse_optimizer,
+)
+from torcheasyrec_tpu.parallel.mesh import DATA_AXIS, maybe_mesh
+from torcheasyrec_tpu.utils import checkpoint_util, config_util
+from torcheasyrec_tpu.utils.logging_util import ProgressLogger, logger
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _create_features(pipeline_config):
+    data_config = pipeline_config.data_config
+    neg_fields = None
+    sampler_type = data_config.WhichOneof("sampler")
+    if sampler_type is not None:
+        sampler_cfg = getattr(data_config, sampler_type)
+        neg_fields = list(sampler_cfg.attr_fields) or [
+            sampler_cfg.item_id_field
+        ]
+    return _create_feature_objs(
+        list(pipeline_config.feature_configs),
+        fg_mode=data_config.fg_mode,
+        fg_encoded_multival_sep=data_config.fg_encoded_multival_sep or None,
+        neg_fields=neg_fields,
+    )
+
+
+def _compute_dtype(train_config) -> Any:
+    mp = getattr(train_config, "mixed_precision", "") or ""
+    if mp.upper() == "BF16":
+        return jnp.bfloat16
+    if mp.upper() == "FP16":
+        return jnp.float16
+    return jnp.float32
+
+
+def apply_state_updates(params: Dict[str, Any], updates: Dict[str, Any]):
+    """Fold collected batch-norm running-stat updates into params.
+
+    Paths are dot-joined keys/list-indices rooted at the dense-params
+    tree. Unresolvable paths are skipped with a warning (encoder-internal
+    paths are threaded in a later phase).
+    """
+    if not updates:
+        return params
+
+    import copy
+
+    params = copy.copy(params)
+
+    def _set(root, parts, value):
+        node = root
+        trail = []
+        for p in parts[:-1]:
+            trail.append((node, p))
+            if isinstance(node, (list, tuple)):
+                node = node[int(p)]
+            elif p in node:
+                node = node[p]
+            else:
+                return False
+        leaf_key = parts[-1]
+        if isinstance(node, dict) and leaf_key in node:
+            node[leaf_key] = {**node[leaf_key], **value}
+            return True
+        return False
+
+    for path, value in updates.items():
+        parts = path.split(".")
+        ok = _set(params, parts, value)
+        if not ok:
+            logger.warning(f"state update path {path} not found; skipped")
+    return params
+
+
+def _shard_batch(batch: Batch, mesh) -> Batch:
+    if mesh is None:
+        return batch
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = mesh.devices.size
+
+    def _put(x):
+        arr = np.asarray(x)
+        if arr.ndim >= 1 and arr.shape[0] % n == 0:
+            return jax.device_put(
+                arr, NamedSharding(mesh, P(DATA_AXIS))
+            )
+        return jax.device_put(arr, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map(_put, batch)
+
+
+@dataclasses.dataclass
+class TrainEnv:
+    model: Any
+    features: List[Any]
+    mesh: Any
+    tx: Any
+    sparse_sched: Dict
+    dense_sched: Dict
+    compute_dtype: Any
+
+
+def _build_model_and_optim(pipeline_config, mesh, for_train=True):
+    features = _create_features(pipeline_config)
+    train_config = pipeline_config.train_config
+    sparse_opt, sparse_sched = create_sparse_optimizer(
+        train_config.sparse_optimizer
+    )
+    labels = list(pipeline_config.data_config.label_fields)
+    sample_weights = list(pipeline_config.data_config.sample_weight_fields)
+    model = create_model(
+        pipeline_config.model_config,
+        features,
+        labels,
+        sample_weights,
+        mesh=mesh,
+        sparse_optimizer=sparse_opt,
+    )
+    return model, features, sparse_sched
+
+
+def _init_state(model, pipeline_config, seed: int = 42):
+    key = jax.random.key(seed)
+    k1, k2 = jax.random.split(key)
+    dense_params = model.init(k1)
+    tables = model.embedding_group.init_tables(k2)
+    sparse_opt_state = model.embedding_group.init_opt_state()
+    return dense_params, tables, sparse_opt_state
+
+
+def make_train_step(model, tx, sparse_sched, dense_sched, compute_dtype):
+    engine = model.embedding_group.engine
+
+    def train_step(state, batch: Batch, rng):
+        step = state["step"]
+        emb_out, residuals = model.embedding_group.lookup(
+            state["tables"], batch
+        )
+
+        def loss_fn(dense_params, emb_out_in):
+            ctx = M.Context(
+                training=True, rng=rng, compute_dtype=compute_dtype
+            )
+            grouped = model.embedding_group.assemble(
+                emb_out_in, batch, dense_params["embedding_group"], ctx
+            )
+            preds = model.predict(dense_params, grouped, batch, ctx)
+            losses = model.loss(preds, batch)
+            total = model.total_loss(losses)
+            return total, (losses, ctx.state_updates)
+
+        (total, (losses, state_updates)), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(state["dense"], emb_out)
+        dgrads, emb_grads = grads
+
+        lr_scale = sparse_sched["fn"](step)
+        tables, sparse_opt = engine.update(
+            state["tables"], state["sparse_opt"], residuals, emb_grads,
+            lr_scale,
+        )
+
+        updates, dense_opt = tx.update(
+            dgrads, state["dense_opt"], state["dense"]
+        )
+        mult = dense_sched["fn"](step)
+        updates = jax.tree_util.tree_map(lambda u: u * mult, updates)
+        dense = optax.apply_updates(state["dense"], updates)
+
+        new_state = {
+            "dense": dense,
+            "tables": tables,
+            "sparse_opt": sparse_opt,
+            "dense_opt": dense_opt,
+            "step": step + 1,
+        }
+        metrics = {"total_loss": total, **losses}
+        return new_state, metrics, state_updates
+
+    return train_step
+
+
+def make_eval_step(model, compute_dtype, with_loss: bool = True):
+    def eval_step(state, batch: Batch):
+        ctx = M.Context(training=False, compute_dtype=compute_dtype)
+        preds = model.forward(
+            state["dense"], state["tables"], batch, ctx
+        )
+        losses = model.loss(preds, batch) if with_loss else {}
+        return preds, losses
+
+    return eval_step
+
+
+# ---------------------------------------------------------------------------
+# train_and_evaluate
+# ---------------------------------------------------------------------------
+
+
+def train_and_evaluate(
+    pipeline_config_path: str,
+    train_input_path: Optional[str] = None,
+    eval_input_path: Optional[str] = None,
+    continue_train: bool = False,
+    fine_tune_checkpoint: Optional[str] = None,
+    edit_config_json: Optional[str] = None,
+) -> Dict[str, float]:
+    pipeline_config = config_util.load_pipeline_config(pipeline_config_path)
+    if edit_config_json:
+        config_util.edit_config(pipeline_config, json.loads(edit_config_json))
+    if train_input_path:
+        pipeline_config.train_input_path = train_input_path
+    if eval_input_path:
+        pipeline_config.eval_input_path = eval_input_path
+
+    model_dir = pipeline_config.model_dir
+    train_config = pipeline_config.train_config
+    data_config = pipeline_config.data_config
+    mesh = maybe_mesh()
+    compute_dtype = _compute_dtype(train_config)
+
+    model, features, sparse_sched = _build_model_and_optim(
+        pipeline_config, mesh
+    )
+    dense_params, tables, sparse_opt_state = _init_state(
+        model, pipeline_config
+    )
+    tx, dense_sched = create_dense_optimizer(
+        train_config.dense_optimizer, dense_params
+    )
+    clipper = None
+    if train_config.HasField("grad_clipping"):
+        clipper = create_grad_clipper(train_config.grad_clipping)
+    if clipper is not None:
+        tx = optax.chain(clipper, tx)
+    dense_opt_state = tx.init(dense_params)
+
+    state = {
+        "dense": dense_params,
+        "tables": tables,
+        "sparse_opt": sparse_opt_state,
+        "dense_opt": dense_opt_state,
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+    # checkpoint restore / fine-tune
+    ckpt_manager = checkpoint_util.CheckpointManager(
+        model_dir,
+        save_checkpoints_steps=train_config.save_checkpoints_steps,
+        save_checkpoints_epochs=train_config.save_checkpoints_epochs,
+        keep_checkpoint_max=train_config.keep_checkpoint_max,
+        save_checkpoints_timestamp_interval=(
+            train_config.save_checkpoints_timestamp_interval
+        ),
+        save_checkpoints_timestamps=list(
+            train_config.save_checkpoints_timestamps
+        ),
+    )
+    dataloader_state: Dict[int, int] = {}
+    latest = checkpoint_util.latest_checkpoint(model_dir)
+    if continue_train and latest:
+        state = checkpoint_util.restore_model(latest, state)
+        dataloader_state = checkpoint_util.load_dataloader_state(latest)
+    elif fine_tune_checkpoint or train_config.fine_tune_checkpoint:
+        ft = fine_tune_checkpoint or train_config.fine_tune_checkpoint
+        state = checkpoint_util.restore_model(ft, state)
+
+    os.makedirs(model_dir, exist_ok=True)
+    config_util.save_message(
+        pipeline_config, os.path.join(model_dir, "pipeline.config")
+    )
+
+    train_dl = create_dataloader(
+        data_config, features, pipeline_config.train_input_path,
+        mode="train", resume_state=dataloader_state,
+    )
+    eval_dl = create_dataloader(
+        data_config, features, pipeline_config.eval_input_path, mode="eval"
+    )
+
+    train_step = jax.jit(
+        make_train_step(model, tx, sparse_sched, dense_sched, compute_dtype),
+        donate_argnums=(0,),
+    )
+    eval_step = jax.jit(make_eval_step(model, compute_dtype))
+
+    num_steps = train_config.num_steps or 0
+    num_epochs = train_config.num_epochs or (1 if not num_steps else 10 ** 9)
+    log_every = train_config.log_step_count_steps or 100
+    rng = jax.random.key(1234)
+
+    train_metrics = model.init_train_metrics()
+    plogger = ProgressLogger("train")
+    step = int(state["step"])
+    t_start = time.time()
+    examples = 0
+    stop = False
+    eval_result: Dict[str, float] = {}
+
+    profiling = bool(train_config.is_profiling)
+    if profiling:
+        jax.profiler.start_trace(os.path.join(model_dir, "profile"))
+
+    for epoch in range(num_epochs):
+        if stop:
+            break
+        for batch, info in train_dl():
+            step_rng = jax.random.fold_in(rng, step)
+            batch = _shard_batch(batch, mesh)
+            state, metrics, state_updates = train_step(
+                state, batch, step_rng
+            )
+            if state_updates:
+                state["dense"] = apply_state_updates(
+                    state["dense"], jax.device_get(state_updates)
+                )
+            step += 1
+            examples += info.batch_size
+            for sid, row in info.checkpoint_info.items():
+                dataloader_state[sid] = max(
+                    dataloader_state.get(sid, -1), row
+                )
+
+            if step % log_every == 0:
+                m = jax.device_get(metrics)
+                lr_mult = float(
+                    jax.device_get(sparse_sched["fn"](jnp.int32(step)))
+                )
+                loss_str = " ".join(
+                    f"{k}={float(v):.5f}" for k, v in m.items()
+                )
+                rate = examples / max(time.time() - t_start, 1e-9)
+                logger.info(
+                    f"step {step}: {loss_str} lr_mult={lr_mult:.4f} "
+                    f"({rate:.0f} ex/s)"
+                )
+            plogger.log(step)
+
+            if ckpt_manager.should_save(
+                step, data_timestamp=info.data_timestamp
+            ):
+                ckpt_manager.save(
+                    step, jax.device_get(state), dataloader_state
+                )
+                eval_result = _run_eval(
+                    model, eval_step, state, eval_dl, mesh,
+                    pipeline_config, step, model_dir,
+                )
+            if num_steps and step >= num_steps:
+                stop = True
+                break
+        else:
+            # epoch completed
+            if train_config.save_checkpoints_epochs and (
+                (epoch + 1) % train_config.save_checkpoints_epochs == 0
+            ):
+                ckpt_manager.save(
+                    step, jax.device_get(state), dataloader_state
+                )
+                eval_result = _run_eval(
+                    model, eval_step, state, eval_dl, mesh,
+                    pipeline_config, step, model_dir,
+                )
+
+    if profiling:
+        jax.profiler.stop_trace()
+
+    # final save + eval
+    ckpt_manager.save(step, jax.device_get(state), dataloader_state)
+    eval_result = _run_eval(
+        model, eval_step, state, eval_dl, mesh, pipeline_config, step,
+        model_dir,
+    )
+    logger.info(f"training done at step {step}: {eval_result}")
+    return eval_result
+
+
+def _run_eval(
+    model, eval_step, state, eval_dl, mesh, pipeline_config, step, model_dir,
+    max_steps: Optional[int] = None,
+) -> Dict[str, float]:
+    eval_config = pipeline_config.eval_config
+    num_steps = max_steps or (eval_config.num_steps or 0)
+    metrics = model.init_metrics()
+    n = 0
+    loss_sums: Dict[str, float] = {}
+    loss_count = 0
+    for batch, info in eval_dl():
+        batch = _shard_batch(batch, mesh)
+        preds, losses = eval_step(state, batch)
+        preds = jax.device_get(preds)
+        model.update_metrics(metrics, preds, jax.device_get(batch))
+        for k, v in jax.device_get(losses).items():
+            loss_sums[k] = loss_sums.get(k, 0.0) + float(v)
+        loss_count += 1
+        n += 1
+        if num_steps and n >= num_steps:
+            break
+    result = model.compute_metrics(metrics)
+    for k, v in loss_sums.items():
+        result[f"loss_{k}"] = v / max(loss_count, 1)
+    if model_dir:
+        line = json.dumps(
+            {"global_step": step, **{k: _jsonable(v) for k, v in
+                                     result.items()}}
+        )
+        with open(
+            os.path.join(model_dir, constant.TRAIN_EVAL_RESULT_FILENAME), "a"
+        ) as f:
+            f.write(line + "\n")
+    logger.info(f"eval @ step {step}: {result}")
+    return result
+
+
+def _jsonable(v):
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return str(v)
+
+
+# ---------------------------------------------------------------------------
+# evaluate
+# ---------------------------------------------------------------------------
+
+
+def evaluate(
+    pipeline_config_path: str,
+    checkpoint_path: Optional[str] = None,
+    eval_input_path: Optional[str] = None,
+    eval_result_filename: str = constant.EVAL_RESULT_FILENAME,
+) -> Dict[str, float]:
+    pipeline_config = config_util.load_pipeline_config(pipeline_config_path)
+    if eval_input_path:
+        pipeline_config.eval_input_path = eval_input_path
+    model_dir = pipeline_config.model_dir
+    mesh = maybe_mesh()
+    compute_dtype = _compute_dtype(pipeline_config.train_config)
+
+    model, features, _ = _build_model_and_optim(pipeline_config, mesh)
+    dense_params, tables, sparse_opt_state = _init_state(
+        model, pipeline_config
+    )
+    state = {
+        "dense": dense_params,
+        "tables": tables,
+        "sparse_opt": sparse_opt_state,
+        "step": jnp.zeros((), jnp.int32),
+    }
+    ckpt = checkpoint_path or checkpoint_util.latest_checkpoint(model_dir)
+    if ckpt:
+        # optimizer states may be absent in a partial restore; restore the
+        # model arrays only
+        sub = {"dense": state["dense"], "tables": state["tables"]}
+        restored = checkpoint_util.restore_model(ckpt, sub)
+        state.update(restored)
+
+    eval_dl = create_dataloader(
+        pipeline_config.data_config, features,
+        pipeline_config.eval_input_path, mode="eval",
+    )
+    eval_step = jax.jit(make_eval_step(model, compute_dtype))
+    step = int(jax.device_get(state["step"]))
+    result = _run_eval(
+        model, eval_step, state, eval_dl, mesh, pipeline_config, step, None
+    )
+    if model_dir:
+        with open(os.path.join(model_dir, eval_result_filename), "w") as f:
+            f.write(json.dumps({k: _jsonable(v) for k, v in result.items()}))
+    logger.info(f"eval result: {result}")
+    return result
+
+
+# ---------------------------------------------------------------------------
+# export
+# ---------------------------------------------------------------------------
+
+
+def export(
+    pipeline_config_path: str,
+    export_dir: str,
+    checkpoint_path: Optional[str] = None,
+) -> None:
+    """Export = restored weights + pipeline.config + fg.json
+    (reference export_util.py:126; serving loads them into the jitted
+    predict function — saved-model/StableHLO export lands with acc/)."""
+    from torcheasyrec_tpu.features.feature import create_fg_json
+
+    pipeline_config = config_util.load_pipeline_config(pipeline_config_path)
+    model_dir = pipeline_config.model_dir
+    mesh = None  # export is single-host
+    model, features, _ = _build_model_and_optim(pipeline_config, mesh)
+    dense_params, tables, sparse_opt_state = _init_state(
+        model, pipeline_config
+    )
+    ckpt = checkpoint_path or checkpoint_util.latest_checkpoint(model_dir)
+    sub = {"dense": dense_params, "tables": tables}
+    if ckpt:
+        sub = checkpoint_util.restore_model(ckpt, sub)
+
+    os.makedirs(export_dir, exist_ok=True)
+    checkpoint_util.save_model(os.path.join(export_dir, "model"), sub)
+    config_util.save_message(
+        pipeline_config, os.path.join(export_dir, "pipeline.config")
+    )
+    with open(os.path.join(export_dir, "fg.json"), "w") as f:
+        json.dump(create_fg_json(features), f, indent=2)
+    logger.info(f"exported model to {export_dir}")
+
+
+# ---------------------------------------------------------------------------
+# predict
+# ---------------------------------------------------------------------------
+
+
+def predict(
+    predict_input_path: str,
+    predict_output_path: str,
+    scripted_model_path: str,
+    reserved_columns: Optional[str] = None,
+    output_columns: Optional[str] = None,
+    batch_size: Optional[int] = None,
+) -> None:
+    """Offline batch inference over an exported model
+    (reference main.py:1120)."""
+    import pyarrow as pa
+
+    from torcheasyrec_tpu.datasets.dataset import create_writer
+
+    pipeline_config = config_util.load_pipeline_config(
+        os.path.join(scripted_model_path, "pipeline.config")
+    )
+    if batch_size:
+        pipeline_config.data_config.batch_size = batch_size
+    mesh = None
+    compute_dtype = _compute_dtype(pipeline_config.train_config)
+    model, features, _ = _build_model_and_optim(pipeline_config, mesh)
+    dense_params, tables, _ = _init_state(model, pipeline_config)
+    sub = checkpoint_util.restore_model(
+        os.path.join(scripted_model_path, "model"),
+        {"dense": dense_params, "tables": tables},
+    )
+    state = {"dense": sub["dense"], "tables": sub["tables"]}
+
+    reserved = [c.strip() for c in (reserved_columns or "").split(",")
+                if c.strip()]
+    dl = create_dataloader(
+        pipeline_config.data_config, features, predict_input_path,
+        mode="predict", reserved_columns=reserved,
+    )
+    writer = create_writer(
+        predict_output_path,
+        "ParquetWriter"
+        if not predict_output_path.endswith(".csv") else "CsvWriter",
+    )
+    _estep = make_eval_step(model, compute_dtype, with_loss=False)
+    eval_step = jax.jit(lambda state, batch: _estep(state, batch)[0])
+
+    out_cols = [c.strip() for c in (output_columns or "").split(",")
+                if c.strip()]
+    n = 0
+    for batch, info in dl():
+        preds = jax.device_get(eval_step(state, batch))
+        out: Dict[str, pa.Array] = {}
+        for k, v in preds.items():
+            if out_cols and k not in out_cols:
+                continue
+            v = np.asarray(v)
+            if v.ndim == 1:
+                out[k] = pa.array(v)
+            else:
+                out[k] = pa.array(list(v))
+        writer.write(out)
+        n += info.batch_size
+    writer.close()
+    logger.info(f"predicted {n} examples -> {predict_output_path}")

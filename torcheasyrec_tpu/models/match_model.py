@@ -1,0 +1,131 @@
+"""MatchModel base + MatchTower: two-tower retrieval.
+
+Counterpart of /root/reference/tzrec/models/match_model.py
+(MatchModel:110, MatchTower:246, in-batch negatives :270-284).
+Similarity layout: user [B, D] x item [B + num_neg, D] ->
+sim [B, 1 + num_neg] with the positive in column 0 (sampled-softmax),
+or [B, B] with diagonal positives for in-batch negatives. Loss is
+temperature-scaled softmax CE on that row.
+"""
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from torcheasyrec_tpu.datasets.utils import Batch
+from torcheasyrec_tpu.losses import softmax_cross_entropy
+from torcheasyrec_tpu.metrics import create_metric
+from torcheasyrec_tpu.models.model import BaseModel
+from torcheasyrec_tpu.modules import module as M
+from torcheasyrec_tpu.modules.mlp import mlp_from_config
+from torcheasyrec_tpu.protos import simi_pb2
+from torcheasyrec_tpu.utils.config_util import config_to_kwargs
+
+
+class MatchTower(M.Module):
+    """Feature-group MLP tower + output projection to output_dim."""
+
+    def __init__(self, tower_config, output_dim: int, similarity,
+                 in_dim: int) -> None:
+        self._config = tower_config
+        self.mlp = (
+            mlp_from_config(in_dim, config_to_kwargs(tower_config.mlp))
+            if tower_config.HasField("mlp") else None
+        )
+        self._in_dim = in_dim
+        self.output_dim = output_dim
+        self.similarity = similarity
+
+    def init(self, key: jax.Array) -> M.Params:
+        k1, k2 = jax.random.split(key)
+        params = {}
+        hidden = self._in_dim
+        if self.mlp is not None:
+            params["mlp"] = self.mlp.init(k1)
+            hidden = self.mlp.output_dim()
+        if self.output_dim > 0:
+            params["output"] = M.linear_init(k2, hidden, self.output_dim)
+        return params
+
+    def __call__(self, params, x, ctx: M.Context) -> jnp.ndarray:
+        if self.mlp is not None:
+            x = self.mlp(params["mlp"], x, ctx, "tower_mlp")
+        if self.output_dim > 0:
+            x = M.linear_apply(params["output"], x, ctx)
+        if self.similarity == simi_pb2.COSINE:
+            x = x * jax.lax.rsqrt(
+                jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1,
+                        keepdims=True) + 1e-12
+            ).astype(x.dtype)
+        return x
+
+
+class MatchModel(BaseModel):
+    def __init__(self, model_config, features, labels, sample_weights=None,
+                 **kwargs) -> None:
+        super().__init__(model_config, features, labels, sample_weights,
+                         **kwargs)
+        mc = self._model_config
+        self._similarity = getattr(mc, "similarity", simi_pb2.INNER_PRODUCT)
+        self._temperature = float(getattr(mc, "temperature", 1.0) or 1.0)
+        self._in_batch_negative = bool(
+            getattr(mc, "in_batch_negative", False)
+        )
+        self._output_dim = int(getattr(mc, "output_dim", 0) or 0)
+        self._sample_weight_name = (
+            self._sample_weights[0] if self._sample_weights else None
+        )
+
+    def _sim(
+        self, user_emb: jnp.ndarray, item_emb: jnp.ndarray
+    ) -> jnp.ndarray:
+        """[B, 1+num_neg] (col 0 = positive) or [B, B] in-batch."""
+        b = user_emb.shape[0]
+        if self._in_batch_negative:
+            return jnp.dot(
+                user_emb, item_emb[:b].T, preferred_element_type=jnp.float32
+            )
+        pos = jnp.sum(
+            user_emb.astype(jnp.float32) * item_emb[:b].astype(jnp.float32),
+            axis=-1, keepdims=True,
+        )
+        if item_emb.shape[0] > b:
+            neg = jnp.dot(
+                user_emb, item_emb[b:].T, preferred_element_type=jnp.float32
+            )
+            return jnp.concatenate([pos, neg], axis=-1)
+        return pos
+
+    def _sim_to_prediction(self, sim: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        return {"similarity": sim.astype(jnp.float32)}
+
+    def loss(self, predictions, batch: Batch) -> Dict[str, jnp.ndarray]:
+        sim = predictions["similarity"] / self._temperature
+        b = sim.shape[0]
+        if self._in_batch_negative:
+            labels = jnp.arange(b, dtype=jnp.int32)
+        else:
+            labels = jnp.zeros((b,), jnp.int32)
+        per_sample = softmax_cross_entropy(sim, labels)
+        return {
+            "softmax_cross_entropy": self._reduce(
+                per_sample, batch, self._sample_weight_name
+            )
+        }
+
+    def init_metrics(self) -> List[Dict]:
+        return [create_metric(c) for c in self._metric_cfgs]
+
+    def update_metrics(self, metrics, predictions, batch: Batch) -> None:
+        import numpy as np
+
+        sim = np.asarray(predictions["similarity"])
+        if self._in_batch_negative:
+            # rotate so the positive is column 0
+            b = sim.shape[0]
+            idx = (np.arange(sim.shape[1])[None, :] + np.arange(b)[:, None]) \
+                % sim.shape[1]
+            sim = np.take_along_axis(sim, idx, axis=1)
+        for m in metrics:
+            m["metric"].update(sim, None)

@@ -1,0 +1,415 @@
+"""EmbeddingGroup: feature groups -> engine lookups + group assembly.
+
+Counterpart of /root/reference/tzrec/modules/embedding.py
+(EmbeddingGroup:141, EmbeddingGroupImpl:625, SequenceEmbeddingGroupImpl:937)
+and dense_embedding_collection.py (AutoDis:97, MLPEmbedding:215).
+
+Maps FeatureGroupConfig protos onto the sharded EmbeddingEngine:
+- DEEP groups concat pooled embeddings + raw/embedded dense values in
+  feature_names order, then append sequence-encoder outputs
+  (reference embedding.py:505-510).
+- WIDE groups get independent tables with ``wide_embedding_dim``
+  (reference embedding.py:722-730).
+- SEQUENCE groups (and nested ``sequence_groups``) produce
+  ``{g}.query`` / ``{g}.sequence`` / ``{g}.sequence_length``
+  (reference embedding.py:1359-1440).
+- Shared embeddings: same ``embedding_name`` -> one table; conflicting
+  rows/dims raise (reference embedding.py:524-547).
+"""
+
+import collections
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from torcheasyrec_tpu.datasets.utils import Batch
+from torcheasyrec_tpu.features.feature import BaseFeature
+from torcheasyrec_tpu.modules import module as M
+from torcheasyrec_tpu.modules.sequence import SequenceEncoder, create_seq_encoder
+from torcheasyrec_tpu.parallel.emb_engine import (
+    DATA_PARALLEL,
+    ROW_WISE,
+    EmbeddingEngine,
+    LookupSpec,
+    TableSpec,
+)
+from torcheasyrec_tpu.parallel.sparse_optim import SparseOptimizer
+from torcheasyrec_tpu.protos import model_pb2
+
+# tables below this row count default to data_parallel (planner heuristic;
+# reference plan_util's DP proposer decides per-table, SURVEY.md §2.2)
+_DP_ROWS_THRESHOLD = 8192
+
+
+class EmbeddingGroup(M.Module):
+    def __init__(
+        self,
+        features: List[BaseFeature],
+        feature_groups: List[Any],
+        mesh=None,
+        sparse_optimizer: Optional[SparseOptimizer] = None,
+        wide_embedding_dim: Optional[int] = None,
+        wide_init_fn: Optional[str] = None,
+        plan: Optional[Dict[str, str]] = None,
+    ) -> None:
+        self._name_to_feature = {f.name: f for f in features}
+        self._feature_groups = list(feature_groups)
+        self._plan = plan or {}
+
+        tables: Dict[str, TableSpec] = {}
+        lookups: Dict[str, LookupSpec] = {}
+        # group_name -> list of slot descriptors
+        #   ("emb", lookup_key, dim) | ("dense", fname, dim)
+        #   ("autodis", fname, dim) | ("mlpemb", fname, dim)
+        self._group_slots: Dict[str, List[Tuple[str, str, int]]] = {}
+        # seq group name -> dict(query=[slots], sequence=[slots], length_feature)
+        self._seq_groups: Dict[str, Dict[str, Any]] = {}
+        self._group_encoders: Dict[str, List[SequenceEncoder]] = {}
+        self._dense_emb_modules: Dict[str, Any] = {}
+        self._group_is_sequence: Dict[str, bool] = {}
+
+        def _add_table(feat: BaseFeature, dim_override=None, suffix="",
+                       init_override=None) -> str:
+            cfg = feat.emb_config()
+            name = cfg.name + suffix
+            dim = dim_override or cfg.embedding_dim
+            sharding = self._plan.get(
+                name,
+                ROW_WISE if cfg.num_embeddings >= _DP_ROWS_THRESHOLD
+                else DATA_PARALLEL,
+            )
+            if cfg.sharding_types:
+                if sharding not in cfg.sharding_types:
+                    sharding = cfg.sharding_types[0]
+                    if sharding not in (ROW_WISE, DATA_PARALLEL):
+                        sharding = ROW_WISE
+            spec = TableSpec(
+                name=name,
+                rows=cfg.num_embeddings,
+                dim=dim,
+                init_fn=init_override or cfg.init_fn,
+                trainable=cfg.trainable,
+                sharding=sharding,
+            )
+            if name in tables:
+                prev = tables[name]
+                if (prev.rows, prev.dim) != (spec.rows, spec.dim):
+                    raise ValueError(
+                        f"shared embedding {name}: conflicting shapes "
+                        f"{(prev.rows, prev.dim)} vs {(spec.rows, spec.dim)}"
+                    )
+            else:
+                tables[name] = spec
+            return name
+
+        def _add_lookup(feat, table_name, is_sequence=False) -> Tuple[str, int]:
+            key = f"{table_name}:{feat.name}" + (":seq" if is_sequence else "")
+            if key not in lookups:
+                lookups[key] = LookupSpec(
+                    key=key,
+                    feature_name=feat.name,
+                    table_name=table_name,
+                    combiner="none" if is_sequence else feat.pooling,
+                    is_sequence=is_sequence,
+                )
+            return key, tables[table_name].dim
+
+        def _build_seq_group(seq_name: str, feature_names, suffix="") -> None:
+            q_slots, s_slots = [], []
+            length_feature = None
+            for fname in feature_names:
+                feat = self._name_to_feature[fname]
+                if feat.is_sequence:
+                    if feat.is_sparse:
+                        tname = _add_table(feat, suffix=suffix)
+                        key, dim = _add_lookup(feat, tname, is_sequence=True)
+                        s_slots.append(("emb", key, dim))
+                    else:
+                        s_slots.append(
+                            ("seq_dense", fname, max(feat.value_dim, 1))
+                        )
+                    if length_feature is None:
+                        length_feature = fname
+                else:
+                    if feat.is_sparse:
+                        tname = _add_table(feat, suffix=suffix)
+                        key, dim = _add_lookup(feat, tname)
+                        q_slots.append(("emb", key, dim))
+                    else:
+                        q_slots.append(self._dense_slot(feat))
+            if length_feature is None:
+                raise ValueError(
+                    f"sequence group {seq_name} has no sequence feature"
+                )
+            self._seq_groups[seq_name] = {
+                "query": q_slots,
+                "sequence": s_slots,
+                "length_feature": length_feature,
+            }
+
+        for group in feature_groups:
+            gname = group.group_name
+            gtype = group.group_type
+            suffix = getattr(group, "embedding_name_suffix", "") or ""
+            if gtype in (model_pb2.SEQUENCE, model_pb2.JAGGED_SEQUENCE):
+                self._group_is_sequence[gname] = True
+                _build_seq_group(gname, group.feature_names, suffix)
+                continue
+            self._group_is_sequence[gname] = False
+            slots: List[Tuple[str, str, int]] = []
+            is_wide = gtype == model_pb2.WIDE
+            for fname in group.feature_names:
+                feat = self._name_to_feature[fname]
+                if feat.is_sequence:
+                    raise ValueError(
+                        f"sequence feature {fname} must be in a SEQUENCE "
+                        f"group or sequence_groups (group {gname})"
+                    )
+                if feat.is_sparse:
+                    if is_wide:
+                        wd = wide_embedding_dim or 4
+                        tname = _add_table(
+                            feat, dim_override=wd, suffix=suffix + "__wide",
+                            init_override=wide_init_fn,
+                        )
+                    else:
+                        tname = _add_table(feat, suffix=suffix)
+                    key, dim = _add_lookup(feat, tname)
+                    slots.append(("emb", key, dim))
+                else:
+                    slots.append(self._dense_slot(feat))
+            self._group_slots[gname] = slots
+            for sg in group.sequence_groups:
+                sg_name = sg.group_name or gname
+                _build_seq_group(
+                    sg_name, sg.feature_names,
+                    getattr(sg, "embedding_name_suffix", "") or suffix,
+                )
+            if len(group.sequence_encoders) > 0:
+                dims = self.seq_group_dims()
+                self._group_encoders[gname] = [
+                    create_seq_encoder(c, dims)
+                    for c in group.sequence_encoders
+                ]
+
+        self.engine = EmbeddingEngine(
+            list(tables.values()),
+            list(lookups.values()),
+            mesh=mesh,
+            optimizer=sparse_optimizer,
+        )
+
+    # -- construction helpers ----------------------------------------------
+
+    def _dense_slot(self, feat: BaseFeature) -> Tuple[str, str, int]:
+        kind = "dense"
+        dim = max(feat.value_dim, 1)
+        demb = getattr(feat.config, "WhichOneof", lambda _: None)("dense_emb") \
+            if hasattr(feat.config, "DESCRIPTOR") and any(
+                o.name == "dense_emb"
+                for o in feat.config.DESCRIPTOR.oneofs
+            ) else None
+        if demb == "autodis":
+            kind, dim = "autodis", int(feat.config.embedding_dim)
+            c = feat.config.autodis
+            self._dense_emb_modules[feat.name] = AutoDisEmbedding(
+                num_channels=int(c.num_channels),
+                embedding_dim=dim,
+                temperature=float(c.temperature),
+                keep_prob=float(c.keep_prob),
+            )
+        elif demb == "mlp":
+            kind, dim = "mlpemb", int(feat.config.embedding_dim)
+            self._dense_emb_modules[feat.name] = MLPEmbedding(
+                in_dim=max(feat.value_dim, 1), embedding_dim=dim
+            )
+        return (kind, feat.name, dim)
+
+    # -- dims API (reference embedding.py:358-419) -------------------------
+
+    def group_dims(self, group_name: str) -> List[int]:
+        if self._group_is_sequence.get(group_name):
+            return [d for _, _, d in self._seq_groups[group_name]["sequence"]]
+        dims = [d for _, _, d in self._group_slots[group_name]]
+        for enc in self._group_encoders.get(group_name, []):
+            dims.append(enc.output_dim())
+        return dims
+
+    def group_total_dim(self, group_name: str) -> int:
+        if self._group_is_sequence.get(group_name):
+            sg = self._seq_groups[group_name]
+            return sum(d for _, _, d in sg["sequence"])
+        return sum(self.group_dims(group_name))
+
+    def group_feature_dims(self, group_name: str) -> "collections.OrderedDict":
+        out = collections.OrderedDict()
+        for kind, key, dim in self._group_slots[group_name]:
+            out[key] = dim
+        for i, enc in enumerate(self._group_encoders.get(group_name, [])):
+            out[f"__encoder_{i}"] = enc.output_dim()
+        return out
+
+    def seq_group_dims(self) -> Dict[str, int]:
+        """{seq}.query / {seq}.sequence -> dim, for encoder factories."""
+        out = {}
+        for name, sg in self._seq_groups.items():
+            out[f"{name}.query"] = sum(d for _, _, d in sg["query"])
+            out[f"{name}.sequence"] = sum(d for _, _, d in sg["sequence"])
+        return out
+
+    def has_group(self, group_name: str) -> bool:
+        return group_name in self._group_slots or group_name in self._seq_groups
+
+    # -- params ------------------------------------------------------------
+
+    def init(self, key: jax.Array) -> M.Params:
+        params: M.Params = {"encoders": {}, "dense_emb": {}}
+        for gname, encs in self._group_encoders.items():
+            eps = []
+            for enc in encs:
+                key, sub = jax.random.split(key)
+                eps.append(enc.init(sub))
+            params["encoders"][gname] = eps
+        for fname, mod in self._dense_emb_modules.items():
+            key, sub = jax.random.split(key)
+            params["dense_emb"][fname] = mod.init(sub)
+        return params
+
+    def init_tables(self, key: jax.Array):
+        return self.engine.init(key)
+
+    def init_opt_state(self):
+        return self.engine.init_opt_state()
+
+    # -- forward -----------------------------------------------------------
+
+    def lookup(
+        self, tables: Dict[str, jnp.ndarray], batch: Batch
+    ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, Any]]:
+        """Engine lookup only: (emb_out, residuals). The train step takes
+        grads w.r.t. emb_out and routes them to engine.update — the
+        in-backward-optimizer split (SURVEY.md §7 build decision)."""
+        return self.engine.lookup(
+            tables, batch.sparse_features, batch.sequence_sparse_features
+        )
+
+    def assemble(
+        self,
+        emb_out: Dict[str, jnp.ndarray],
+        batch: Batch,
+        params: M.Params,
+        ctx: M.Context,
+    ) -> Dict[str, jnp.ndarray]:
+        """Pure function of emb_out: group concat + seq encoders."""
+        result: Dict[str, jnp.ndarray] = {}
+
+        def _slot_value(slot, seq=False):
+            kind, key, dim = slot
+            if kind == "emb":
+                v = emb_out[key]
+                return v.astype(ctx.compute_dtype)
+            if kind == "seq_dense":
+                return batch.sequence_dense_features[key].values.astype(
+                    ctx.compute_dtype
+                )
+            v = batch.dense_features[key].values.astype(ctx.compute_dtype)
+            if kind == "autodis" or kind == "mlpemb":
+                mod = self._dense_emb_modules[key]
+                v = mod(params["dense_emb"][key], v, ctx)
+            return v
+
+        # sequence groups first (encoders read them)
+        for name, sg in self._seq_groups.items():
+            qs = [_slot_value(s) for s in sg["query"]]
+            ss = [_slot_value(s, seq=True) for s in sg["sequence"]]
+            lf = sg["length_feature"]
+            if lf in batch.sequence_sparse_features:
+                lengths = batch.sequence_sparse_features[lf].lengths
+            else:
+                lengths = batch.sequence_dense_features[lf].lengths
+            if qs:
+                result[f"{name}.query"] = jnp.concatenate(qs, axis=-1)
+            result[f"{name}.sequence"] = jnp.concatenate(ss, axis=-1)
+            result[f"{name}.sequence_length"] = lengths
+
+        for gname, slots in self._group_slots.items():
+            vals = [_slot_value(s) for s in slots]
+            encs = self._group_encoders.get(gname, [])
+            for i, enc in enumerate(encs):
+                vals.append(
+                    enc(params["encoders"][gname][i], result, ctx)
+                )
+            result[gname] = (
+                jnp.concatenate(vals, axis=-1) if len(vals) > 1 else vals[0]
+            ) if vals else jnp.zeros((batch.batch_size, 0), ctx.compute_dtype)
+        return result
+
+    def forward(
+        self,
+        tables: Dict[str, jnp.ndarray],
+        batch: Batch,
+        params: M.Params,
+        ctx: M.Context,
+    ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, Any]]:
+        """lookup + assemble in one call (eval/predict path)."""
+        emb_out, residuals = self.lookup(tables, batch)
+        return self.assemble(emb_out, batch, params, ctx), residuals
+
+
+class AutoDisEmbedding(M.Module):
+    """AutoDis learnable discretization for dense values
+    (reference dense_embedding_collection.py:97; AutoDis paper):
+    h = leaky_relu(x * w1); logits = h @ w2 + keep_prob * h;
+    out = softmax(logits / t) @ meta_embeddings."""
+
+    def __init__(self, num_channels: int, embedding_dim: int,
+                 temperature: float = 0.1, keep_prob: float = 0.8) -> None:
+        self.c = num_channels
+        self.d = embedding_dim
+        self.t = temperature
+        self.keep_prob = keep_prob
+
+    def output_dim(self) -> int:
+        return self.d
+
+    def init(self, key: jax.Array) -> M.Params:
+        k1, k2, k3 = M.split_keys(key, 3)
+        return {
+            "w1": jax.random.normal(k1, (self.c,), jnp.float32) * 0.1,
+            "w2": jax.random.normal(k2, (self.c, self.c), jnp.float32) * 0.1,
+            "meta": jax.random.normal(k3, (self.c, self.d), jnp.float32) * 0.1,
+        }
+
+    def __call__(self, params, x, ctx: M.Context):
+        # x: [B, 1] (per-value; value_dim>1 handled per-column then concat)
+        outs = []
+        for i in range(x.shape[-1]):
+            h = jax.nn.leaky_relu(x[..., i : i + 1] * params["w1"])  # [B, C]
+            logits = jnp.dot(
+                h, params["w2"], preferred_element_type=jnp.float32
+            ) + self.keep_prob * h
+            p = jax.nn.softmax(logits / self.t, axis=-1)
+            outs.append(
+                jnp.dot(p, params["meta"], preferred_element_type=jnp.float32)
+            )
+        out = sum(outs) if len(outs) > 1 else outs[0]
+        return out.astype(ctx.compute_dtype)
+
+
+class MLPEmbedding(M.Module):
+    """Linear projection of a dense value vector into embedding space
+    (reference dense_embedding_collection.py:215)."""
+
+    def __init__(self, in_dim: int, embedding_dim: int) -> None:
+        self.in_dim = in_dim
+        self.d = embedding_dim
+
+    def output_dim(self) -> int:
+        return self.d
+
+    def init(self, key: jax.Array) -> M.Params:
+        return {"linear": M.linear_init(key, self.in_dim, self.d)}
+
+    def __call__(self, params, x, ctx: M.Context):
+        return M.linear_apply(params["linear"], x, ctx)
