@@ -1,0 +1,182 @@
+"""Throughput benchmark: DeepFM on a Criteo-shaped synthetic workload.
+
+Matches the reference's headline training config
+(/root/reference/examples/deepfm_criteo.config: batch 8192, 26 id
+features with the real Criteo-Terabyte bucket sizes — five 40M-row
+tables — dim 16, 13 dense features, Adagrad sparse + Adam dense).
+Measures steady-state jitted train-step throughput on the local
+device(s) and prints ONE JSON line.
+
+vs_baseline: ratio against an assumed A100 baseline of 350k examples/s
+for this config (BASELINE.md's north star is >=2x A100 per chip; the
+reference publishes no throughput numbers, so this constant is our
+documented stand-in until a measured A100 run replaces it).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+A100_BASELINE_EXAMPLES_PER_SEC = 350_000.0
+
+# Criteo-Terabyte bucket sizes from the reference config, with the 40M
+# tables capped at 10M so weights + rowwise-adagrad state fit a single
+# v5e chip's 16G HBM (the reference trains this sharded over 8 GPUs;
+# multi-chip runs restore the full 40M rows via row-wise sharding).
+_CAP = 10_000_000
+CRITEO_BUCKETS = [min(n, _CAP) for n in [
+    40000000, 39060, 17295, 7424, 20265, 3, 7122, 1543, 63, 40000000,
+    3067956, 405282, 10, 2209, 11938, 155, 4, 976, 14, 40000000, 40000000,
+    40000000, 590152, 12973, 108, 36,
+]]
+BATCH_SIZE = 8192
+EMB_DIM = 16
+WARMUP = 5
+STEPS = 30
+
+
+def build_config():
+    from google.protobuf import text_format
+
+    from torcheasyrec_tpu.protos import pipeline_pb2
+
+    lines = [
+        'train_input_path: "unused"',
+        'eval_input_path: "unused"',
+        'model_dir: "/tmp/bench_model"',
+        "train_config {",
+        "  sparse_optimizer { rowwise_adagrad_optimizer { lr: 0.001 }"
+        " constant_learning_rate {} }",
+        "  dense_optimizer { adam_optimizer { lr: 0.001 }"
+        " constant_learning_rate {} }",
+        "  num_epochs: 1",
+        '  mixed_precision: "BF16"',
+        "}",
+        "data_config {",
+        f"  batch_size: {BATCH_SIZE}",
+        "  dataset_type: ParquetDataset",
+        "  fg_mode: FG_NONE",
+        '  label_fields: "label"',
+        "}",
+    ]
+    for i in range(13):
+        lines.append(
+            f'feature_configs {{ raw_feature {{ feature_name: "int_{i}" }} }}'
+        )
+    for i, n in enumerate(CRITEO_BUCKETS):
+        lines.append(
+            f'feature_configs {{ id_feature {{ feature_name: "cat_{i}" '
+            f"num_buckets: {n} embedding_dim: {EMB_DIM} }} }}"
+        )
+    cat_names = "".join(
+        f'    feature_names: "cat_{i}"\n' for i in range(len(CRITEO_BUCKETS))
+    )
+    int_names = "".join(f'    feature_names: "int_{i}"\n' for i in range(13))
+    lines.append(
+        "model_config {\n"
+        "  feature_groups {\n"
+        '    group_name: "wide"\n' + cat_names +
+        "    group_type: WIDE\n  }\n"
+        "  feature_groups {\n"
+        '    group_name: "fm"\n' + cat_names +
+        "    group_type: DEEP\n  }\n"
+        "  feature_groups {\n"
+        '    group_name: "deep"\n' + cat_names + int_names +
+        "    group_type: DEEP\n  }\n"
+        "  deepfm {\n"
+        "    deep { hidden_units: [512, 256, 128] }\n"
+        "    final { hidden_units: [128, 64] }\n"
+        "    wide_embedding_dim: 4\n"
+        "  }\n"
+        "  num_class: 1\n"
+        "  losses { binary_cross_entropy {} }\n"
+        "  metrics { auc {} }\n"
+        "}"
+    )
+    return text_format.Parse(
+        "\n".join(lines), pipeline_pb2.EasyRecConfig()
+    )
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import pyarrow as pa
+
+    from torcheasyrec_tpu.datasets.data_parser import DataParser
+    from torcheasyrec_tpu.main import (
+        _init_state,
+        _shard_batch,
+        make_train_step,
+    )
+    from torcheasyrec_tpu.main import _build_model_and_optim
+    from torcheasyrec_tpu.optim.optimizer_builder import create_dense_optimizer
+    from torcheasyrec_tpu.parallel.mesh import maybe_mesh
+
+    cfg = build_config()
+    mesh = maybe_mesh()
+    model, features, sparse_sched = _build_model_and_optim(cfg, mesh)
+
+    parser = DataParser(features, labels=["label"])
+    rng = np.random.default_rng(0)
+    cols = {"label": pa.array((rng.random(BATCH_SIZE) > 0.5).astype(
+        np.float32))}
+    for i in range(13):
+        cols[f"int_{i}"] = pa.array(
+            rng.normal(size=BATCH_SIZE).astype(np.float32)
+        )
+    for i, n in enumerate(CRITEO_BUCKETS):
+        cols[f"cat_{i}"] = pa.array(rng.integers(0, n, BATCH_SIZE))
+    batch = parser.parse_to_batch(cols)
+    batch = _shard_batch(batch, mesh)
+
+    dense_params, tables, sparse_opt_state = _init_state(model, cfg)
+    tx, dense_sched = create_dense_optimizer(
+        cfg.train_config.dense_optimizer, dense_params
+    )
+    state = {
+        "dense": dense_params,
+        "tables": tables,
+        "sparse_opt": sparse_opt_state,
+        "dense_opt": tx.init(dense_params),
+        "step": jnp.zeros((), jnp.int32),
+    }
+    train_step = jax.jit(
+        make_train_step(
+            model, tx, sparse_sched, dense_sched, jnp.bfloat16
+        ),
+        donate_argnums=(0,),
+    )
+    step_rng = jax.random.key(0)
+
+    for _ in range(WARMUP):
+        state, metrics, _ = train_step(state, batch, step_rng)
+    jax.block_until_ready(metrics["total_loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, metrics, _ = train_step(state, batch, step_rng)
+    jax.block_until_ready(metrics["total_loss"])
+    dt = time.perf_counter() - t0
+
+    n_dev = len(jax.devices())
+    examples_per_sec = BATCH_SIZE * STEPS / dt
+    per_chip = examples_per_sec / n_dev
+    result = {
+        "metric": "deepfm_criteo_train_examples_per_sec_per_chip",
+        "value": round(per_chip, 1),
+        "unit": "examples/s/chip",
+        "vs_baseline": round(per_chip / A100_BASELINE_EXAMPLES_PER_SEC, 3),
+        "total_examples_per_sec": round(examples_per_sec, 1),
+        "n_devices": n_dev,
+        "batch_size": BATCH_SIZE,
+        "step_ms": round(dt / STEPS * 1000, 2),
+        "platform": jax.devices()[0].platform,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

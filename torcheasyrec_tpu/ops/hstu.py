@@ -1,0 +1,230 @@
+"""HSTU core ops: uvqk projection, pointwise-nonlinear attention, output.
+
+Counterpart of /root/reference/tzrec/ops/{hstu_compute.py,
+hstu_attention.py, _pytorch/pt_hstu_attention.py}. TPU-first layout:
+sequences are PADDED dense ``[B, N, ...]`` with per-sample ``lengths``
+(the Batch is already padded/bucketed; no jagged<->dense conversions),
+masks reproduce the reference's `_get_valid_attn_mask`
+(pt_hstu_attention.py:23-75) exactly: causal + local window
+(max_attn_len, with min_full_attn_seq_len escape), contextual prefix,
+and target-token isolation (num_targets).
+
+HSTU attention is softmax-free: attn = SiLU(q.k^T * alpha)/scaling_seqlen,
+so the Pallas kernel (ops/pallas/hstu_attention.py) is a pure blockwise
+accumulation without flash rescaling.
+"""
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from torcheasyrec_tpu.ops import Kernel, normalize_kernel
+
+
+def valid_attn_mask(
+    n: int,
+    lengths: jnp.ndarray,  # [B]
+    causal: bool = True,
+    num_targets: Optional[jnp.ndarray] = None,  # [B]
+    max_attn_len: int = 0,
+    contextual_seq_len: int = 0,
+    min_full_attn_seq_len: int = 0,
+) -> jnp.ndarray:
+    """[B, N, N] bool mask (reference pt_hstu_attention.py:23-75)."""
+    b = lengths.shape[0]
+    ids = jnp.arange(n, dtype=jnp.int32)[None, :]  # [1, N]
+    max_ids = lengths.astype(jnp.int32).reshape(b, 1, 1)
+    if contextual_seq_len > 0:
+        ids = jnp.maximum(ids - contextual_seq_len + 1, 0)
+        max_ids = max_ids - contextual_seq_len + 1
+    if num_targets is not None:
+        max_ids = max_ids - num_targets.astype(jnp.int32).reshape(b, 1, 1)
+        ids_b = jnp.broadcast_to(ids, (b, n))
+        ids_b = jnp.minimum(ids_b[:, :, None], max_ids)  # clamp per sample
+        row_ids = jnp.broadcast_to(ids_b, (b, n, n))
+        col_ids = jnp.broadcast_to(
+            jnp.swapaxes(ids_b, 1, 2), (b, n, n)
+        )
+    else:
+        base = jnp.broadcast_to(
+            jnp.arange(n, dtype=jnp.int32)[:, None], (n, n)
+        )
+        if contextual_seq_len > 0:
+            base = jnp.maximum(base - contextual_seq_len + 1, 0)
+        row_ids = base[None]
+        col_ids = jnp.swapaxes(base, 0, 1)[None]
+    row_col_dist = row_ids - col_ids
+    eye = jnp.eye(n, dtype=bool)[None]
+    if not causal:
+        row_col_dist = jnp.abs(row_col_dist)
+    mask = eye | (row_col_dist > 0)
+    if max_attn_len > 0:
+        if min_full_attn_seq_len > 0:
+            mask = mask & (
+                (row_col_dist <= max_attn_len)
+                | (row_ids >= max_ids - min_full_attn_seq_len)
+            )
+        else:
+            mask = mask & (row_col_dist <= max_attn_len)
+    if contextual_seq_len > 0:
+        mask = mask | ((row_ids == 0) & (col_ids < max_ids))
+    # padding keys never contribute
+    col_valid = (
+        jnp.arange(n, dtype=jnp.int32)[None, None, :]
+        < lengths.astype(jnp.int32)[:, None, None]
+    )
+    return mask & col_valid
+
+
+def hstu_mha(
+    q: jnp.ndarray,  # [B, N, H, D]
+    k: jnp.ndarray,  # [B, N, H, D]
+    v: jnp.ndarray,  # [B, N, H, V]
+    lengths: jnp.ndarray,  # [B]
+    alpha: float,
+    causal: bool = True,
+    num_targets: Optional[jnp.ndarray] = None,
+    max_attn_len: int = 0,
+    contextual_seq_len: int = 0,
+    min_full_attn_seq_len: int = 0,
+    scaling_seqlen: int = -1,
+    dropout_pr: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    kernel: Kernel = Kernel.PALLAS,
+) -> jnp.ndarray:
+    """Pointwise-nonlinear attention (reference pt_hstu_attention.py:174-236).
+
+    Returns [B, N, H, V]."""
+    kernel = normalize_kernel(kernel)
+    n = q.shape[1]
+    if scaling_seqlen == -1:
+        scaling_seqlen = n
+    if kernel == Kernel.PALLAS and dropout_pr == 0.0:
+        from torcheasyrec_tpu.ops.pallas.hstu_attention import (
+            pallas_hstu_mha,
+        )
+
+        try:
+            return pallas_hstu_mha(
+                q, k, v, lengths,
+                alpha=alpha, causal=causal, num_targets=num_targets,
+                max_attn_len=max_attn_len,
+                contextual_seq_len=contextual_seq_len,
+                min_full_attn_seq_len=min_full_attn_seq_len,
+                scaling_seqlen=scaling_seqlen,
+            )
+        except NotImplementedError:
+            pass  # fall back to the XLA path
+    return _jax_hstu_mha(
+        q, k, v, lengths, alpha, causal, num_targets, max_attn_len,
+        contextual_seq_len, min_full_attn_seq_len, scaling_seqlen,
+        dropout_pr, dropout_rng,
+    )
+
+
+def _jax_hstu_mha(
+    q, k, v, lengths, alpha, causal, num_targets, max_attn_len,
+    contextual_seq_len, min_full_attn_seq_len, scaling_seqlen,
+    dropout_pr=0.0, dropout_rng=None,
+):
+    n = q.shape[1]
+    qk = jnp.einsum(
+        "bxhd,byhd->bhxy", q, k, preferred_element_type=jnp.float32
+    ) * alpha
+    attn = jax.nn.silu(qk) / scaling_seqlen
+    mask = valid_attn_mask(
+        n, lengths, causal, num_targets, max_attn_len, contextual_seq_len,
+        min_full_attn_seq_len,
+    )
+    attn = attn * mask[:, None].astype(attn.dtype)
+    if dropout_pr > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1 - dropout_pr, attn.shape)
+        attn = jnp.where(keep, attn / (1 - dropout_pr), 0.0)
+    out = jnp.einsum(
+        "bhxy,byhv->bxhv", attn.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(v.dtype)
+
+
+def hstu_compute_uqvk(
+    x: jnp.ndarray,  # [B, N, E]
+    norm_scale: jnp.ndarray,
+    norm_bias: jnp.ndarray,
+    uvqk_weight: jnp.ndarray,  # [E, (U + V + Q + K)]
+    uvqk_bias: jnp.ndarray,
+    num_heads: int,
+    linear_dim: int,  # per-head u/v dim
+    attn_dim: int,  # per-head q/k dim
+    eps: float = 1e-5,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """LayerNorm + fused uvqk projection + SiLU(u)
+    (reference ops/hstu_compute.py:53-143). Returns (u, v, q, k):
+    u,v [B, N, H*linear_dim]-shaped as [B, N, H, linear] for v; u stays
+    flat for the output gate."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    normed = ((xf - mean) * jax.lax.rsqrt(var + eps)) * norm_scale + norm_bias
+    normed = normed.astype(x.dtype)
+    uvqk = (
+        jnp.einsum(
+            "bne,ef->bnf", normed, uvqk_weight.astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        + uvqk_bias
+    ).astype(x.dtype)
+    h, ld, ad = num_heads, linear_dim, attn_dim
+    sizes = [h * ld, h * ld, h * ad, h * ad]
+    u, v, q, k = jnp.split(uvqk, jnp.cumsum(jnp.array(sizes))[:-1], axis=-1)
+    b, n = x.shape[0], x.shape[1]
+    u = jax.nn.silu(u)
+    v = v.reshape(b, n, h, ld)
+    q = q.reshape(b, n, h, ad)
+    k = k.reshape(b, n, h, ad)
+    return u, v, q, k
+
+
+def hstu_compute_output(
+    attn: jnp.ndarray,  # [B, N, H, linear_dim]
+    u: jnp.ndarray,  # [B, N, H*linear_dim]
+    x: jnp.ndarray,  # [B, N, E] residual
+    norm_scale: jnp.ndarray,
+    norm_bias: jnp.ndarray,
+    output_weight: jnp.ndarray,  # [H*linear (maybe *2 w/ concat_ux), E]
+    dropout_pr: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    training: bool = False,
+    concat_ux: bool = False,
+    group_norm: bool = False,
+    num_heads: int = 1,
+    linear_dim: int = 0,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """Norm(attn) * u -> output proj -> dropout -> residual
+    (reference ops/hstu_compute.py:241-298)."""
+    b, n = attn.shape[0], attn.shape[1]
+    a = attn.reshape(b, n, -1).astype(jnp.float32)
+    if group_norm:
+        # per-head layer norm
+        ah = a.reshape(b, n, num_heads, linear_dim)
+        mean = jnp.mean(ah, axis=-1, keepdims=True)
+        var = jnp.var(ah, axis=-1, keepdims=True)
+        normed = (ah - mean) * jax.lax.rsqrt(var + eps)
+        normed = normed.reshape(b, n, -1) * norm_scale + norm_bias
+    else:
+        mean = jnp.mean(a, axis=-1, keepdims=True)
+        var = jnp.var(a, axis=-1, keepdims=True)
+        normed = (a - mean) * jax.lax.rsqrt(var + eps) * norm_scale + norm_bias
+    gated = normed.astype(u.dtype) * u
+    if concat_ux:
+        gated = jnp.concatenate([u, gated], axis=-1)
+    y = jnp.einsum(
+        "bnf,fe->bne", gated, output_weight.astype(gated.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if training and dropout_pr > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1 - dropout_pr, y.shape)
+        y = jnp.where(keep, y / (1 - dropout_pr), 0.0).astype(y.dtype)
+    return x + y

@@ -1,0 +1,389 @@
+"""Pallas TPU kernel for HSTU pointwise-nonlinear attention.
+
+Replaces the reference's Triton/CUTLASS jagged HSTU attention
+(/root/reference/tzrec/ops/_triton/triton_hstu_attention.py,
+_cuda/cutlass_hstu_attention.py). Because HSTU attention is
+softmax-free (attn = SiLU(q.k^T * alpha) / scaling_seqlen), the
+blockwise kernel is a pure accumulation — no flash rescaling — and the
+backward splits into three independent accumulations (dv, dq, dk), each
+its own kernel. Masking (causal + local window + contextual prefix +
+target isolation) is computed in-register from broadcasted iotas +
+scalar-prefetched per-sample lengths/num_targets, reproducing
+pt_hstu_attention.py:23-75.
+
+Layout: padded dense [B, N, H, D]; internally folded to [B*H, N, D]
+blocks of 128 rows. Falls back (NotImplementedError) for tiny N so the
+caller uses the XLA path.
+"""
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BQ = 128
+BK = 128
+
+
+def _mask_block(
+    rows, cols, seq_len, n_targets, causal, max_attn_len,
+    contextual_seq_len, min_full_attn_seq_len,
+):
+    """[BQ, BK] bool mask for true row/col position blocks."""
+    ids_r, ids_c = rows, cols
+    max_ids = seq_len
+    if contextual_seq_len > 0:
+        ids_r = jnp.maximum(ids_r - contextual_seq_len + 1, 0)
+        ids_c = jnp.maximum(ids_c - contextual_seq_len + 1, 0)
+        max_ids = max_ids - contextual_seq_len + 1
+    if n_targets is not None:
+        max_ids = max_ids - n_targets
+        ids_r = jnp.minimum(ids_r, max_ids)
+        ids_c = jnp.minimum(ids_c, max_ids)
+    dist = ids_r - ids_c
+    if not causal:
+        dist = jnp.abs(dist)
+    mask = (rows == cols) | (dist > 0)
+    if max_attn_len > 0:
+        if min_full_attn_seq_len > 0:
+            mask = mask & (
+                (dist <= max_attn_len)
+                | (ids_r >= max_ids - min_full_attn_seq_len)
+            )
+        else:
+            mask = mask & (dist <= max_attn_len)
+    if contextual_seq_len > 0:
+        mask = mask | ((ids_r == 0) & (ids_c < max_ids))
+    mask = mask & (cols < seq_len)
+    return mask
+
+
+def _silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def _dsilu(x):
+    s = jax.nn.sigmoid(x)
+    return s * (1.0 + x * (1.0 - s))
+
+
+def _fwd_kernel(
+    lengths_ref, targets_ref, q_ref, k_ref, v_ref, o_ref,
+    *, h, n, alpha, scale, causal, has_targets, max_attn_len,
+    contextual_seq_len, min_full_attn_seq_len,
+):
+    bh = pl.program_id(0)
+    qi = pl.program_id(1)
+    b = bh // h
+    seq_len = lengths_ref[b]
+    n_t = targets_ref[b] if has_targets else None
+    q = q_ref[0]  # [BQ, D]
+    rows = qi * BQ + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
+
+    num_kb = n // BK
+    if causal:
+        num_kb_eff = qi + 1
+    else:
+        num_kb_eff = num_kb
+
+    def body(kb, acc):
+        kblk = k_ref[0, pl.ds(kb * BK, BK), :]
+        vblk = v_ref[0, pl.ds(kb * BK, BK), :]
+        s = jax.lax.dot_general(
+            q, kblk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * alpha
+        s = _silu(s) * (1.0 / scale)
+        cols = kb * BK + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
+        mask = _mask_block(
+            rows, cols, seq_len, n_t, causal, max_attn_len,
+            contextual_seq_len, min_full_attn_seq_len,
+        )
+        s = jnp.where(mask, s, 0.0)
+        return acc + jax.lax.dot_general(
+            s.astype(vblk.dtype), vblk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    acc = jax.lax.fori_loop(
+        0, num_kb_eff, body,
+        jnp.zeros((BQ, v_ref.shape[-1]), jnp.float32),
+    )
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def _bwd_dv_dk_kernel(
+    lengths_ref, targets_ref, q_ref, k_ref, v_ref, do_ref,
+    dv_ref, dk_ref,
+    *, h, n, alpha, scale, causal, has_targets, max_attn_len,
+    contextual_seq_len, min_full_attn_seq_len,
+):
+    """grid (BH, num_k_blocks): dv_j = sum_i s_ij^T do_i;
+    dk_j = sum_i (ds_ij)^T q_i."""
+    bh = pl.program_id(0)
+    ki = pl.program_id(1)
+    b = bh // h
+    seq_len = lengths_ref[b]
+    n_t = targets_ref[b] if has_targets else None
+    kblk = k_ref[0]  # [BK, D]
+    vblk = v_ref[0]  # [BK, V]
+    cols = ki * BK + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
+
+    num_qb = n // BQ
+    # causal: only q blocks at or after this k block contribute
+    start_qb = ki if causal else 0
+
+    def body(qi, carry):
+        dv, dk = carry
+        qblk = q_ref[0, pl.ds(qi * BQ, BQ), :]
+        doblk = do_ref[0, pl.ds(qi * BQ, BQ), :]
+        z = jax.lax.dot_general(
+            qblk, kblk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * alpha
+        rows = qi * BQ + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
+        mask = _mask_block(
+            rows, cols, seq_len, n_t, causal, max_attn_len,
+            contextual_seq_len, min_full_attn_seq_len,
+        )
+        s = jnp.where(mask, _silu(z) * (1.0 / scale), 0.0)
+        dv = dv + jax.lax.dot_general(
+            s.astype(doblk.dtype), doblk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dattn = jax.lax.dot_general(
+            doblk, vblk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BQ, BK]
+        dz = jnp.where(
+            mask, dattn * _dsilu(z) * (alpha / scale), 0.0
+        )
+        dk = dk + jax.lax.dot_general(
+            dz.astype(qblk.dtype), qblk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return dv, dk
+
+    dv0 = jnp.zeros((BK, vblk.shape[-1]), jnp.float32)
+    dk0 = jnp.zeros((BK, kblk.shape[-1]), jnp.float32)
+    dv, dk = jax.lax.fori_loop(start_qb, num_qb, body, (dv0, dk0))
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+
+
+def _bwd_dq_kernel(
+    lengths_ref, targets_ref, q_ref, k_ref, v_ref, do_ref, dq_ref,
+    *, h, n, alpha, scale, causal, has_targets, max_attn_len,
+    contextual_seq_len, min_full_attn_seq_len,
+):
+    bh = pl.program_id(0)
+    qi = pl.program_id(1)
+    b = bh // h
+    seq_len = lengths_ref[b]
+    n_t = targets_ref[b] if has_targets else None
+    qblk = q_ref[0]
+    doblk = do_ref[0]
+    rows = qi * BQ + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
+    num_kb_eff = (qi + 1) if causal else (n // BK)
+
+    def body(kb, dq):
+        kblk = k_ref[0, pl.ds(kb * BK, BK), :]
+        vblk = v_ref[0, pl.ds(kb * BK, BK), :]
+        z = jax.lax.dot_general(
+            qblk, kblk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * alpha
+        cols = kb * BK + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
+        mask = _mask_block(
+            rows, cols, seq_len, n_t, causal, max_attn_len,
+            contextual_seq_len, min_full_attn_seq_len,
+        )
+        dattn = jax.lax.dot_general(
+            doblk, vblk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dz = jnp.where(mask, dattn * _dsilu(z) * (alpha / scale), 0.0)
+        return dq + jax.lax.dot_general(
+            dz.astype(kblk.dtype), kblk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    dq = jax.lax.fori_loop(
+        0, num_kb_eff, body, jnp.zeros((BQ, qblk.shape[-1]), jnp.float32)
+    )
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _prep(q, k, v, lengths, num_targets):
+    b, n, h, d = q.shape
+    vd = v.shape[-1]
+    qf = q.transpose(0, 2, 1, 3).reshape(b * h, n, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * h, n, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * h, n, vd)
+    lengths = lengths.astype(jnp.int32)
+    targets = (
+        num_targets.astype(jnp.int32)
+        if num_targets is not None
+        else jnp.zeros((b,), jnp.int32)
+    )
+    return qf, kf, vf, lengths, targets
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10)
+)
+def _pallas_hstu_mha_core(
+    q, k, v, length_targets, alpha, causal, has_targets, max_attn_len,
+    contextual_seq_len, min_full_attn_seq_len, scaling_seqlen,
+):
+    return _fwd_impl(
+        q, k, v, length_targets, alpha, causal, has_targets, max_attn_len,
+        contextual_seq_len, min_full_attn_seq_len, scaling_seqlen,
+    )
+
+
+def _grid_spec(b, h, n, grid_axis1, out_shapes, n_inputs):
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b * h, grid_axis1),
+        in_specs=[
+            pl.BlockSpec(
+                (1, None, None), lambda i, j, *_: (i, 0, 0),
+                memory_space=pltpu.ANY,
+            )
+        ] * n_inputs,
+        out_specs=out_shapes,
+    )
+
+
+def _fwd_impl(
+    q, k, v, length_targets, alpha, causal, has_targets, max_attn_len,
+    contextual_seq_len, min_full_attn_seq_len, scaling_seqlen,
+):
+    lengths, targets = length_targets
+    bh, n, d = q.shape
+    vd = v.shape[-1]
+    h = bh // lengths.shape[0]
+    kernel = functools.partial(
+        _fwd_kernel, h=h, n=n, alpha=alpha, scale=float(scaling_seqlen),
+        causal=causal, has_targets=has_targets, max_attn_len=max_attn_len,
+        contextual_seq_len=contextual_seq_len,
+        min_full_attn_seq_len=min_full_attn_seq_len,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(bh, n // BQ),
+        in_specs=[
+            pl.BlockSpec((1, BQ, d), lambda i, j, *_: (i, j, 0)),
+            pl.BlockSpec((1, n, d), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((1, n, vd), lambda i, j, *_: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, BQ, vd), lambda i, j, *_: (i, j, 0)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bh, n, vd), v.dtype),
+    )(lengths, targets, q, k, v)
+
+
+def _fwd_rule(
+    q, k, v, length_targets, alpha, causal, has_targets, max_attn_len,
+    contextual_seq_len, min_full_attn_seq_len, scaling_seqlen,
+):
+    out = _fwd_impl(
+        q, k, v, length_targets, alpha, causal, has_targets, max_attn_len,
+        contextual_seq_len, min_full_attn_seq_len, scaling_seqlen,
+    )
+    return out, (q, k, v, length_targets)
+
+
+def _bwd_rule(
+    alpha, causal, has_targets, max_attn_len, contextual_seq_len,
+    min_full_attn_seq_len, scaling_seqlen, res, do,
+):
+    q, k, v, length_targets = res
+    lengths, targets = length_targets
+    bh, n, d = q.shape
+    vd = v.shape[-1]
+    h = bh // lengths.shape[0]
+    common = dict(
+        h=h, n=n, alpha=alpha, scale=float(scaling_seqlen), causal=causal,
+        has_targets=has_targets, max_attn_len=max_attn_len,
+        contextual_seq_len=contextual_seq_len,
+        min_full_attn_seq_len=min_full_attn_seq_len,
+    )
+    dv, dk = pl.pallas_call(
+        functools.partial(_bwd_dv_dk_kernel, **common),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(bh, n // BK),
+            in_specs=[
+                pl.BlockSpec((1, n, d), lambda i, j, *_: (i, 0, 0)),
+                pl.BlockSpec((1, BK, d), lambda i, j, *_: (i, j, 0)),
+                pl.BlockSpec((1, BK, vd), lambda i, j, *_: (i, j, 0)),
+                pl.BlockSpec((1, n, vd), lambda i, j, *_: (i, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, BK, vd), lambda i, j, *_: (i, j, 0)),
+                pl.BlockSpec((1, BK, d), lambda i, j, *_: (i, j, 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n, vd), v.dtype),
+            jax.ShapeDtypeStruct((bh, n, d), k.dtype),
+        ],
+    )(lengths, targets, q, k, v, do)
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, **common),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(bh, n // BQ),
+            in_specs=[
+                pl.BlockSpec((1, BQ, d), lambda i, j, *_: (i, j, 0)),
+                pl.BlockSpec((1, n, d), lambda i, j, *_: (i, 0, 0)),
+                pl.BlockSpec((1, n, vd), lambda i, j, *_: (i, 0, 0)),
+                pl.BlockSpec((1, BQ, vd), lambda i, j, *_: (i, j, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, BQ, d), lambda i, j, *_: (i, j, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+    )(lengths, targets, q, k, v, do)
+    return dq, dk, dv, None
+
+
+_pallas_hstu_mha_core.defvjp(_fwd_rule, _bwd_rule)
+
+
+def pallas_hstu_mha(
+    q: jnp.ndarray,  # [B, N, H, D]
+    k: jnp.ndarray,
+    v: jnp.ndarray,  # [B, N, H, V]
+    lengths: jnp.ndarray,  # [B]
+    alpha: float,
+    causal: bool = True,
+    num_targets: Optional[jnp.ndarray] = None,
+    max_attn_len: int = 0,
+    contextual_seq_len: int = 0,
+    min_full_attn_seq_len: int = 0,
+    scaling_seqlen: int = -1,
+) -> jnp.ndarray:
+    b, n, h, d = q.shape
+    if n % BQ != 0 or n < BQ:
+        raise NotImplementedError(
+            f"pallas path needs N % {BQ} == 0, got {n}"
+        )
+    if scaling_seqlen == -1:
+        scaling_seqlen = n
+    qf, kf, vf, lengths_i, targets = _prep(q, k, v, lengths, num_targets)
+    out = _pallas_hstu_mha_core(
+        qf, kf, vf, (lengths_i, targets), float(alpha), bool(causal),
+        num_targets is not None, int(max_attn_len),
+        int(contextual_seq_len), int(min_full_attn_seq_len),
+        int(scaling_seqlen),
+    )
+    vd = v.shape[-1]
+    return out.reshape(b, h, n, vd).transpose(0, 2, 1, 3)
