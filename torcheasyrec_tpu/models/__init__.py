@@ -6,6 +6,7 @@ from torcheasyrec_tpu.models.dbmtl import DBMTL  # noqa: F401
 from torcheasyrec_tpu.models.dcn import DCNV1, DCNV2  # noqa: F401
 from torcheasyrec_tpu.models.deepfm import DeepFM  # noqa: F401
 from torcheasyrec_tpu.models.dlrm import DLRM  # noqa: F401
+from torcheasyrec_tpu.models.dlrm_hstu import DlrmHSTU  # noqa: F401
 from torcheasyrec_tpu.models.dssm import DSSM, DSSMV2  # noqa: F401
 from torcheasyrec_tpu.models.masknet import MaskNet  # noqa: F401
 from torcheasyrec_tpu.models.mmoe import MMoE  # noqa: F401

@@ -1,0 +1,146 @@
+"""STU layer / stack: the HSTU transformer core.
+
+Counterpart of /root/reference/tzrec/modules/gr/stu.py (STULayer:217,
+STUStack:644). Per layer (SURVEY.md §3.3 HSTU math):
+LN -> fused uvqk projection (SiLU on u) -> pointwise-SiLU attention
+(Pallas kernel) -> Norm(attn) * u -> output proj -> residual, with
+jax.checkpoint rematerialization replacing the reference's
+recompute_*_in_backward flags.
+"""
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from torcheasyrec_tpu.modules import module as M
+from torcheasyrec_tpu.ops import Kernel
+from torcheasyrec_tpu.ops.hstu import (
+    hstu_compute_output,
+    hstu_compute_uqvk,
+    hstu_mha,
+)
+
+
+class STULayer(M.Module):
+    def __init__(
+        self,
+        embedding_dim: int,
+        linear_hidden_dim: int,
+        attention_dim: int,
+        num_heads: int = 1,
+        max_attn_len: int = 0,
+        output_dropout_ratio: float = 0.0,
+        use_group_norm: bool = False,
+        attn_alpha: float = 0.0,
+        contextual_seq_len: int = 0,
+        recompute: bool = True,
+        kernel: Kernel = Kernel.PALLAS,
+    ) -> None:
+        self.e = embedding_dim
+        self.ld = linear_hidden_dim
+        self.ad = attention_dim
+        self.h = num_heads
+        self.max_attn_len = max_attn_len
+        self.dropout = output_dropout_ratio
+        self.use_group_norm = use_group_norm
+        self.alpha = attn_alpha or (attention_dim ** -0.5)
+        self.contextual_seq_len = contextual_seq_len
+        self.recompute = recompute
+        self.kernel = kernel
+
+    def init(self, key: jax.Array) -> M.Params:
+        h, ld, ad, e = self.h, self.ld, self.ad, self.e
+        k1, k2 = jax.random.split(key)
+        uvqk_out = h * ld * 2 + h * ad * 2
+        return {
+            "input_ln": M.layer_norm_init(e),
+            "uvqk_w": jax.random.normal(k1, (e, uvqk_out), jnp.float32)
+            * (e ** -0.5),
+            "uvqk_b": jnp.zeros((uvqk_out,), jnp.float32),
+            "output_ln": M.layer_norm_init(h * ld),
+            "output_w": jax.random.normal(k2, (h * ld, e), jnp.float32)
+            * ((h * ld) ** -0.5),
+        }
+
+    def __call__(
+        self,
+        params: M.Params,
+        x: jnp.ndarray,  # [B, N, E]
+        lengths: jnp.ndarray,  # [B]
+        ctx: M.Context,
+        num_targets: Optional[jnp.ndarray] = None,
+        scaling_seqlen: int = -1,
+    ) -> jnp.ndarray:
+        def _layer(x):
+            u, v, q, k = hstu_compute_uqvk(
+                x,
+                params["input_ln"]["scale"], params["input_ln"]["bias"],
+                params["uvqk_w"], params["uvqk_b"],
+                self.h, self.ld, self.ad,
+            )
+            attn = hstu_mha(
+                q, k, v, lengths,
+                alpha=self.alpha,
+                causal=True,
+                num_targets=num_targets,
+                max_attn_len=self.max_attn_len,
+                contextual_seq_len=self.contextual_seq_len,
+                scaling_seqlen=scaling_seqlen,
+                kernel=self.kernel,
+            )
+            return hstu_compute_output(
+                attn, u, x,
+                params["output_ln"]["scale"], params["output_ln"]["bias"],
+                params["output_w"],
+                dropout_pr=self.dropout,
+                dropout_rng=ctx.next_rng()
+                if (ctx.training and self.dropout > 0) else None,
+                training=ctx.training,
+                group_norm=self.use_group_norm,
+                num_heads=self.h,
+                linear_dim=self.ld,
+            )
+
+        if self.recompute and ctx.training:
+            _layer = jax.checkpoint(_layer)
+        return _layer(x)
+
+
+class STUStack(M.Module):
+    def __init__(self, layer: STULayer, num_layers: int) -> None:
+        self.layer = layer
+        self.num_layers = num_layers
+
+    def init(self, key: jax.Array) -> M.Params:
+        return {
+            f"layer_{i}": self.layer.init(k)
+            for i, k in enumerate(M.split_keys(key, self.num_layers))
+        }
+
+    def __call__(self, params, x, lengths, ctx, num_targets=None,
+                 scaling_seqlen: int = -1):
+        for i in range(self.num_layers):
+            x = self.layer(
+                params[f"layer_{i}"], x, lengths, ctx, num_targets,
+                scaling_seqlen,
+            )
+        return x
+
+
+def stu_from_config(cfg: Dict[str, Any], kernel=Kernel.PALLAS) -> STUStack:
+    """Build from the STU proto's config_to_kwargs dict (module.proto STU)."""
+    layer = STULayer(
+        embedding_dim=int(cfg["embedding_dim"]),
+        linear_hidden_dim=int(cfg["linear_hidden_dim"]),
+        attention_dim=int(cfg["attention_dim"]),
+        num_heads=int(cfg.get("num_heads", 1) or 1),
+        max_attn_len=int(cfg.get("max_attn_len", 0) or 0),
+        output_dropout_ratio=float(cfg.get("output_dropout_ratio", 0.0)),
+        use_group_norm=bool(cfg.get("use_group_norm", False)),
+        attn_alpha=float(cfg.get("attn_alpha", 0.0) or 0.0),
+        contextual_seq_len=int(cfg.get("contextual_seq_len", 0) or 0),
+        recompute=bool(cfg.get("recompute_uvqk_in_backward", True)),
+        kernel=kernel,
+    )
+    return STUStack(layer, int(cfg.get("num_layers", 1) or 1))

@@ -176,8 +176,8 @@ def hstu_compute_uqvk(
         + uvqk_bias
     ).astype(x.dtype)
     h, ld, ad = num_heads, linear_dim, attn_dim
-    sizes = [h * ld, h * ld, h * ad, h * ad]
-    u, v, q, k = jnp.split(uvqk, jnp.cumsum(jnp.array(sizes))[:-1], axis=-1)
+    splits = [h * ld, 2 * h * ld, 2 * h * ld + h * ad]
+    u, v, q, k = jnp.split(uvqk, splits, axis=-1)
     b, n = x.shape[0], x.shape[1]
     u = jax.nn.silu(u)
     v = v.reshape(b, n, h, ld)
