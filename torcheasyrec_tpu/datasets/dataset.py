@@ -327,11 +327,15 @@ def create_dataloader(
 
         sampler_cfg = getattr(data_config, sampler_type)
         cls_name = type(sampler_cfg).__name__
+        extra = {}
+        if cls_name == "TDMSampler" and len(data_config.label_fields):
+            extra["label_field"] = data_config.label_fields[0]
         sampler = sampler_mod.BaseSampler.create_class(cls_name)(
             sampler_cfg,
             fields=None,
             batch_size=batch_size,
             is_training=(mode == "train"),
+            **extra,
         )
 
     reader = create_reader(

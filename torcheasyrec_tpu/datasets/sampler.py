@@ -263,11 +263,112 @@ class HardNegativeSamplerV2(HardNegativeSampler):
 
 
 class TDMSampler(BaseSampler):
-    """Tree-based sampler: ancestor positives + per-layer negatives
-    (reference sampler.py:867-1079). Lands with the TDM model phase."""
+    """Tree-based sampler (reference sampler.py:867-1079): every row
+    expands into, per tree layer, 1 ancestor positive + layer_num_sample
+    negatives drawn from that layer. User-side columns are repeated; the
+    item-side attr columns and the first label field are overwritten.
+    """
+
+    def __init__(self, config, fields=None, batch_size=1024,
+                 is_training=True, label_field: str = "label") -> None:
+        super().__init__(config, fields, batch_size, is_training)
+        self._label_field = label_field
+        self._layer_num_sample = list(config.layer_num_sample)
+        self._remain_ratio = float(getattr(config, "remain_ratio", 1.0))
 
     def _load(self) -> None:
-        raise NotImplementedError("TDMSampler lands with the TDM model phase")
+        self._load_item_table(self._config.item_input_path)
+        edges = _read_table(self._config.edge_input_path)
+        src = edges.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = edges.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+        # edges: parent(src) -> child(dst); build child -> parent
+        self._parent = {int(c): int(p) for p, c in zip(src, dst)}
+        # assign layers: leaves are items without children
+        children: Dict[int, List[int]] = {}
+        for p, c in zip(src, dst):
+            children.setdefault(int(p), []).append(int(c))
+        self._children = children
+        # depth per node (root depth 0)
+        def depth(n: int) -> int:
+            d = 0
+            while n in self._parent:
+                n = self._parent[n]
+                d += 1
+            return d
+        self._depth = {int(n): depth(int(n)) for n in self._item_ids}
+        for p in children:
+            self._depth.setdefault(p, depth(p))
+        self._max_depth = max(self._depth.values()) if self._depth else 0
+        # nodes per layer for negative sampling
+        self._layer_nodes: Dict[int, np.ndarray] = {}
+        for n, d in self._depth.items():
+            self._layer_nodes.setdefault(d, []).append(n)
+        self._layer_nodes = {
+            d: np.asarray(v, np.int64) for d, v in self._layer_nodes.items()
+        }
+
+    def ancestors(self, item: int) -> List[int]:
+        out = [item]
+        n = item
+        while n in self._parent:
+            n = self._parent[n]
+            out.append(n)
+        return out  # leaf .. root
 
     def process(self, columns: Dict[str, pa.Array]) -> Dict[str, pa.Array]:
-        raise NotImplementedError
+        self.init()
+        item_col = columns[self._item_id_field]
+        items = item_col.cast(pa.int64(), safe=False).to_pylist()
+        n = len(items)
+        rep_idx: List[int] = []
+        out_nodes: List[int] = []
+        out_labels: List[float] = []
+        n_layers = len(self._layer_num_sample) or self._max_depth
+        for i, it in enumerate(items):
+            anc = self.ancestors(int(it) if it is not None else 0)
+            for li in range(min(n_layers, len(anc))):
+                layer_depth = self._depth.get(anc[li], 0)
+                # positive
+                rep_idx.append(i)
+                out_nodes.append(anc[li])
+                out_labels.append(1.0)
+                neg_cnt = (
+                    self._layer_num_sample[li]
+                    if li < len(self._layer_num_sample) else 1
+                )
+                pool = self._layer_nodes.get(layer_depth)
+                if pool is None or len(pool) <= 1:
+                    continue
+                negs = self._rng.choice(pool, size=neg_cnt)
+                for ng in negs:
+                    if int(ng) == anc[li]:
+                        continue
+                    rep_idx.append(i)
+                    out_nodes.append(int(ng))
+                    out_labels.append(0.0)
+        rep = np.asarray(rep_idx, np.int64)
+        out: Dict[str, pa.Array] = {}
+        for name, col in columns.items():
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            out[name] = col.take(pa.array(rep))
+        node_arr = np.asarray(out_nodes, np.int64)
+        # overwrite item id + attrs with sampled tree nodes
+        out[self._item_id_field] = pa.array(node_arr)
+        if self._attrs is not None:
+            for j, fname in enumerate(self._attr_fields):
+                if fname == self._item_id_field or fname not in columns:
+                    continue
+                vals = []
+                for nd in node_arr:
+                    row = self._id_to_row.get(int(nd))
+                    a = self._attrs[row] if row is not None else []
+                    vals.append(a[j] if j < len(a) else "")
+                try:
+                    out[fname] = pa.array(vals).cast(columns[fname].type)
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                    out[fname] = pa.array(vals)
+        out[self._label_field] = pa.array(
+            np.asarray(out_labels, np.float32)
+        )
+        return out

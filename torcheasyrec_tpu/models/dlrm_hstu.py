@@ -46,6 +46,8 @@ class DlrmHSTU(BaseModel):
         self._build_embedding_group()
         mc = self._model_config
         hstu_cfg = mc.hstu
+        if hasattr(hstu_cfg, "__len__"):  # repeated field (UltraHSTU)
+            hstu_cfg = hstu_cfg[0]
         stu_cfg = config_to_kwargs(hstu_cfg.stu)
         self._e = int(stu_cfg["embedding_dim"])
         self.max_seq_len = int(mc.max_seq_len)

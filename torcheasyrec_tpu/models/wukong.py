@@ -23,7 +23,8 @@ class WuKong(RankModel):
         self._emb_dim = dims[0]
         num_feats = len(dims)
         self.dense_mlp = None
-        if self.embedding_group.has_group("dense"):
+        if self.embedding_group.has_group("dense") and \
+                self._model_config.HasField("dense_mlp"):
             dense_dim = self.embedding_group.group_total_dim("dense")
             self.dense_mlp = mlp_from_config(
                 dense_dim, config_to_kwargs(self._model_config.dense_mlp)

@@ -18,8 +18,12 @@ class XDeepFM(RankModel):
                  **kwargs) -> None:
         super().__init__(model_config, features, labels, sample_weights,
                          **kwargs)
-        dims = self.embedding_group.group_dims("deep")
-        assert len(set(dims)) == 1, "deep embedding dims must match for CIN"
+        cin_group = "fm" if self.embedding_group.has_group("fm") else "deep"
+        self._cin_group = cin_group
+        dims = self.embedding_group.group_dims(cin_group)
+        assert len(set(dims)) == 1, (
+            f"{cin_group} embedding dims must match for CIN"
+        )
         self._emb_dim = dims[0]
         self._num_feats = len(dims)
         self.cin = CIN(self._num_feats, list(self._model_config.cin.cin_layer_size))
@@ -46,7 +50,9 @@ class XDeepFM(RankModel):
     def predict(self, params, grouped, batch, ctx) -> Dict[str, jnp.ndarray]:
         b = grouped["deep"].shape[0]
         y_wide = jnp.sum(grouped["wide"], axis=1, keepdims=True)
-        feats = grouped["deep"].reshape(b, self._num_feats, self._emb_dim)
+        feats = grouped[self._cin_group].reshape(
+            b, self._num_feats, self._emb_dim
+        )
         y_cin = self.cin(params["cin"], feats, ctx)
         y_deep = self.deep(params["deep"], grouped["deep"], ctx, "deep")
         h = self.final(
