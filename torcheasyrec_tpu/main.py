@@ -168,6 +168,11 @@ def make_train_step(model, tx, sparse_sched, dense_sched, compute_dtype):
 
     def train_step(state, batch: Batch, rng):
         step = state["step"]
+        new_zch = state.get("zch", {})
+        if model.embedding_group.has_zch:
+            batch, new_zch = model.embedding_group.remap_zch(
+                batch, state["zch"], step, training=True
+            )
         emb_out, residuals = model.embedding_group.lookup(
             state["tables"], batch
         )
@@ -209,6 +214,8 @@ def make_train_step(model, tx, sparse_sched, dense_sched, compute_dtype):
             "dense_opt": dense_opt,
             "step": step + 1,
         }
+        if model.embedding_group.has_zch:
+            new_state["zch"] = new_zch
         metrics = {"total_loss": total, **losses}
         return new_state, metrics, state_updates
 
@@ -218,6 +225,10 @@ def make_train_step(model, tx, sparse_sched, dense_sched, compute_dtype):
 def make_eval_step(model, compute_dtype, with_loss: bool = True):
     def eval_step(state, batch: Batch):
         ctx = M.Context(training=False, compute_dtype=compute_dtype)
+        if model.embedding_group.has_zch:
+            batch, _ = model.embedding_group.remap_zch(
+                batch, state["zch"], state.get("step", 0), training=False
+            )
         preds = model.forward(
             state["dense"], state["tables"], batch, ctx
         )
@@ -277,6 +288,8 @@ def train_and_evaluate(
         "dense_opt": dense_opt_state,
         "step": jnp.zeros((), jnp.int32),
     }
+    if model.embedding_group.has_zch:
+        state["zch"] = model.embedding_group.init_zch_states()
 
     # checkpoint restore / fine-tune
     ckpt_manager = checkpoint_util.CheckpointManager(
@@ -351,6 +364,8 @@ def train_and_evaluate(
                 )
             step += 1
             examples += info.batch_size
+            if hasattr(model, "collect_from_batch"):
+                model.collect_from_batch(batch)
             for sid, row in info.checkpoint_info.items():
                 dataloader_state[sid] = max(
                     dataloader_state.get(sid, -1), row
@@ -399,6 +414,10 @@ def train_and_evaluate(
 
     if profiling:
         jax.profiler.stop_trace()
+
+    # on_train_end hook (reference model.py:153-160, main.py:556-560)
+    if hasattr(model, "on_train_end"):
+        state["dense"] = model.on_train_end(jax.device_get(state["dense"]))
 
     # final save + eval
     ckpt_manager.save(step, jax.device_get(state), dataloader_state)
@@ -482,11 +501,15 @@ def evaluate(
         "sparse_opt": sparse_opt_state,
         "step": jnp.zeros((), jnp.int32),
     }
+    if model.embedding_group.has_zch:
+        state["zch"] = model.embedding_group.init_zch_states()
     ckpt = checkpoint_path or checkpoint_util.latest_checkpoint(model_dir)
     if ckpt:
         # optimizer states may be absent in a partial restore; restore the
         # model arrays only
         sub = {"dense": state["dense"], "tables": state["tables"]}
+        if "zch" in state:
+            sub["zch"] = state["zch"]
         restored = checkpoint_util.restore_model(ckpt, sub)
         state.update(restored)
 

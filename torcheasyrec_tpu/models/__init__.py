@@ -26,6 +26,7 @@ from torcheasyrec_tpu.models.multi_tower import (  # noqa: F401
 from torcheasyrec_tpu.models.pepnet import PEPNet  # noqa: F401
 from torcheasyrec_tpu.models.ple import PLE  # noqa: F401
 from torcheasyrec_tpu.models.rocket_launching import RocketLaunching  # noqa: F401
+from torcheasyrec_tpu.models.sid_models import SidRqkmeans, SidRqvae  # noqa: F401
 from torcheasyrec_tpu.models.tdm import TDM  # noqa: F401
 from torcheasyrec_tpu.models.ultra_hstu import UltraHSTU  # noqa: F401
 from torcheasyrec_tpu.models.rank_model import RankModel  # noqa: F401

@@ -200,6 +200,73 @@ class EmbeddingGroup(M.Module):
             optimizer=sparse_optimizer,
         )
 
+        # zero-collision-hash managers (reference feature.py:693-736)
+        from torcheasyrec_tpu.parallel import zch as zch_mod
+
+        self._zch_cfgs: Dict[str, zch_mod.ZchConfig] = {}
+        for f in features:
+            zc = getattr(f.config, "zch", None)
+            if zc is not None and f.config.HasField("zch"):
+                which = zc.WhichOneof("eviction_policy") or "lfu"
+                policy = {
+                    "lfu": "lfu", "lru": "lru",
+                    "distance_lfu": "distance_lfu",
+                }[which]
+                decay = 1.0
+                if which in ("lru", "distance_lfu"):
+                    decay = float(getattr(zc, which).decay_exponent)
+                self._zch_cfgs[f.name] = zch_mod.ZchConfig(
+                    size=int(zc.zch_size), policy=policy,
+                    decay_exponent=decay,
+                )
+
+    @property
+    def has_zch(self) -> bool:
+        return bool(self._zch_cfgs)
+
+    def init_zch_states(self) -> Dict[str, Any]:
+        from torcheasyrec_tpu.parallel import zch as zch_mod
+
+        return {
+            name: zch_mod.init_state(cfg.size)
+            for name, cfg in self._zch_cfgs.items()
+        }
+
+    def remap_zch(
+        self, batch: Batch, zch_states: Dict[str, Any], step, training: bool
+    ) -> Tuple[Batch, Dict[str, Any]]:
+        """Remap raw ids of zch features into collision-managed slots."""
+        from torcheasyrec_tpu.datasets.utils import SparseField
+        from torcheasyrec_tpu.parallel import zch as zch_mod
+
+        if not self._zch_cfgs:
+            return batch, zch_states
+        new_states = dict(zch_states)
+        sparse = dict(batch.sparse_features)
+        seq_sparse = dict(batch.sequence_sparse_features)
+        for name, cfg in self._zch_cfgs.items():
+            for container in (sparse, seq_sparse):
+                if name in container:
+                    field = container[name]
+                    slots, ns = zch_mod.lookup_insert(
+                        new_states[name], cfg, field.values, step, training
+                    )
+                    new_states[name] = ns
+                    container[name] = SparseField(
+                        values=slots, lengths=field.lengths,
+                        weights=field.weights,
+                    )
+        new_batch = Batch(
+            dense_features=batch.dense_features,
+            sparse_features=sparse,
+            sequence_sparse_features=seq_sparse,
+            sequence_dense_features=batch.sequence_dense_features,
+            labels=batch.labels,
+            sample_weights=batch.sample_weights,
+            additional=batch.additional,
+        )
+        return new_batch, new_states
+
     # -- construction helpers ----------------------------------------------
 
     def _dense_slot(self, feat: BaseFeature) -> Tuple[str, str, int]:

@@ -1,0 +1,139 @@
+"""Zero-collision hash (managed-collision) embedding id remapping.
+
+TPU-native replacement for TorchRec's ManagedCollisionModule / the
+dynamicemb GPU hash table (reference tzrec/features/feature.py:693-736
+builds mc_modules with LFU/LRU/DistanceLFU eviction;
+modules/embedding.py mc_ebc path; SURVEY.md §7 hard part #3).
+
+Design: a device-resident open-addressing table as plain arrays
+(keys/score/last-access), fully vectorized — each id probes K=8
+double-hashed slots; resolution order is match > empty > evict the
+min-score probe slot. Eviction is immediate-on-insert rather than the
+reference's interval-sweep (same policy family, simpler and functional;
+interval sweeps would need non-batched host callbacks). Within-batch
+slot races resolve last-writer-wins; losing ids read a neighbor's row
+for one step and re-insert on their next occurrence.
+
+Eviction scores (reference feature.proto ZeroCollisionHash):
+  LFU:          score = access count
+  LRU:          score = 1 / (step - last_access) ** decay
+  DistanceLFU:  score = count / (step - last_access) ** decay
+"""
+
+import dataclasses
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+N_PROBES = 8
+EMPTY = jnp.int64(-1) if jax.config.jax_enable_x64 else -1
+
+
+@dataclasses.dataclass
+class ZchConfig:
+    size: int
+    policy: str = "lfu"  # lfu | lru | distance_lfu
+    decay_exponent: float = 1.0
+
+
+def init_state(size: int) -> Dict[str, jnp.ndarray]:
+    return {
+        "keys": jnp.full((size,), -1, jnp.int32),
+        "count": jnp.zeros((size,), jnp.float32),
+        "last": jnp.zeros((size,), jnp.int32),
+    }
+
+
+def _hash1(ids, size):
+    x = ids.astype(jnp.uint32)
+    x = (x ^ (x >> 16)) * jnp.uint32(0x45D9F3B)
+    x = (x ^ (x >> 16)) * jnp.uint32(0x45D9F3B)
+    x = x ^ (x >> 16)
+    return (x % jnp.uint32(size)).astype(jnp.int32)
+
+
+def _hash2(ids, size):
+    x = ids.astype(jnp.uint32)
+    x = (x ^ (x >> 15)) * jnp.uint32(0x2C1B3C6D)
+    x = (x ^ (x >> 12)) * jnp.uint32(0x297A2D39)
+    x = x ^ (x >> 15)
+    return (x % jnp.uint32(max(size - 1, 1))).astype(jnp.int32) + 1
+
+
+def _scores(state, cfg: ZchConfig, step):
+    age = jnp.maximum(
+        (step - state["last"]).astype(jnp.float32), 1.0
+    )
+    if cfg.policy == "lru":
+        return age ** (-cfg.decay_exponent)
+    if cfg.policy == "distance_lfu":
+        return state["count"] / (age ** cfg.decay_exponent)
+    return state["count"]  # lfu
+
+
+def lookup_insert(
+    state: Dict[str, jnp.ndarray],
+    cfg: ZchConfig,
+    ids: jnp.ndarray,  # int [N] raw ids (>= 0 valid; negatives = padding)
+    step: jnp.ndarray,
+    training: bool,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Returns (slots [N] int32, new_state)."""
+    shape = ids.shape
+    flat = ids.reshape(-1).astype(jnp.int32)
+    n = flat.shape[0]
+    size = state["keys"].shape[0]
+    valid = flat >= 0
+
+    h1 = _hash1(flat, size)
+    h2 = _hash2(flat, size)
+    probes = (
+        h1[:, None]
+        + jnp.arange(N_PROBES, dtype=jnp.int32)[None, :] * h2[:, None]
+    ) % size  # [N, K]
+
+    keys_at = state["keys"][probes]  # [N, K]
+    is_match = keys_at == flat[:, None]
+    is_empty = keys_at == -1
+
+    def _first_true(mask):
+        # index of first True along K, or K if none
+        return jnp.argmax(
+            jnp.concatenate(
+                [mask, jnp.ones((n, 1), bool)], axis=1
+            ),
+            axis=1,
+        )
+
+    match_k = _first_true(is_match)
+    empty_k = _first_true(is_empty)
+    scores = _scores(state, cfg, step)[probes]  # [N, K]
+    evict_k = jnp.argmin(scores, axis=1)
+
+    has_match = match_k < N_PROBES
+    has_empty = empty_k < N_PROBES
+    chosen_k = jnp.where(
+        has_match, jnp.minimum(match_k, N_PROBES - 1),
+        jnp.where(has_empty, jnp.minimum(empty_k, N_PROBES - 1), evict_k),
+    )
+    slots = jnp.take_along_axis(probes, chosen_k[:, None], axis=1)[:, 0]
+
+    if not training:
+        # read-only: unmatched ids deterministically use probe 0
+        slots_ro = jnp.where(has_match, slots, probes[:, 0])
+        return slots_ro.reshape(shape), state
+
+    write = valid
+    w_slots = jnp.where(write, slots, size)  # OOB drop for padding
+    new_keys = state["keys"].at[w_slots].set(flat, mode="drop")
+    # reset count on eviction/new insert; increment on access
+    fresh = write & ~has_match
+    cnt = state["count"]
+    cnt = cnt.at[jnp.where(fresh, w_slots, size)].set(0.0, mode="drop")
+    cnt = cnt.at[w_slots].add(jnp.where(write, 1.0, 0.0), mode="drop")
+    last = state["last"].at[w_slots].set(
+        jnp.asarray(step, jnp.int32), mode="drop"
+    )
+    new_state = {"keys": new_keys, "count": cnt, "last": last}
+    return slots.reshape(shape), new_state
