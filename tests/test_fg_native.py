@@ -1,0 +1,37 @@
+"""Native FG library tests: builds, matches the numpy fallback."""
+
+import numpy as np
+
+from torcheasyrec_tpu import fg
+from torcheasyrec_tpu.fg import _np_hash_mod
+
+
+def test_native_builds_and_matches_fallback():
+    assert fg.available(), "g++ build of fg_ops.cc failed"
+    tokens = ["beijing", "shanghai", "", "新疆", "x" * 300, "123"]
+    nb = 100003
+    native = fg.hash_strings_mod(tokens, nb)
+    ref = _np_hash_mod(tokens, nb)
+    np.testing.assert_array_equal(native, ref)
+    assert (native >= 0).all() and (native < nb).all()
+
+
+def test_native_bucketize_matches_numpy():
+    rng = np.random.default_rng(0)
+    vals = rng.normal(size=10000)
+    bounds = np.sort(rng.normal(size=37))
+    native = fg.bucketize(vals, bounds)
+    ref = np.searchsorted(bounds, vals, side="right")
+    np.testing.assert_array_equal(native, ref)
+
+
+def test_hash_throughput_sanity():
+    """Native path handles a large batch quickly (pyfg DAG equivalent)."""
+    import time
+
+    tokens = [f"token_{i % 1000}_{i}" for i in range(200_000)]
+    t0 = time.perf_counter()
+    out = fg.hash_strings_mod(tokens, 1 << 22)
+    dt = time.perf_counter() - t0
+    assert len(out) == 200_000
+    assert dt < 5.0, f"native hash too slow: {dt:.2f}s"

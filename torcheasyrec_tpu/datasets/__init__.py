@@ -1,4 +1,6 @@
 from torcheasyrec_tpu.datasets import csv_dataset  # noqa: F401
+from torcheasyrec_tpu.datasets import kafka_dataset  # noqa: F401
+from torcheasyrec_tpu.datasets import odps_dataset  # noqa: F401
 from torcheasyrec_tpu.datasets import parquet_dataset  # noqa: F401
 from torcheasyrec_tpu.datasets.data_parser import DataParser  # noqa: F401
 from torcheasyrec_tpu.datasets.dataset import (  # noqa: F401

@@ -610,9 +610,11 @@ class BaseFeature(metaclass=_meta_cls):
                 [table.get(str(t), oov) for t in tokens], dtype=np.int64
             )
         if getattr(c, "hash_bucket_size", 0):
-            return (
-                stable_hash64(tokens) % np.uint64(c.hash_bucket_size)
-            ).astype(np.int64)
+            from torcheasyrec_tpu import fg as fg_native
+
+            return fg_native.hash_strings_mod(
+                tokens, int(c.hash_bucket_size)
+            )
         if getattr(c, "num_buckets", 0):
             arr = np.asarray(
                 [int(t) if str(t) not in ("", "None") else 0 for t in tokens],
@@ -632,8 +634,10 @@ class BaseFeature(metaclass=_meta_cls):
         return self._vocab_cache
 
     def _bucketize(self, vals: np.ndarray) -> np.ndarray:
+        from torcheasyrec_tpu import fg as fg_native
+
         boundaries = np.asarray(list(self.config.boundaries), dtype=np.float64)
-        return np.searchsorted(boundaries, vals, side="right").astype(np.int64)
+        return fg_native.bucketize(vals, boundaries)
 
     # -- fg json (serving contract, reference feature.py:997-1015) ---------
 

@@ -1,0 +1,127 @@
+"""Native feature-generation library loader (pyfg equivalent).
+
+Builds csrc/fg_ops.cc into a shared library on first use (g++ is in the
+image; see csrc/fg_ops.cc for the op inventory) and exposes ctypes
+wrappers. Every entry point has a numpy fallback so the package works
+without a toolchain; `available()` reports which path is active.
+"""
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_LOCK = threading.Lock()
+_TRIED = False
+
+_SRC = os.path.join(os.path.dirname(__file__), "csrc", "fg_ops.cc")
+_SO = os.path.join(os.path.dirname(__file__), "csrc", "libfg_ops.so")
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+             _SRC, "-o", _SO],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError,
+            subprocess.TimeoutExpired):
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    with _LOCK:
+        if _LIB is not None or _TRIED:
+            return _LIB
+        _TRIED = True
+        if not os.path.exists(_SO) or (
+            os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+        ):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        lib.fg_hash64_strings_mod.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_char_p,
+            ctypes.c_int64, ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+        ]
+        lib.fg_bucketize.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+        ]
+        _LIB = lib
+        return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+_FNV64_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV64_PRIME = np.uint64(0x100000001B3)
+
+
+def _np_hash_mod(tokens, num_buckets: int) -> np.ndarray:
+    out = np.empty(len(tokens), dtype=np.int64)
+    nb = np.uint64(num_buckets)
+    for i, t in enumerate(tokens):
+        h = int(_FNV64_OFFSET)
+        for b in str(t).encode("utf-8"):
+            h = ((h ^ b) * int(_FNV64_PRIME)) & 0xFFFFFFFFFFFFFFFF
+        out[i] = h % int(nb)
+    return out
+
+
+def hash_strings_mod(tokens, num_buckets: int, threads: int = 4) -> np.ndarray:
+    """FNV-1a hash of each token modulo num_buckets -> int64 [n]."""
+    lib = _load()
+    n = len(tokens)
+    if lib is None or n == 0:
+        return _np_hash_mod(tokens, num_buckets)
+    encoded = [str(t).encode("utf-8") for t in tokens]
+    offsets = np.zeros(n + 1, np.int32)
+    np.cumsum([len(e) for e in encoded], out=offsets[1:])
+    data = b"".join(encoded)
+    out = np.empty(n, np.int64)
+    lib.fg_hash64_strings_mod(
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        data,
+        ctypes.c_int64(n),
+        ctypes.c_uint64(num_buckets),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int(threads),
+    )
+    return out
+
+
+def bucketize(values: np.ndarray, boundaries: np.ndarray,
+              threads: int = 4) -> np.ndarray:
+    """searchsorted-right of values into boundaries -> int64 [n]."""
+    lib = _load()
+    values = np.ascontiguousarray(values, np.float64)
+    boundaries = np.ascontiguousarray(boundaries, np.float64)
+    if lib is None or len(values) == 0:
+        return np.searchsorted(boundaries, values, side="right").astype(
+            np.int64
+        )
+    out = np.empty(len(values), np.int64)
+    lib.fg_bucketize(
+        values.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int64(len(values)),
+        boundaries.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int64(len(boundaries)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int(threads),
+    )
+    return out

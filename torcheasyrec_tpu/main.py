@@ -135,7 +135,8 @@ class TrainEnv:
     compute_dtype: Any
 
 
-def _build_model_and_optim(pipeline_config, mesh, for_train=True):
+def _build_model_and_optim(pipeline_config, mesh, for_train=True,
+                           plan=None):
     features = _create_features(pipeline_config)
     train_config = pipeline_config.train_config
     sparse_opt, sparse_sched = create_sparse_optimizer(
@@ -150,7 +151,31 @@ def _build_model_and_optim(pipeline_config, mesh, for_train=True):
         sample_weights,
         mesh=mesh,
         sparse_optimizer=sparse_opt,
+        plan=plan,
     )
+    if plan is None and mesh is not None and mesh.devices.size > 1:
+        # two-phase build: collect table specs, run the planner, rebuild
+        # with the chosen plan (reference planner.collective_plan,
+        # main.py:730-742)
+        from torcheasyrec_tpu.parallel import planner
+
+        specs = list(model.embedding_group.engine._specs.values())
+        plan = planner.create_plan(
+            specs,
+            n_devices=mesh.devices.size,
+            batch_size=int(pipeline_config.data_config.batch_size),
+            optimizer_kind=sparse_opt.kind,
+        )
+        model = create_model(
+            pipeline_config.model_config,
+            features,
+            labels,
+            sample_weights,
+            mesh=mesh,
+            sparse_optimizer=sparse_opt,
+            plan=plan,
+        )
+        model.sharding_plan = plan
     return model, features, sparse_sched
 
 
@@ -338,6 +363,21 @@ def train_and_evaluate(
     rng = jax.random.key(1234)
 
     train_metrics = model.init_train_metrics()
+    delta_dumper = None
+    if train_config.HasField("delta_embedding_dump_config"):
+        from torcheasyrec_tpu.utils.delta_embedding_dump import (
+            DeltaEmbeddingDumper,
+        )
+
+        dcfg = train_config.delta_embedding_dump_config
+        delta_dumper = DeltaEmbeddingDumper(
+            dcfg.output_dir or os.path.join(
+                model_dir, "delta_embedding_dump"
+            ),
+            model.embedding_group,
+            dump_interval_steps=dcfg.dump_interval_steps,
+            file_prefix=dcfg.file_prefix,
+        )
     plogger = ProgressLogger("train")
     step = int(state["step"])
     t_start = time.time()
@@ -366,6 +406,9 @@ def train_and_evaluate(
             examples += info.batch_size
             if hasattr(model, "collect_from_batch"):
                 model.collect_from_batch(batch)
+            if delta_dumper is not None:
+                delta_dumper.observe(batch)
+                delta_dumper.maybe_dump(step, state["tables"])
             for sid, row in info.checkpoint_info.items():
                 dataloader_state[sid] = max(
                     dataloader_state.get(sid, -1), row
@@ -414,6 +457,9 @@ def train_and_evaluate(
 
     if profiling:
         jax.profiler.stop_trace()
+
+    if delta_dumper is not None:
+        delta_dumper.dump(step, state["tables"])
 
     # on_train_end hook (reference model.py:153-160, main.py:556-560)
     if hasattr(model, "on_train_end"):
@@ -557,13 +603,40 @@ def export(
         sub = checkpoint_util.restore_model(ckpt, sub)
 
     os.makedirs(export_dir, exist_ok=True)
+    # optional embedding quantization (reference export_util.py:264-289,
+    # env contract acc/utils.py QUANT_EMB)
+    quant_dtype = os.environ.get("QUANT_EMB", "").upper()
+    if quant_dtype:
+        from torcheasyrec_tpu.acc.quant_util import quantize_rowwise
+
+        tables_np = jax.device_get(sub["tables"])
+        quant_meta = {"dtype": quant_dtype, "groups": {}}
+        qdir = os.path.join(export_dir, "quant_tables")
+        os.makedirs(qdir, exist_ok=True)
+        for gk, w in tables_np.items():
+            q = quantize_rowwise(np.asarray(w), quant_dtype)
+            np.savez(
+                os.path.join(qdir, f"{gk}.npz"),
+                values=q["values"], scales=q["scales"],
+            )
+            quant_meta["groups"][gk] = {
+                "rows": int(w.shape[0]), "dim": int(w.shape[1]),
+            }
+        with open(os.path.join(export_dir, "quant_meta.json"), "w") as f:
+            json.dump(quant_meta, f)
+        sub = {"dense": sub["dense"], **(
+            {"zch": sub["zch"]} if "zch" in sub else {}
+        )}
     checkpoint_util.save_model(os.path.join(export_dir, "model"), sub)
     config_util.save_message(
         pipeline_config, os.path.join(export_dir, "pipeline.config")
     )
     with open(os.path.join(export_dir, "fg.json"), "w") as f:
         json.dump(create_fg_json(features), f, indent=2)
-    logger.info(f"exported model to {export_dir}")
+    logger.info(
+        f"exported model to {export_dir}"
+        + (f" (embeddings quantized {quant_dtype})" if quant_dtype else "")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -594,11 +667,32 @@ def predict(
     compute_dtype = _compute_dtype(pipeline_config.train_config)
     model, features, _ = _build_model_and_optim(pipeline_config, mesh)
     dense_params, tables, _ = _init_state(model, pipeline_config)
-    sub = checkpoint_util.restore_model(
-        os.path.join(scripted_model_path, "model"),
-        {"dense": dense_params, "tables": tables},
-    )
-    state = {"dense": sub["dense"], "tables": sub["tables"]}
+    quant_meta_path = os.path.join(scripted_model_path, "quant_meta.json")
+    if os.path.exists(quant_meta_path):
+        from torcheasyrec_tpu.acc.quant_util import dequantize_rowwise
+
+        with open(quant_meta_path) as f:
+            quant_meta = json.load(f)
+        sub = checkpoint_util.restore_model(
+            os.path.join(scripted_model_path, "model"),
+            {"dense": dense_params},
+        )
+        new_tables = {}
+        for gk, meta in quant_meta["groups"].items():
+            z = np.load(os.path.join(
+                scripted_model_path, "quant_tables", f"{gk}.npz"
+            ))
+            new_tables[gk] = jnp.asarray(dequantize_rowwise(
+                {"values": z["values"], "scales": z["scales"]},
+                quant_meta["dtype"], meta["dim"],
+            ))
+        state = {"dense": sub["dense"], "tables": new_tables}
+    else:
+        sub = checkpoint_util.restore_model(
+            os.path.join(scripted_model_path, "model"),
+            {"dense": dense_params, "tables": tables},
+        )
+        state = {"dense": sub["dense"], "tables": sub["tables"]}
 
     reserved = [c.strip() for c in (reserved_columns or "").split(",")
                 if c.strip()]

@@ -50,6 +50,7 @@ class BaseModel(metaclass=_meta):
         self._sample_weights = list(sample_weights or [])
         self._mesh = mesh
         self._sparse_optimizer = sparse_optimizer
+        self._plan = kwargs.get("plan")
         self._num_class = int(getattr(model_config, "num_class", 1) or 1)
         which = model_config.WhichOneof("model")
         self._model_config = getattr(model_config, which) if which else None
@@ -70,6 +71,7 @@ class BaseModel(metaclass=_meta):
             sparse_optimizer=self._sparse_optimizer,
             wide_embedding_dim=wide_embedding_dim,
             wide_init_fn=wide_init_fn,
+            plan=self._plan,
         )
 
     def group_dim(self, name: str) -> int:
