@@ -1,0 +1,138 @@
+"""Tools tests: hitrate, faiss index, TDM tree, fg.json CLI."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def test_hitrate_bruteforce():
+    from torcheasyrec_tpu.tools.hitrate import compute_hitrate
+
+    rng = np.random.default_rng(0)
+    item_emb = rng.normal(size=(200, 16)).astype(np.float32)
+    item_ids = np.arange(200, dtype=np.int64)
+    # queries = noisy copies of some items -> their gt should be retrieved
+    picks = rng.integers(0, 200, size=50)
+    query = item_emb[picks] + rng.normal(size=(50, 16)).astype(np.float32) * 0.01
+    gt = [[int(p)] for p in picks]
+    hitrate, per_q = compute_hitrate(query, gt, item_ids, item_emb, top_k=5)
+    assert hitrate > 0.95
+
+
+def test_faiss_index_fallback(tmp_path):
+    from torcheasyrec_tpu.tools.create_faiss_index import build_index
+
+    tmp_path = str(tmp_path)
+    rng = np.random.default_rng(0)
+    tbl = pa.table({
+        "id": pa.array(np.arange(50, dtype=np.int64)),
+        "embedding": pa.array(list(rng.normal(size=(50, 8)).astype(
+            np.float32
+        ))),
+    })
+    path = os.path.join(tmp_path, "emb.parquet")
+    pq.write_table(tbl, path)
+    out = build_index(path, os.path.join(tmp_path, "index"))
+    assert os.path.exists(out)
+
+
+def test_tdm_tree_build_and_beam_search(tmp_path):
+    from torcheasyrec_tpu.tools.tdm.gen_tree import (
+        beam_search_retrieval,
+        init_tree,
+    )
+
+    tmp_path = str(tmp_path)
+    n_items = 37
+    tbl = pa.table({
+        "id": pa.array(np.arange(n_items, dtype=np.int64)),
+        "weight": pa.array(np.ones(n_items)),
+        "attrs": pa.array([str(i) for i in range(n_items)]),
+    })
+    items = os.path.join(tmp_path, "items.parquet")
+    pq.write_table(tbl, items)
+    out = os.path.join(tmp_path, "tree")
+    init_tree(items, out, branching=2)
+
+    edges = pq.read_table(os.path.join(out, "edge_table.parquet"))
+    parents = edges.column("parent").to_numpy(zero_copy_only=False)
+    childs = edges.column("child").to_numpy(zero_copy_only=False)
+    children = {}
+    for p, c in zip(parents, childs):
+        children.setdefault(int(p), []).append(int(c))
+    root = int(open(os.path.join(out, "root_id.txt")).read())
+    # every leaf reachable from root
+    seen = set()
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        if n < n_items:
+            seen.add(n)
+        stack.extend(children.get(n, []))
+    assert seen == set(range(n_items))
+
+    # beam search with an oracle scorer prefers the target leaf's path
+    target = 17
+    # score nodes by whether target is under them
+    def under(n):
+        if n == target:
+            return True
+        return any(under(c) for c in children.get(n, []))
+
+    def score_fn(cands):
+        return np.asarray([1.0 if under(int(c)) else 0.0 for c in cands])
+
+    leaves = beam_search_retrieval(score_fn, children, root, beam=1)
+    assert leaves == [target]
+
+
+def test_tdm_sampler_with_generated_tree(tmp_path):
+    """TDMSampler consumes the generated tree tables."""
+    from google.protobuf import text_format
+
+    from torcheasyrec_tpu.datasets.sampler import TDMSampler
+    from torcheasyrec_tpu.protos import sampler_pb2
+    from torcheasyrec_tpu.tools.tdm.gen_tree import init_tree
+
+    tmp_path = str(tmp_path)
+    n_items = 16
+    tbl = pa.table({
+        "id": pa.array(np.arange(n_items, dtype=np.int64)),
+        "weight": pa.array(np.ones(n_items)),
+        "attrs": pa.array([str(i) for i in range(n_items)]),
+    })
+    items = os.path.join(tmp_path, "items.parquet")
+    pq.write_table(tbl, items)
+    tree_dir = os.path.join(tmp_path, "tree")
+    init_tree(items, tree_dir, branching=2)
+
+    cfg = text_format.Parse(
+        f"""
+        item_input_path: "{os.path.join(tree_dir, 'node_table.parquet')}"
+        edge_input_path: "{os.path.join(tree_dir, 'edge_table.parquet')}"
+        predict_edge_input_path: "{os.path.join(tree_dir, 'edge_table.parquet')}"
+        attr_fields: "item_id"
+        item_id_field: "item_id"
+        layer_num_sample: [1, 2, 2, 2]
+        """,
+        sampler_pb2.TDMSampler(),
+    )
+    sampler = TDMSampler(cfg, batch_size=4, label_field="label")
+    cols = {
+        "user_id": pa.array([1, 2], type=pa.int64()),
+        "item_id": pa.array([3, 7], type=pa.int64()),
+        "label": pa.array([1.0, 1.0]),
+    }
+    out = sampler.process(cols)
+    labels = out["label"].to_numpy(zero_copy_only=False)
+    items_out = out["item_id"].to_numpy(zero_copy_only=False)
+    users = out["user_id"].to_numpy(zero_copy_only=False)
+    assert len(labels) > 4  # expanded
+    assert set(np.unique(labels)) <= {0.0, 1.0}
+    assert labels.max() == 1.0 and labels.min() == 0.0
+    assert len(users) == len(items_out) == len(labels)

@@ -363,6 +363,14 @@ def train_and_evaluate(
     rng = jax.random.key(1234)
 
     train_metrics = model.init_train_metrics()
+    tb = None
+    if train_config.use_tensorboard:
+        from torcheasyrec_tpu.utils.summary_util import SummaryWriter
+
+        tb = SummaryWriter(
+            os.path.join(model_dir, "tb"),
+            list(train_config.tensorboard_summaries) or None,
+        )
     delta_dumper = None
     if train_config.HasField("delta_embedding_dump_config"):
         from torcheasyrec_tpu.utils.delta_embedding_dump import (
@@ -427,6 +435,8 @@ def train_and_evaluate(
                     f"step {step}: {loss_str} lr_mult={lr_mult:.4f} "
                     f"({rate:.0f} ex/s)"
                 )
+                if tb is not None:
+                    tb.log_scalars(step, m, lr_mult)
             plogger.log(step)
 
             if ckpt_manager.should_save(
@@ -471,6 +481,9 @@ def train_and_evaluate(
         model, eval_step, state, eval_dl, mesh, pipeline_config, step,
         model_dir,
     )
+    if tb is not None:
+        tb.log_eval(step, eval_result)
+        tb.close()
     logger.info(f"training done at step {step}: {eval_result}")
     return eval_result
 

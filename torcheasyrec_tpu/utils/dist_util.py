@@ -1,0 +1,75 @@
+"""Multi-host runtime initialization.
+
+Counterpart of /root/reference/tzrec/utils/dist_util.py (:57-75
+init_process_group). TPU-native: one process per host,
+``jax.distributed.initialize`` discovers the pod topology from the TPU
+environment (or explicit coordinator envs for CPU testing); the global
+device mesh then spans all hosts' chips over ICI/DCN. No NCCL/Gloo —
+collectives are XLA's.
+
+Env contract (mirrors torchrun's of the reference):
+  TZREC_COORDINATOR / TZREC_NUM_PROCESSES / TZREC_PROCESS_ID for
+  explicit bootstrap; unset = single-process or TPU auto-detection.
+"""
+
+import os
+from typing import Optional
+
+import jax
+
+from torcheasyrec_tpu.utils.logging_util import logger
+
+_INITIALIZED = False
+
+
+def init_distributed() -> bool:
+    """Initialize multi-host jax if configured; returns True when the
+    runtime is multi-process."""
+    global _INITIALIZED
+    if _INITIALIZED:
+        return jax.process_count() > 1
+    coordinator = os.environ.get("TZREC_COORDINATOR")
+    num_procs = os.environ.get("TZREC_NUM_PROCESSES")
+    proc_id = os.environ.get("TZREC_PROCESS_ID")
+    try:
+        if coordinator and num_procs and proc_id:
+            jax.distributed.initialize(
+                coordinator_address=coordinator,
+                num_processes=int(num_procs),
+                process_id=int(proc_id),
+            )
+            _INITIALIZED = True
+        elif os.environ.get("TPU_WORKER_HOSTNAMES") and os.environ.get(
+            "TZREC_AUTO_DISTRIBUTED"
+        ):
+            jax.distributed.initialize()
+            _INITIALIZED = True
+    except Exception as e:  # noqa: BLE001
+        logger.warning(f"jax.distributed.initialize failed: {e}")
+    if _INITIALIZED:
+        logger.info(
+            f"distributed: process {jax.process_index()} / "
+            f"{jax.process_count()}, {jax.device_count()} global devices"
+        )
+    return jax.process_count() > 1
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0
+
+
+def barrier(name: str = "barrier") -> None:
+    """Cross-host sync (reference dist.barrier equivalents)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
+def broadcast_host_data(data, name: str = "bcast"):
+    """Broadcast small host data from process 0 to all."""
+    if jax.process_count() <= 1:
+        return data
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.broadcast_one_to_all(data)
