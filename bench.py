@@ -11,6 +11,14 @@ vs_baseline: ratio against an assumed A100 baseline of 350k examples/s
 for this config (BASELINE.md's north star is >=2x A100 per chip; the
 reference publishes no throughput numbers, so this constant is our
 documented stand-in until a measured A100 run replaces it).
+
+Methodology: the headline value is the DEVICE compute path (jitted
+train step over device-resident batches, state threaded through donated
+buffers) — embedding lookup + fused sparse update + dense fwd/bwd/optax.
+``pipeline_examples_per_sec`` additionally includes host-side Arrow
+parsing and H2D transfer through this container's TPU tunnel (which is
+far slower than a production host's local PCIe, so it underestimates
+real end-to-end throughput).
 """
 
 import json
@@ -131,6 +139,10 @@ def main() -> None:
         cols[f"cat_{i}"] = pa.array(rng.integers(0, n, BATCH_SIZE))
     batch = parser.parse_to_batch(cols)
     batch = _shard_batch(batch, mesh)
+    if mesh is None:
+        import jax.numpy as _jnp
+
+        batch = jax.tree_util.tree_map(_jnp.asarray, batch)
 
     dense_params, tables, sparse_opt_state = _init_state(model, cfg)
     tx, dense_sched = create_dense_optimizer(
@@ -161,18 +173,56 @@ def main() -> None:
     jax.block_until_ready(metrics["total_loss"])
     dt = time.perf_counter() - t0
 
+    # end-to-end pipeline rate: host parse + H2D + step, overlapped
+    def _gen_cols(seed):
+        r = np.random.default_rng(seed)
+        c = {"label": pa.array((r.random(BATCH_SIZE) > 0.5).astype(
+            np.float32))}
+        for i in range(13):
+            c[f"int_{i}"] = pa.array(
+                r.normal(size=BATCH_SIZE).astype(np.float32)
+            )
+        for i, n in enumerate(CRITEO_BUCKETS):
+            c[f"cat_{i}"] = pa.array(r.integers(0, n, BATCH_SIZE))
+        return c
+
+    import queue as _queue
+    import threading as _threading
+
+    n_pipe = 10
+    q: "_queue.Queue" = _queue.Queue(maxsize=4)
+
+    def _producer():
+        for i in range(n_pipe):
+            b = parser.parse_to_batch(_gen_cols(i))
+            b = jax.tree_util.tree_map(jnp.asarray, b)
+            q.put(b)
+
+    t = _threading.Thread(target=_producer, daemon=True)
+    t0 = time.perf_counter()
+    t.start()
+    for _ in range(n_pipe):
+        state, metrics, _ = train_step(state, q.get(), step_rng)
+    jax.block_until_ready(metrics["total_loss"])
+    pipe_dt = time.perf_counter() - t0
+    pipeline_eps = BATCH_SIZE * n_pipe / pipe_dt
+
     n_dev = len(jax.devices())
-    examples_per_sec = BATCH_SIZE * STEPS / dt
-    per_chip = examples_per_sec / n_dev
+    compute_eps = BATCH_SIZE * STEPS / dt / n_dev
+    per_chip = pipeline_eps / n_dev
     result = {
         "metric": "deepfm_criteo_train_examples_per_sec_per_chip",
         "value": round(per_chip, 1),
         "unit": "examples/s/chip",
         "vs_baseline": round(per_chip / A100_BASELINE_EXAMPLES_PER_SEC, 3),
-        "total_examples_per_sec": round(examples_per_sec, 1),
+        "compute_path_examples_per_sec": round(compute_eps, 1),
+        "compute_step_ms": round(dt / STEPS * 1000, 3),
         "n_devices": n_dev,
         "batch_size": BATCH_SIZE,
-        "step_ms": round(dt / STEPS * 1000, 2),
+        "methodology": "value = end-to-end pipeline (host Arrow parse + "
+                       "tunnel H2D + jitted train step, overlapped); "
+                       "compute_path = device-resident batches, the "
+                       "per-chip ceiling",
         "platform": jax.devices()[0].platform,
     }
     print(json.dumps(result))

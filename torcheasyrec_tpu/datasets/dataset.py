@@ -228,9 +228,17 @@ class BaseDataset(metaclass=_dataset_meta):
 
 
 class PrefetchIterator:
-    """Background-thread prefetch of (Batch, BatchInfo) items."""
+    """Background-thread prefetch of (Batch, BatchInfo) items.
 
-    def __init__(self, iterable, prefetch: int = 4) -> None:
+    When ``device_put_fn`` is set, batches are transferred to device in
+    the prefetch thread so H2D overlaps the previous step's compute
+    (replacing the reference pipeline's copy-on-side-stream,
+    dist_util.py:266-272).
+    """
+
+    def __init__(self, iterable, prefetch: int = 4,
+                 device_put_fn=None) -> None:
+        self._device_put_fn = device_put_fn
         self._q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._done = object()
         self._err: Optional[BaseException] = None
@@ -238,6 +246,8 @@ class PrefetchIterator:
         def _worker() -> None:
             try:
                 for item in iterable:
+                    if self._device_put_fn is not None:
+                        item = (self._device_put_fn(item[0]), item[1])
                     self._q.put(item)
             except BaseException as e:  # noqa: BLE001
                 self._err = e
@@ -357,8 +367,10 @@ def create_dataloader(
         data_config, features, input_path, reader, mode, sampler, debug_level
     )
 
-    def _make_iter():
-        return PrefetchIterator(iter(dataset), prefetch=prefetch)
+    def _make_iter(device_put_fn=None):
+        return PrefetchIterator(
+            iter(dataset), prefetch=prefetch, device_put_fn=device_put_fn
+        )
 
     _make_iter.dataset = dataset
     _make_iter.reader = reader

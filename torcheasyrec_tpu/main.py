@@ -397,12 +397,16 @@ def train_and_evaluate(
     if profiling:
         jax.profiler.start_trace(os.path.join(model_dir, "profile"))
 
+    def _to_device(b):
+        if mesh is not None:
+            return _shard_batch(b, mesh)
+        return jax.tree_util.tree_map(jnp.asarray, b)
+
     for epoch in range(num_epochs):
         if stop:
             break
-        for batch, info in train_dl():
+        for batch, info in train_dl(device_put_fn=_to_device):
             step_rng = jax.random.fold_in(rng, step)
-            batch = _shard_batch(batch, mesh)
             state, metrics, state_updates = train_step(
                 state, batch, step_rng
             )
