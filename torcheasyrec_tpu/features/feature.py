@@ -435,6 +435,11 @@ class BaseFeature(metaclass=_meta_cls):
             return len(c.boundaries) + 1
         if getattr(c, "zch", None) and c.HasField("zch"):
             return int(c.zch.zch_size)
+        try:
+            if getattr(c, "dynamicemb", None) and c.HasField("dynamicemb"):
+                return int(c.dynamicemb.max_capacity)
+        except ValueError:
+            pass
         raise ValueError(f"feature {self.name}: cannot infer id space size")
 
     def _vocab_file_size(self) -> int:

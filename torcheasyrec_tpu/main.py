@@ -188,8 +188,11 @@ def _init_state(model, pipeline_config, seed: int = 42):
     return dense_params, tables, sparse_opt_state
 
 
-def make_train_step(model, tx, sparse_sched, dense_sched, compute_dtype):
+def make_train_step(model, tx, sparse_sched, dense_sched, compute_dtype,
+                    grad_accum_steps: int = 1,
+                    grad_scaler_cfg=None):
     engine = model.embedding_group.engine
+    use_scaler = grad_scaler_cfg is not None and compute_dtype == jnp.float16
 
     def train_step(state, batch: Batch, rng):
         step = state["step"]
@@ -214,23 +217,72 @@ def make_train_step(model, tx, sparse_sched, dense_sched, compute_dtype):
             total = model.total_loss(losses)
             return total, (losses, ctx.state_updates)
 
-        (total, (losses, state_updates)), grads = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True
-        )(state["dense"], emb_out)
+        if use_scaler:
+            scale = state["scaler"]["scale"]
+
+            def scaled_loss_fn(dense, emb):
+                total, aux = loss_fn(dense, emb)
+                return total * scale, (total, aux)
+
+            (_, (total, (losses, state_updates))), grads = (
+                jax.value_and_grad(
+                    scaled_loss_fn, argnums=(0, 1), has_aux=True
+                )(state["dense"], emb_out)
+            )
+            inv = 1.0 / scale
+            grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+        else:
+            (total, (losses, state_updates)), grads = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(state["dense"], emb_out)
         dgrads, emb_grads = grads
+        grads_finite = jnp.bool_(True)
+        if use_scaler:
+            grads_finite = jnp.all(jnp.asarray([
+                jnp.all(jnp.isfinite(g))
+                for g in jax.tree_util.tree_leaves((dgrads, emb_grads))
+            ]))
 
         lr_scale = sparse_sched["fn"](step)
+        if use_scaler:
+            lr_scale = jnp.where(grads_finite, lr_scale, 0.0)
         tables, sparse_opt = engine.update(
             state["tables"], state["sparse_opt"], residuals, emb_grads,
             lr_scale,
         )
 
-        updates, dense_opt = tx.update(
-            dgrads, state["dense_opt"], state["dense"]
-        )
-        mult = dense_sched["fn"](step)
-        updates = jax.tree_util.tree_map(lambda u: u * mult, updates)
-        dense = optax.apply_updates(state["dense"], updates)
+        if grad_accum_steps > 1:
+            accum = jax.tree_util.tree_map(
+                lambda a, g: a + g, state["accum_grads"], dgrads
+            )
+            apply_now = (step + 1) % grad_accum_steps == 0
+            dgrads = jax.tree_util.tree_map(
+                lambda a: a / grad_accum_steps, accum
+            )
+            updates, dense_opt_new = tx.update(
+                dgrads, state["dense_opt"], state["dense"]
+            )
+            mult = dense_sched["fn"](step) * apply_now.astype(jnp.float32)
+            updates = jax.tree_util.tree_map(lambda u: u * mult, updates)
+            dense = optax.apply_updates(state["dense"], updates)
+            dense_opt = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(apply_now, new, old)
+                if hasattr(new, "dtype") else new,
+                dense_opt_new, state["dense_opt"],
+            )
+            accum = jax.tree_util.tree_map(
+                lambda a: a * (1.0 - apply_now.astype(jnp.float32)), accum
+            )
+        else:
+            updates, dense_opt = tx.update(
+                dgrads, state["dense_opt"], state["dense"]
+            )
+            mult = dense_sched["fn"](step)
+            if use_scaler:
+                mult = jnp.where(grads_finite, mult, 0.0)
+            updates = jax.tree_util.tree_map(lambda u: u * mult, updates)
+            dense = optax.apply_updates(state["dense"], updates)
+            accum = None
 
         new_state = {
             "dense": dense,
@@ -241,6 +293,24 @@ def make_train_step(model, tx, sparse_sched, dense_sched, compute_dtype):
         }
         if model.embedding_group.has_zch:
             new_state["zch"] = new_zch
+        if grad_accum_steps > 1:
+            new_state["accum_grads"] = accum
+        if use_scaler:
+            sc = state["scaler"]
+            growth = float(grad_scaler_cfg.growth_factor)
+            backoff = float(grad_scaler_cfg.backoff_factor)
+            interval = int(grad_scaler_cfg.growth_interval)
+            good = jnp.where(grads_finite, sc["good_steps"] + 1, 0)
+            new_scale = jnp.where(
+                grads_finite,
+                jnp.where(good >= interval, sc["scale"] * growth,
+                          sc["scale"]),
+                sc["scale"] * backoff,
+            )
+            new_state["scaler"] = {
+                "scale": new_scale,
+                "good_steps": jnp.where(good >= interval, 0, good),
+            }
         metrics = {"total_loss": total, **losses}
         return new_state, metrics, state_updates
 
@@ -351,8 +421,25 @@ def train_and_evaluate(
         data_config, features, pipeline_config.eval_input_path, mode="eval"
     )
 
+    grad_accum = int(train_config.gradient_accumulation_steps or 1)
+    scaler_cfg = (
+        train_config.grad_scaler
+        if train_config.HasField("grad_scaler") else None
+    )
+    if grad_accum > 1:
+        state["accum_grads"] = jax.tree_util.tree_map(
+            jnp.zeros_like, state["dense"]
+        )
+    if scaler_cfg is not None and compute_dtype == jnp.float16:
+        state["scaler"] = {
+            "scale": jnp.float32(scaler_cfg.init_scale),
+            "good_steps": jnp.int32(0),
+        }
     train_step = jax.jit(
-        make_train_step(model, tx, sparse_sched, dense_sched, compute_dtype),
+        make_train_step(
+            model, tx, sparse_sched, dense_sched, compute_dtype,
+            grad_accum_steps=grad_accum, grad_scaler_cfg=scaler_cfg,
+        ),
         donate_argnums=(0,),
     )
     eval_step = jax.jit(make_eval_step(model, compute_dtype))
@@ -659,6 +746,68 @@ def export(
 # ---------------------------------------------------------------------------
 # predict
 # ---------------------------------------------------------------------------
+
+
+def predict_checkpoint(
+    pipeline_config_path: str,
+    predict_input_path: str,
+    predict_output_path: str,
+    checkpoint_path: Optional[str] = None,
+    reserved_columns: Optional[str] = None,
+    output_columns: Optional[str] = None,
+    batch_size: Optional[int] = None,
+) -> None:
+    """Batch inference directly from a training checkpoint
+    (reference main.py:1358 predict_checkpoint)."""
+    import pyarrow as pa
+
+    from torcheasyrec_tpu.datasets.dataset import create_writer
+
+    pipeline_config = config_util.load_pipeline_config(pipeline_config_path)
+    if batch_size:
+        pipeline_config.data_config.batch_size = batch_size
+    compute_dtype = _compute_dtype(pipeline_config.train_config)
+    model, features, _ = _build_model_and_optim(pipeline_config, None)
+    dense_params, tables, _ = _init_state(model, pipeline_config)
+    sub = {"dense": dense_params, "tables": tables}
+    if model.embedding_group.has_zch:
+        sub["zch"] = model.embedding_group.init_zch_states()
+    ckpt = checkpoint_path or checkpoint_util.latest_checkpoint(
+        pipeline_config.model_dir
+    )
+    if ckpt:
+        sub = checkpoint_util.restore_model(ckpt, sub)
+    state = dict(sub)
+    state["step"] = jnp.zeros((), jnp.int32)
+
+    reserved = [c.strip() for c in (reserved_columns or "").split(",")
+                if c.strip()]
+    dl = create_dataloader(
+        pipeline_config.data_config, features, predict_input_path,
+        mode="predict", reserved_columns=reserved,
+    )
+    writer = create_writer(
+        predict_output_path,
+        "ParquetWriter"
+        if not predict_output_path.endswith(".csv") else "CsvWriter",
+    )
+    _estep = make_eval_step(model, compute_dtype, with_loss=False)
+    eval_step = jax.jit(lambda state, batch: _estep(state, batch)[0])
+    out_cols = [c.strip() for c in (output_columns or "").split(",")
+                if c.strip()]
+    n = 0
+    for batch, info in dl():
+        preds = jax.device_get(eval_step(state, batch))
+        out: Dict[str, pa.Array] = {}
+        for k, v in preds.items():
+            if k.startswith("__") or (out_cols and k not in out_cols):
+                continue
+            v = np.asarray(v)
+            out[k] = pa.array(v) if v.ndim == 1 else pa.array(list(v))
+        writer.write(out)
+        n += info.batch_size
+    writer.close()
+    logger.info(f"predicted {n} examples -> {predict_output_path}")
 
 
 def predict(

@@ -42,6 +42,13 @@ from torcheasyrec_tpu.protos import model_pb2
 _DP_ROWS_THRESHOLD = 8192
 
 
+def _has_field(msg, name: str) -> bool:
+    try:
+        return msg.HasField(name)
+    except ValueError:
+        return False
+
+
 class EmbeddingGroup(M.Module):
     def __init__(
         self,
@@ -218,6 +225,21 @@ class EmbeddingGroup(M.Module):
                 self._zch_cfgs[f.name] = zch_mod.ZchConfig(
                     size=int(zc.zch_size), policy=policy,
                     decay_exponent=decay,
+                )
+                continue
+            # DynamicEmbedding maps onto the same zero-collision table
+            # (reference dynamicemb HKV hash table, feature.proto
+            # DynamicEmbedding; score_strategy -> eviction policy)
+            de = getattr(f.config, "dynamicemb", None)
+            if de is not None and hasattr(
+                f.config, "HasField"
+            ) and _has_field(f.config, "dynamicemb"):
+                policy = {
+                    "LFU": "lfu", "STEP": "lru", "TIMESTAMP": "lru",
+                    "NO_EVICTION": "lfu",
+                }.get((de.score_strategy or "STEP").upper(), "lru")
+                self._zch_cfgs[f.name] = zch_mod.ZchConfig(
+                    size=int(de.max_capacity), policy=policy,
                 )
 
     @property

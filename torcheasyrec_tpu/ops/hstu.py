@@ -148,6 +148,48 @@ def _jax_hstu_mha(
     return out.astype(v.dtype)
 
 
+def delta_hstu_mha(
+    delta_q: jnp.ndarray,  # [B, Ld, H, D] — queries for NEW tokens only
+    k: jnp.ndarray,  # [B, N, H, D] cached + new keys
+    v: jnp.ndarray,  # [B, N, H, V]
+    lengths: jnp.ndarray,  # [B] total valid tokens (incl. the new ones)
+    alpha: float,
+    num_targets: Optional[jnp.ndarray] = None,
+    max_attn_len: int = 0,
+    contextual_seq_len: int = 0,
+    scaling_seqlen: int = -1,
+) -> jnp.ndarray:
+    """Cached/incremental attention (reference pt_hstu_attention.py
+    pytorch_cached_hstu_mha :239-267, delta dispatch
+    ops/hstu_attention.py:199-267): the Ld new tokens sit at positions
+    [lengths - Ld, lengths); each attends causally over the cached
+    sequence. Returns [B, Ld, H, V]."""
+    b, ld, h, d = delta_q.shape
+    n = k.shape[1]
+    if scaling_seqlen == -1:
+        scaling_seqlen = n
+    qk = jnp.einsum(
+        "bxhd,byhd->bhxy", delta_q, k, preferred_element_type=jnp.float32
+    ) * alpha
+    attn = jax.nn.silu(qk) / scaling_seqlen
+    # row position of delta token x = lengths - Ld + x
+    row_pos = (
+        lengths.astype(jnp.int32)[:, None] - ld
+        + jnp.arange(ld, dtype=jnp.int32)[None, :]
+    )  # [B, Ld]
+    full = valid_attn_mask(
+        n, lengths, True, num_targets, max_attn_len, contextual_seq_len, 0
+    )  # [B, N, N]
+    rows = jnp.clip(row_pos, 0, n - 1)
+    mask = jnp.take_along_axis(full, rows[:, :, None], axis=1)  # [B, Ld, N]
+    attn = attn * mask[:, None].astype(attn.dtype)
+    out = jnp.einsum(
+        "bhxy,byhv->bxhv", attn.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(v.dtype)
+
+
 def hstu_compute_uqvk(
     x: jnp.ndarray,  # [B, N, E]
     norm_scale: jnp.ndarray,
