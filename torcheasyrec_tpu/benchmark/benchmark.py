@@ -1,0 +1,86 @@
+"""Metric-regression benchmark harness.
+
+Counterpart of /root/reference/tzrec/benchmark/benchmark.py (:30-57):
+runs configs ``run_cnt`` times, compares eval metrics against labeled
+baselines with thresholds, and prints BETTER/WORSE/BALANCE per metric
+(the reference's weekly CI lane, SURVEY.md §4).
+
+Baseline file format (mirrors base_eval_metric.json):
+{
+  "<config path>": {
+    "run_cnt": 2,
+    "metrics": {"auc": {"value": 0.784, "threshold": 0.003}}
+  }
+}
+"""
+
+import argparse
+import json
+from typing import Dict
+
+from torcheasyrec_tpu.utils.logging_util import logger
+
+BETTER = "BETTER"
+WORSE = "WORSE"
+BALANCE = "BALANCE"
+
+
+def compare(value: float, baseline: float, threshold: float) -> str:
+    if value > baseline + threshold:
+        return BETTER
+    if value < baseline - threshold:
+        return WORSE
+    return BALANCE
+
+
+def run_benchmark(
+    baseline_path: str,
+    edit_config_json: str = None,
+) -> Dict[str, Dict[str, str]]:
+    from torcheasyrec_tpu import main as tzrec_main
+
+    with open(baseline_path) as f:
+        baselines = json.load(f)
+    report: Dict[str, Dict[str, str]] = {}
+    for config_path, spec in baselines.items():
+        run_cnt = int(spec.get("run_cnt", 1))
+        agg: Dict[str, float] = {}
+        for i in range(run_cnt):
+            result = tzrec_main.train_and_evaluate(
+                config_path, edit_config_json=edit_config_json
+            )
+            for k, v in result.items():
+                try:
+                    agg[k] = agg.get(k, 0.0) + float(v)
+                except (TypeError, ValueError):
+                    pass
+        agg = {k: v / run_cnt for k, v in agg.items()}
+        verdicts = {}
+        for mname, mspec in spec.get("metrics", {}).items():
+            if mname not in agg:
+                verdicts[mname] = "MISSING"
+                continue
+            verdicts[mname] = compare(
+                agg[mname], float(mspec["value"]),
+                float(mspec.get("threshold", 0.003)),
+            )
+            logger.info(
+                f"{config_path} {mname}: {agg[mname]:.4f} vs "
+                f"{mspec['value']} -> {verdicts[mname]}"
+            )
+        report[config_path] = verdicts
+    print(json.dumps(report, indent=2))
+    return report
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--baseline_path", required=True)
+    parser.add_argument("--edit_config_json", default=None)
+    args = parser.parse_args()
+    report = run_benchmark(args.baseline_path, args.edit_config_json)
+    worse = [
+        (c, m) for c, ms in report.items()
+        for m, v in ms.items() if v in ("WORSE", "MISSING")
+    ]
+    raise SystemExit(1 if worse else 0)

@@ -701,7 +701,13 @@ def export(
     dense_params, tables, sparse_opt_state = _init_state(
         model, pipeline_config
     )
-    ckpt = checkpoint_path or checkpoint_util.latest_checkpoint(model_dir)
+    ckpt = checkpoint_path
+    if ckpt is None and (
+        pipeline_config.export_config.exporter_type == "best"
+    ):
+        ckpt = _best_checkpoint(pipeline_config, model_dir)
+    if ckpt is None:
+        ckpt = checkpoint_util.latest_checkpoint(model_dir)
     sub = {"dense": dense_params, "tables": tables}
     if ckpt:
         sub = checkpoint_util.restore_model(ckpt, sub)
@@ -741,6 +747,42 @@ def export(
         f"exported model to {export_dir}"
         + (f" (embeddings quantized {quant_dtype})" if quant_dtype else "")
     )
+
+
+def _best_checkpoint(pipeline_config, model_dir) -> Optional[str]:
+    """Pick the checkpoint whose eval metric was best (reference
+    export.proto exporter_type=best + eval_result jsonl,
+    checkpoint_util.py:236-299)."""
+    metric = pipeline_config.export_config.best_exporter_metric or "auc"
+    larger = pipeline_config.export_config.metric_larger_is_better
+    path = os.path.join(model_dir, constant.TRAIN_EVAL_RESULT_FILENAME)
+    if not os.path.exists(path):
+        return None
+    best_step, best_val = None, None
+    with open(path) as f:
+        for line in f:
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if metric not in rec:
+                continue
+            v = float(rec[metric])
+            better = (
+                best_val is None
+                or (v > best_val if larger else v < best_val)
+            )
+            if better:
+                best_val, best_step = v, int(rec["global_step"])
+    if best_step is None:
+        return None
+    candidates = checkpoint_util.list_checkpoints(model_dir)
+    if best_step not in candidates:
+        return None
+    logger.info(
+        f"best exporter: step {best_step} ({metric}={best_val:.5f})"
+    )
+    return os.path.join(model_dir, f"model.ckpt-{best_step}")
 
 
 # ---------------------------------------------------------------------------
