@@ -57,7 +57,7 @@ def test_parse_to_batch():
     assert seq.values.shape == (3, 4)
     # truncation keeps most recent steps
     np.testing.assert_array_equal(seq.values[0], [3, 4, 5, 6])
-    np.testing.assert_array_equal(seq.values[1], [9, 0, 0, 0])
+    np.testing.assert_array_equal(seq.values[1], [9, -1, -1, -1])
     np.testing.assert_array_equal(seq.lengths, [4, 1, 0])
 
     np.testing.assert_array_equal(batch.labels["label"], [1.0, 0.0, 1.0])

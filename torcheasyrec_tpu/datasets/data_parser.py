@@ -125,11 +125,13 @@ class DataParser:
 def _pad_sequence_sparse(
     feature: BaseFeature, data: SequenceSparseData
 ) -> SparseField:
-    """SequenceSparseData -> SparseField(values [B, L] ids, lengths [B]).
+    """SequenceSparseData -> SparseField.
 
-    Multi-value steps (lengths > 1) are not yet supported on this path;
-    the reference pools them with segment_reduce
-    (embedding.py:1296-1309) — tracked for the sequence widening phase.
+    Single-value steps: values [B, L] ids, lengths [B]. Multi-value
+    steps (the reference pools them with segment_reduce,
+    embedding.py:1296-1309): values [B, L, K] with padding id -1 — the
+    engine sum-pools the K slots per step. Padding positions use id -1
+    so they gather zeros and never receive optimizer updates.
     """
     b = len(data.seq_lengths)
     max_len = feature.effective_sequence_length
@@ -138,17 +140,25 @@ def _pad_sequence_sparse(
             int(data.seq_lengths.max()) if b else 1, minimum=8
         )
     seq_lengths = np.minimum(data.seq_lengths, max_len).astype(np.int32)
-    ids = np.zeros((b, max_len), dtype=np.int64)
-    if np.any(data.lengths > 1):
-        # multi-value per step: keep the first id per step (lossy fallback)
-        step_starts = np.concatenate([[0], np.cumsum(data.lengths)])[:-1]
-        step_first = data.values[
-            np.minimum(step_starts, max(len(data.values) - 1, 0))
-        ] if len(data.values) else np.zeros((0,), np.int64)
-        vals = step_first
-    else:
-        vals = data.values
-    # distribute per-sample steps; truncate to the most recent max_len
+    multival = bool(np.any(data.lengths > 1))
+    if multival:
+        k = bucketize_size(int(data.lengths.max()), minimum=2)
+        ids = np.full((b, max_len, k), -1, dtype=np.int64)
+        step_starts = np.concatenate([[0], np.cumsum(data.lengths)])
+        step_idx = 0
+        for i in range(b):
+            n = int(data.seq_lengths[i])
+            take = min(n, max_len)
+            # most recent `take` steps
+            for j in range(take):
+                s = step_idx + n - take + j
+                lo, hi = int(step_starts[s]), int(step_starts[s + 1])
+                cnt = min(hi - lo, k)
+                ids[i, j, :cnt] = data.values[lo : lo + cnt]
+            step_idx += n
+        return SparseField(values=ids, lengths=seq_lengths)
+    ids = np.full((b, max_len), -1, dtype=np.int64)
+    vals = data.values
     pos = 0
     for i in range(b):
         n = int(data.seq_lengths[i])

@@ -24,15 +24,22 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BQ = 128
-BK = 128
+# block sizes: 256 keeps the MXU busy (two 128-lane tiles per dot);
+# shapes not divisible by 256 fall back to 128-blocks
+def _block(n: int) -> int:
+    if n % 256 == 0:
+        return 256
+    return 128
+
+BQ = 256  # default; per-call block size comes from _block(n)
+BK = 256
 
 
 def _mask_block(
     rows, cols, seq_len, n_targets, causal, max_attn_len,
     contextual_seq_len, min_full_attn_seq_len,
 ):
-    """[BQ, BK] bool mask for true row/col position blocks."""
+    """[bq, bk] bool mask for true row/col position blocks."""
     ids_r, ids_c = rows, cols
     max_ids = seq_len
     if contextual_seq_len > 0:
@@ -73,8 +80,9 @@ def _dsilu(x):
 def _fwd_kernel(
     lengths_ref, targets_ref, q_ref, k_ref, v_ref, o_ref,
     *, h, n, alpha, scale, causal, has_targets, max_attn_len,
-    contextual_seq_len, min_full_attn_seq_len,
+    contextual_seq_len, min_full_attn_seq_len, bq, bk,
 ):
+    BQ, BK = bq, bk
     bh = pl.program_id(0)
     qi = pl.program_id(1)
     b = bh // h
@@ -119,8 +127,9 @@ def _bwd_dv_dk_kernel(
     lengths_ref, targets_ref, q_ref, k_ref, v_ref, do_ref,
     dv_ref, dk_ref,
     *, h, n, alpha, scale, causal, has_targets, max_attn_len,
-    contextual_seq_len, min_full_attn_seq_len,
+    contextual_seq_len, min_full_attn_seq_len, bq, bk,
 ):
+    BQ, BK = bq, bk
     """grid (BH, num_k_blocks): dv_j = sum_i s_ij^T do_i;
     dk_j = sum_i (ds_ij)^T q_i."""
     bh = pl.program_id(0)
@@ -177,8 +186,9 @@ def _bwd_dv_dk_kernel(
 def _bwd_dq_kernel(
     lengths_ref, targets_ref, q_ref, k_ref, v_ref, do_ref, dq_ref,
     *, h, n, alpha, scale, causal, has_targets, max_attn_len,
-    contextual_seq_len, min_full_attn_seq_len,
+    contextual_seq_len, min_full_attn_seq_len, bq, bk,
 ):
+    BQ, BK = bq, bk
     bh = pl.program_id(0)
     qi = pl.program_id(1)
     b = bh // h
@@ -267,21 +277,22 @@ def _fwd_impl(
     bh, n, d = q.shape
     vd = v.shape[-1]
     h = bh // lengths.shape[0]
+    bq = bk = _block(n)
     kernel = functools.partial(
         _fwd_kernel, h=h, n=n, alpha=alpha, scale=float(scaling_seqlen),
         causal=causal, has_targets=has_targets, max_attn_len=max_attn_len,
         contextual_seq_len=contextual_seq_len,
-        min_full_attn_seq_len=min_full_attn_seq_len,
+        min_full_attn_seq_len=min_full_attn_seq_len, bq=bq, bk=bk,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(bh, n // BQ),
+        grid=(bh, n // bq),
         in_specs=[
-            pl.BlockSpec((1, BQ, d), lambda i, j, *_: (i, j, 0)),
+            pl.BlockSpec((1, bq, d), lambda i, j, *_: (i, j, 0)),
             pl.BlockSpec((1, n, d), lambda i, j, *_: (i, 0, 0)),
             pl.BlockSpec((1, n, vd), lambda i, j, *_: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, BQ, vd), lambda i, j, *_: (i, j, 0)),
+        out_specs=pl.BlockSpec((1, bq, vd), lambda i, j, *_: (i, j, 0)),
     )
     return pl.pallas_call(
         kernel,
@@ -310,26 +321,27 @@ def _bwd_rule(
     bh, n, d = q.shape
     vd = v.shape[-1]
     h = bh // lengths.shape[0]
+    bq = bk = _block(n)
     common = dict(
         h=h, n=n, alpha=alpha, scale=float(scaling_seqlen), causal=causal,
         has_targets=has_targets, max_attn_len=max_attn_len,
         contextual_seq_len=contextual_seq_len,
-        min_full_attn_seq_len=min_full_attn_seq_len,
+        min_full_attn_seq_len=min_full_attn_seq_len, bq=bq, bk=bk,
     )
     dv, dk = pl.pallas_call(
         functools.partial(_bwd_dv_dk_kernel, **common),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(bh, n // BK),
+            grid=(bh, n // bk),
             in_specs=[
                 pl.BlockSpec((1, n, d), lambda i, j, *_: (i, 0, 0)),
-                pl.BlockSpec((1, BK, d), lambda i, j, *_: (i, j, 0)),
-                pl.BlockSpec((1, BK, vd), lambda i, j, *_: (i, j, 0)),
+                pl.BlockSpec((1, bk, d), lambda i, j, *_: (i, j, 0)),
+                pl.BlockSpec((1, bk, vd), lambda i, j, *_: (i, j, 0)),
                 pl.BlockSpec((1, n, vd), lambda i, j, *_: (i, 0, 0)),
             ],
             out_specs=[
-                pl.BlockSpec((1, BK, vd), lambda i, j, *_: (i, j, 0)),
-                pl.BlockSpec((1, BK, d), lambda i, j, *_: (i, j, 0)),
+                pl.BlockSpec((1, bk, vd), lambda i, j, *_: (i, j, 0)),
+                pl.BlockSpec((1, bk, d), lambda i, j, *_: (i, j, 0)),
             ],
         ),
         out_shape=[
@@ -341,14 +353,14 @@ def _bwd_rule(
         functools.partial(_bwd_dq_kernel, **common),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(bh, n // BQ),
+            grid=(bh, n // bq),
             in_specs=[
-                pl.BlockSpec((1, BQ, d), lambda i, j, *_: (i, j, 0)),
+                pl.BlockSpec((1, bq, d), lambda i, j, *_: (i, j, 0)),
                 pl.BlockSpec((1, n, d), lambda i, j, *_: (i, 0, 0)),
                 pl.BlockSpec((1, n, vd), lambda i, j, *_: (i, 0, 0)),
-                pl.BlockSpec((1, BQ, vd), lambda i, j, *_: (i, j, 0)),
+                pl.BlockSpec((1, bq, vd), lambda i, j, *_: (i, j, 0)),
             ],
-            out_specs=pl.BlockSpec((1, BQ, d), lambda i, j, *_: (i, j, 0)),
+            out_specs=pl.BlockSpec((1, bq, d), lambda i, j, *_: (i, j, 0)),
         ),
         out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
     )(lengths, targets, q, k, v, do)
@@ -372,9 +384,9 @@ def pallas_hstu_mha(
     scaling_seqlen: int = -1,
 ) -> jnp.ndarray:
     b, n, h, d = q.shape
-    if n % BQ != 0 or n < BQ:
+    if n % 128 != 0 or n < 128:
         raise NotImplementedError(
-            f"pallas path needs N % {BQ} == 0, got {n}"
+            f"pallas path needs N % 128 == 0, got {n}"
         )
     if scaling_seqlen == -1:
         scaling_seqlen = n

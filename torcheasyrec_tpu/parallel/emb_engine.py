@@ -248,18 +248,22 @@ class EmbeddingEngine:
             off = g.offsets[lk.table_name]
             if lk.is_sequence:
                 field = sequence_sparse[lk.feature_name]
-                b, L = field.values.shape
-                ids = (field.values.astype(jnp.int32) + off).reshape(-1)
+                shape = tuple(field.values.shape)  # [B, L] or [B, L, K]
+                count = int(np.prod(shape))
+                v = field.values.astype(jnp.int32)
+                # keep -1 (padding) invalid across the megatable offset
+                ids = jnp.where(v >= 0, v + off, -1).reshape(-1)
                 plan.append(PlanEntry(
-                    lk, pos, b * L, "seq", None, None, field.lengths, (b, L)
+                    lk, pos, count, "seq", None, None, field.lengths, shape
                 ))
                 ids_list.append(ids)
-                pos += b * L
+                pos += count
             else:
                 field = sparse[lk.feature_name]
                 if field.is_fixed:
                     b, L = field.values.shape
-                    ids = (field.values.astype(jnp.int32) + off).reshape(-1)
+                    v = field.values.astype(jnp.int32)
+                    ids = jnp.where(v >= 0, v + off, -1).reshape(-1)
                     seg = jnp.repeat(
                         jnp.arange(b, dtype=jnp.int32), L
                     )
@@ -301,8 +305,15 @@ class EmbeddingEngine:
             seg, w, lengths, shape = e.seg, e.weights, e.lengths, e.shape
             r = jax.lax.dynamic_slice_in_dim(rows, start, count, axis=0)
             if kind == "seq":
-                b, L = shape
-                outputs[lk.key] = r.reshape(b, L, g.dim)
+                if len(shape) == 3:
+                    b, L, K = shape
+                    # multi-value steps: sum-pool the K id slots
+                    # (segment_reduce equivalent, reference
+                    # embedding.py:1296-1309); invalid ids gathered 0
+                    outputs[lk.key] = r.reshape(b, L, K, g.dim).sum(axis=2)
+                else:
+                    b, L = shape
+                    outputs[lk.key] = r.reshape(b, L, g.dim)
                 continue
             b = lengths.shape[0]
             if w is not None:
@@ -395,6 +406,11 @@ class EmbeddingEngine:
             any_grad = True
             og = og.astype(jnp.float32)
             if kind == "seq":
+                if len(shape) == 3:
+                    b, L, K = shape
+                    og = jnp.broadcast_to(
+                        og[:, :, None, :], (b, L, K, g.dim)
+                    )
                 pieces.append(og.reshape(count, g.dim))
                 continue
             b = lengths.shape[0]
