@@ -49,6 +49,8 @@ class BaseReader(metaclass=_reader_meta):
         drop_remainder: bool = False,
         shuffle: bool = False,
         shuffle_buffer_size: int = 32,
+        sample_cost_field: Optional[str] = None,
+        batch_cost_size: int = 0,
         **kwargs: Any,
     ) -> None:
         self._input_path = input_path
@@ -57,6 +59,10 @@ class BaseReader(metaclass=_reader_meta):
         self._drop_remainder = drop_remainder
         self._shuffle = shuffle
         self._shuffle_buffer_size = shuffle_buffer_size
+        # cost-based batch slicing (reference dataset.py:569-587 +
+        # data.proto batch_cost_size): cap sum(cost) per batch
+        self._sample_cost_field = sample_cost_field
+        self._batch_cost_size = int(batch_cost_size or 0)
         # resume state: source_id -> rows already consumed
         self._resume_state: Dict[int, int] = {}
 
@@ -85,12 +91,26 @@ class BaseReader(metaclass=_reader_meta):
         shuffle_pool: List[pa.RecordBatch] = []
         rng = random.Random(worker_id)
 
+        def _cost_rows(tbl) -> int:
+            """Rows fitting the batch cost budget (else batch_size)."""
+            if not (self._batch_cost_size and self._sample_cost_field
+                    and self._sample_cost_field in tbl.schema.names):
+                return self._batch_size
+            costs = tbl.column(self._sample_cost_field).to_numpy(
+                zero_copy_only=False
+            )[: self._batch_size]
+            cum = np.cumsum(np.nan_to_num(costs.astype(np.float64)))
+            n = int(np.searchsorted(cum, self._batch_cost_size,
+                                    side="right"))
+            return max(min(n, self._batch_size), 1)
+
         def _slice_out() -> Iterator[Dict[str, pa.Array]]:
             nonlocal buf, buffered
             while buffered >= self._batch_size:
                 tbl = pa.Table.from_batches(buf)
-                head = tbl.slice(0, self._batch_size)
-                rest = tbl.slice(self._batch_size)
+                take = _cost_rows(tbl)
+                head = tbl.slice(0, take)
+                rest = tbl.slice(take)
                 buf = rest.combine_chunks().to_batches()
                 buffered = rest.num_rows
                 yield {
@@ -359,6 +379,8 @@ def create_dataloader(
         delimiter=data_config.delimiter,
         with_header=data_config.with_header,
         input_fields=list(data_config.input_fields),
+        sample_cost_field=data_config.sample_cost_field or None,
+        batch_cost_size=data_config.batch_cost_size,
     )
     if resume_state:
         reader.load_state(resume_state)
@@ -395,6 +417,10 @@ def _selected_columns(
         for w in data_config.sample_weight_fields:
             if w not in cols:
                 cols.append(w)
+    if data_config.sample_cost_field and (
+        data_config.sample_cost_field not in cols
+    ):
+        cols.append(data_config.sample_cost_field)
     for r in reserved or []:
         if r not in cols:
             cols.append(r)

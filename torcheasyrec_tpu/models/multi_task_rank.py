@@ -28,6 +28,17 @@ class MultiTaskRank(RankModel):
         self._task_tower_cfgs = list(
             getattr(self._model_config, "task_towers", [])
         )
+        self._use_pareto = bool(
+            getattr(model_config, "use_pareto_loss_weight", False)
+        )
+        self._pareto_floors = {}
+        for t in self._task_tower_cfgs:
+            for lf_cfg in t.losses:
+                which = lf_cfg.WhichOneof("loss")
+                if which:
+                    self._pareto_floors[f"{which}_{t.tower_name}"] = float(
+                        getattr(t, "pareto_min_loss_weight", 0.0) or 0.0
+                    )
         self._task_loss_fns: Dict[str, List[Dict]] = {}
         for i, t in enumerate(self._task_tower_cfgs):
             self._task_loss_fns[t.tower_name] = [
@@ -86,6 +97,12 @@ class MultiTaskRank(RankModel):
                 losses[f"{lf['name']}_{t.tower_name}"] = task_w * self._reduce(
                     per_sample, batch, sw_name, extra_w
                 )
+        if self._use_pareto and len(losses) > 1:
+            from torcheasyrec_tpu.losses.pe_mtl_loss import (
+                apply_pareto_weights,
+            )
+
+            losses = apply_pareto_weights(losses, self._pareto_floors)
         return losses
 
     # -- metrics -----------------------------------------------------------
