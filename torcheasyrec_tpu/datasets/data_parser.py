@@ -41,18 +41,29 @@ class DataParser:
         sample_weights: Optional[List[str]] = None,
         is_training: bool = False,
         force_base_data_group: bool = False,
+        input_tile: bool = False,
     ) -> None:
         self._features = features
         self._labels = labels or []
         self._sample_weights = sample_weights or []
         self._is_training = is_training
         self._force_base_data_group = force_base_data_group
+        # INPUT_TILE serving mode (reference acc/utils.py:31-70): user-side
+        # features are constant within a request batch; parse row 0 only
+        # and tile on device after embedding
+        self._input_tile = input_tile
 
     def parse(self, input_data: Dict[str, pa.Array]) -> Dict[str, Any]:
         """Run every feature's parse; returns name -> ParsedData."""
         out: Dict[str, Any] = {}
         for feature in self._features:
-            out[feature.name] = feature.parse(input_data, self._is_training)
+            data = input_data
+            if self._input_tile and feature.is_user_side:
+                data = {
+                    c: input_data[c].slice(0, 1)
+                    for c in feature.inputs if c in input_data
+                }
+            out[feature.name] = feature.parse(data, self._is_training)
         for label in self._labels:
             if label in input_data:
                 arr = input_data[label]
@@ -114,6 +125,13 @@ class DataParser:
             key = f"__weight__{w}"
             if key in parsed:
                 batch.sample_weights[w] = parsed[key].astype(np.float32)
+        if self._input_tile:
+            sizes = [
+                f.batch_size
+                for f in list(batch.sparse_features.values())
+                + list(batch.sequence_sparse_features.values())
+            ] + [d.values.shape[0] for d in batch.dense_features.values()]
+            batch.tile_size = int(max(sizes)) if sizes else 1
         return batch
 
     def parse_to_batch(

@@ -198,12 +198,18 @@ class BaseDataset(metaclass=_dataset_meta):
         self._reader = reader
         self._mode = mode
         self._sampler = sampler
+        import os as _os
+
         self._parser = DataParser(
             features,
             labels=list(data_config.label_fields) if mode != "predict" else [],
             sample_weights=list(data_config.sample_weight_fields),
             is_training=(mode == "train"),
             force_base_data_group=data_config.force_base_data_group,
+            input_tile=(
+                mode == "predict"
+                and _os.environ.get("INPUT_TILE", "") in ("2", "3")
+            ),
         )
 
     @property

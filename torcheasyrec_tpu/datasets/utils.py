@@ -131,6 +131,9 @@ class Batch:
     labels: Dict[str, Any] = dataclasses.field(default_factory=dict)
     sample_weights: Dict[str, Any] = dataclasses.field(default_factory=dict)
     additional: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    # INPUT_TILE serving: static per-batch tile count (aux data so it can
+    # parameterize static shapes like jnp.tile reps)
+    tile_size: Optional[int] = None
 
     def tree_flatten(self):
         children = (
@@ -142,11 +145,11 @@ class Batch:
             self.sample_weights,
             self.additional,
         )
-        return children, None
+        return children, self.tile_size
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, tile_size=aux)
 
     @property
     def batch_size(self) -> int:

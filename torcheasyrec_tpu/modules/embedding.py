@@ -63,6 +63,9 @@ class EmbeddingGroup(M.Module):
         self._name_to_feature = {f.name: f for f in features}
         self._feature_groups = list(feature_groups)
         self._plan = plan or {}
+        self._user_side_features = {
+            f.name for f in features if f.is_user_side
+        }
 
         tables: Dict[str, TableSpec] = {}
         lookups: Dict[str, LookupSpec] = {}
@@ -286,6 +289,7 @@ class EmbeddingGroup(M.Module):
             labels=batch.labels,
             sample_weights=batch.sample_weights,
             additional=batch.additional,
+            tile_size=batch.tile_size,
         )
         return new_batch, new_states
 
@@ -393,20 +397,37 @@ class EmbeddingGroup(M.Module):
         """Pure function of emb_out: group concat + seq encoders."""
         result: Dict[str, jnp.ndarray] = {}
 
+        tile_size = batch.tile_size
+
+        def _maybe_tile(v, fname):
+            # INPUT_TILE: user-side rows parsed once -> tile to batch
+            if (
+                tile_size is not None
+                and fname in self._user_side_features
+                and v.shape[0] == 1
+            ):
+                import jax.numpy as _jnp
+
+                reps = (int(tile_size),) + (1,) * (v.ndim - 1)
+                return _jnp.tile(v, reps)
+            return v
+
         def _slot_value(slot, seq=False):
             kind, key, dim = slot
             if kind == "emb":
                 v = emb_out[key]
-                return v.astype(ctx.compute_dtype)
+                fname = key.split(":")[1] if ":" in key else key
+                return _maybe_tile(v.astype(ctx.compute_dtype), fname)
             if kind == "seq_dense":
-                return batch.sequence_dense_features[key].values.astype(
+                v = batch.sequence_dense_features[key].values.astype(
                     ctx.compute_dtype
                 )
+                return _maybe_tile(v, key)
             v = batch.dense_features[key].values.astype(ctx.compute_dtype)
             if kind == "autodis" or kind == "mlpemb":
                 mod = self._dense_emb_modules[key]
                 v = mod(params["dense_emb"][key], v, ctx)
-            return v
+            return _maybe_tile(v, key)
 
         # sequence groups first (encoders read them)
         for name, sg in self._seq_groups.items():
@@ -417,6 +438,7 @@ class EmbeddingGroup(M.Module):
                 lengths = batch.sequence_sparse_features[lf].lengths
             else:
                 lengths = batch.sequence_dense_features[lf].lengths
+            lengths = _maybe_tile(lengths, lf)
             if qs:
                 result[f"{name}.query"] = jnp.concatenate(qs, axis=-1)
             result[f"{name}.sequence"] = jnp.concatenate(ss, axis=-1)
