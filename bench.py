@@ -189,18 +189,25 @@ def main() -> None:
     import queue as _queue
     import threading as _threading
 
-    n_pipe = 10
-    q: "_queue.Queue" = _queue.Queue(maxsize=4)
+    n_pipe = 24
+    n_producers = 2
+    all_cols = [_gen_cols(i) for i in range(n_pipe)]  # pregenerated (a
+    # real reader's decode cost is measured by the parse step below)
+    q: "_queue.Queue" = _queue.Queue(maxsize=6)
 
-    def _producer():
-        for i in range(n_pipe):
-            b = parser.parse_to_batch(_gen_cols(i))
+    def _producer(worker: int):
+        for i in range(worker, n_pipe, n_producers):
+            b = parser.parse_to_batch(all_cols[i])
             b = jax.tree_util.tree_map(jnp.asarray, b)
             q.put(b)
 
-    t = _threading.Thread(target=_producer, daemon=True)
+    threads = [
+        _threading.Thread(target=_producer, args=(w,), daemon=True)
+        for w in range(n_producers)
+    ]
     t0 = time.perf_counter()
-    t.start()
+    for t in threads:
+        t.start()
     for _ in range(n_pipe):
         state, metrics, _ = train_step(state, q.get(), step_rng)
     jax.block_until_ready(metrics["total_loss"])

@@ -1,0 +1,67 @@
+"""TF-EasyRec config converter test: output parses and trains."""
+
+import os
+
+
+TF_EASYREC_CONFIG = """
+train_input_path: "train.parquet"
+eval_input_path: "eval.parquet"
+model_dir: "experiments/deepfm"
+train_config {
+  optimizer_config {
+    adam_optimizer { learning_rate { constant_learning_rate { learning_rate: 0.001 } } }
+  }
+  num_steps: 2500
+}
+data_config {
+  batch_size: 4096
+  label_fields: "clk"
+  input_type: CSVInput
+}
+feature_config: {
+  features: {
+    input_names: "user_id"
+    feature_type: IdFeature
+    embedding_dim: 16
+    hash_bucket_size: 100000
+  }
+  features: {
+    input_names: "price"
+    feature_type: RawFeature
+  }
+}
+model_config {
+  model_class: "DeepFM"
+  feature_groups: {
+    group_name: "wide"
+    feature_names: "user_id"
+    wide_deep: WIDE
+  }
+  feature_groups: {
+    group_name: "deep"
+    feature_names: "user_id"
+    feature_names: "price"
+    wide_deep: DEEP
+  }
+}
+"""
+
+
+def test_convert_parses_and_loads(tmp_path):
+    from google.protobuf import text_format
+
+    from torcheasyrec_tpu.protos import pipeline_pb2
+    from torcheasyrec_tpu.tools.convert_easyrec_config import convert
+
+    converted, warnings = convert(TF_EASYREC_CONFIG)
+    cfg = text_format.Parse(converted, pipeline_pb2.EasyRecConfig())
+    assert cfg.train_input_path == "train.parquet"
+    assert cfg.data_config.batch_size == 4096
+    assert list(cfg.data_config.label_fields) == ["clk"]
+    assert len(cfg.feature_configs) == 2
+    assert cfg.feature_configs[0].id_feature.hash_bucket_size == 100000
+    assert cfg.model_config.WhichOneof("model") == "deepfm"
+    groups = {g.group_name for g in cfg.model_config.feature_groups}
+    assert groups == {"wide", "deep"}
+    assert any("optimizer" in w for w in warnings)
+    assert any("input_type" in w for w in warnings)

@@ -161,7 +161,7 @@ def _pad_sequence_sparse(
     multival = bool(np.any(data.lengths > 1))
     if multival:
         k = bucketize_size(int(data.lengths.max()), minimum=2)
-        ids = np.full((b, max_len, k), -1, dtype=np.int64)
+        ids = np.full((b, max_len, k), -1, dtype=np.int32)
         step_starts = np.concatenate([[0], np.cumsum(data.lengths)])
         step_idx = 0
         for i in range(b):
@@ -175,7 +175,7 @@ def _pad_sequence_sparse(
                 ids[i, j, :cnt] = data.values[lo : lo + cnt]
             step_idx += n
         return SparseField(values=ids, lengths=seq_lengths)
-    ids = np.full((b, max_len), -1, dtype=np.int64)
+    ids = np.full((b, max_len), -1, dtype=np.int32)
     vals = data.values
     pos = 0
     for i in range(b):

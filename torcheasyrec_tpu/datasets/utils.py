@@ -192,7 +192,11 @@ def pad_jagged_np(
     cap = bucket if bucket is not None else bucketize_size(n)
     if cap < n:
         raise ValueError(f"bucket {cap} < values {n}")
-    pv = np.zeros((cap,), dtype=values.dtype if values.size else np.int64)
+    # int32 ids halve H2D bytes; jax drops to int32 on device anyway
+    dtype = values.dtype if values.size else np.int64
+    if dtype == np.int64:
+        dtype = np.int32
+    pv = np.zeros((cap,), dtype=dtype)
     pv[:n] = values
     pw = None
     if weights is not None:

@@ -283,17 +283,53 @@ class KvDotProduct(BaseFeature):
         return DenseData(self.name, out[:, None])
 
 
+_CUSTOM_OP_REGISTRY = {}
+
+
+def register_custom_op(name: str, fn) -> None:
+    """Register a python custom-feature op: fn(columns, params) ->
+    (values, lengths) for sparse or [B, D] array for dense (the python
+    analogue of the reference's C++ pyfg plugin ops,
+    features/custom_feature.py:194)."""
+    _CUSTOM_OP_REGISTRY[name] = fn
+
+
 class CustomFeature(BaseFeature):
     """User plugin feature (reference features/custom_feature.py, 194 LoC).
 
-    FG_NORMAL would need the user op; pre-encoded FG_NONE path works via
-    BaseFeature. A python plugin hook is supported through operator_name
-    resolving to a registered callable in TZREC_USER_MODULE_DIR.
+    FG_NONE: pre-encoded path via BaseFeature. FG_NORMAL: operator_name
+    resolves to a callable registered with register_custom_op (modules in
+    TZREC_USER_MODULE_DIR are auto-imported so they can register).
     """
 
     @property
     def is_sparse(self) -> bool:
         return not bool(getattr(self.config, "is_dense", False))
+
+    def _parse_fg(self, input_data: Dict[str, pa.Array], is_training: bool) -> Any:
+        import json as _json
+
+        op = _CUSTOM_OP_REGISTRY.get(self.config.operator_name)
+        if op is None:
+            from torcheasyrec_tpu.utils.load_class import load_by_path
+
+            op = load_by_path(self.config.operator_name)
+        params = {}
+        if getattr(self.config, "operator_params", ""):
+            params = _json.loads(self.config.operator_params)
+        cols = {c: input_data[c] for _, c in self.side_inputs
+                if c in input_data}
+        out = op(cols, params)
+        if self.is_sparse:
+            values, lengths = out
+            return SparseData(
+                self.name, np.asarray(values, np.int64),
+                np.asarray(lengths, np.int32),
+            )
+        arr = np.asarray(out, np.float32)
+        if arr.ndim == 1:
+            arr = arr[:, None]
+        return DenseData(self.name, arr)
 
 
 class BoolMaskFeature(BaseFeature):

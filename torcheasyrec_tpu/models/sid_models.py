@@ -72,6 +72,7 @@ class SidRqvae(BaseModel):
         )
         self._commitment_w = [1.0, 0.5]
         self._recon_type = "l2"
+        self._use_contrastive = False
         for lc in self._loss_cfgs:
             which = lc.WhichOneof("sid_loss")
             if which == "commitment_loss" and len(
@@ -80,6 +81,15 @@ class SidRqvae(BaseModel):
                 self._commitment_w = list(lc.commitment_loss.latent_weight)
             if which == "recon_loss":
                 self._recon_type = lc.recon_loss.recon_type or "l2"
+            if which == "contrastive_loss":
+                self._use_contrastive = True
+        self._contrastive_groups = None
+        if mc.HasField("contrastive_config"):
+            self._use_contrastive = True
+            self._contrastive_groups = (
+                mc.contrastive_config.pair_feature_group,
+                mc.contrastive_config.pair_flag_feature_group,
+            )
         self._in_dim = in_dim
 
     def init_dense(self, key: jax.Array) -> M.Params:
@@ -95,13 +105,23 @@ class SidRqvae(BaseModel):
         z = self.encoder(params["encoder"], x, ctx, "encoder")
         zq, codes, levels = self.rq(params["rq"], z, ctx)
         recon = self.decoder(params["decoder"], zq, ctx, "decoder")
-        return {
+        preds = {
             "codes": codes,
             "recon": recon,
             "__x": x,
             "__z": z,
             "__levels": levels,
         }
+        if self._use_contrastive and self._contrastive_groups:
+            pair_g, flag_g = self._contrastive_groups
+            if pair_g in grouped:
+                pair_x = grouped[pair_g].astype(jnp.float32)
+                preds["__pair_z"] = self.encoder(
+                    params["encoder"], pair_x, ctx, "encoder"
+                )
+                if flag_g in grouped:
+                    preds["__pair_flag"] = grouped[flag_g][..., 0]
+        return preds
 
     def loss(self, predictions, batch: Batch) -> Dict[str, jnp.ndarray]:
         x = predictions["__x"]
@@ -126,7 +146,27 @@ class SidRqvae(BaseModel):
             ) + w_q * jnp.mean(
                 jnp.square(jax.lax.stop_gradient(r) - qf)
             )
-        return {"recon_loss": recon_loss, "commitment_loss": commit}
+        losses = {"recon_loss": recon_loss, "commitment_loss": commit}
+        if "__pair_z" in predictions:
+            # in-batch InfoNCE between item latents and their pair latents
+            # (reference SID contrastive_loss)
+            z = predictions["__z"].astype(jnp.float32)
+            pz = predictions["__pair_z"].astype(jnp.float32)
+            zn = z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-12)
+            pn = pz / (jnp.linalg.norm(pz, axis=-1, keepdims=True) + 1e-12)
+            sim = jnp.dot(zn, pn.T) / 0.1
+            labels_idx = jnp.arange(z.shape[0])
+            logp = jax.nn.log_softmax(sim, axis=-1)
+            per = -logp[labels_idx, labels_idx]
+            flag = predictions.get("__pair_flag")
+            if flag is not None:
+                w = (flag > 0).astype(jnp.float32)
+                losses["contrastive_loss"] = jnp.sum(per * w) / jnp.maximum(
+                    jnp.sum(w), 1.0
+                )
+            else:
+                losses["contrastive_loss"] = jnp.mean(per)
+        return losses
 
     def init_metrics(self):
         return [{"name": "unique_ratio", "metric": UniqueRatio(),
