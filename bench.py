@@ -140,9 +140,7 @@ def main() -> None:
     batch = parser.parse_to_batch(cols)
     batch = _shard_batch(batch, mesh)
     if mesh is None:
-        import jax.numpy as _jnp
-
-        batch = jax.tree_util.tree_map(_jnp.asarray, batch)
+        batch = jax.device_put(batch)
 
     dense_params, tables, sparse_opt_state = _init_state(model, cfg)
     tx, dense_sched = create_dense_optimizer(
@@ -198,8 +196,7 @@ def main() -> None:
     def _producer(worker: int):
         for i in range(worker, n_pipe, n_producers):
             b = parser.parse_to_batch(all_cols[i])
-            b = jax.tree_util.tree_map(jnp.asarray, b)
-            q.put(b)
+            q.put(jax.device_put(b))
 
     threads = [
         _threading.Thread(target=_producer, args=(w,), daemon=True)

@@ -113,15 +113,15 @@ def _shard_batch(batch: Batch, mesh) -> Batch:
 
     n = mesh.devices.size
 
-    def _put(x):
+    def _sharding(x):
         arr = np.asarray(x)
         if arr.ndim >= 1 and arr.shape[0] % n == 0:
-            return jax.device_put(
-                arr, NamedSharding(mesh, P(DATA_AXIS))
-            )
-        return jax.device_put(arr, NamedSharding(mesh, P()))
+            return NamedSharding(mesh, P(DATA_AXIS))
+        return NamedSharding(mesh, P())
 
-    return jax.tree_util.tree_map(_put, batch)
+    shardings = jax.tree_util.tree_map(_sharding, batch)
+    # single device_put over the whole tree amortizes dispatch latency
+    return jax.device_put(batch, shardings)
 
 
 @dataclasses.dataclass
@@ -487,7 +487,7 @@ def train_and_evaluate(
     def _to_device(b):
         if mesh is not None:
             return _shard_batch(b, mesh)
-        return jax.tree_util.tree_map(jnp.asarray, b)
+        return jax.device_put(b)
 
     for epoch in range(num_epochs):
         if stop:
@@ -743,10 +743,81 @@ def export(
     )
     with open(os.path.join(export_dir, "fg.json"), "w") as f:
         json.dump(create_fg_json(features), f, indent=2)
+    if not quant_dtype:
+        _export_stablehlo(
+            pipeline_config, model, features, sub, export_dir
+        )
     logger.info(
         f"exported model to {export_dir}"
         + (f" (embeddings quantized {quant_dtype})" if quant_dtype else "")
     )
+
+
+def _export_stablehlo(pipeline_config, model, features, state, export_dir):
+    """Serialize the jitted predict function as StableHLO
+    (jax.export) — the TPU-native analogue of the reference's
+    jit.script/AOTI artifact (export_util.py:199-370): a serving runtime
+    can execute it without the python model code. Input shapes follow a
+    mock batch at the configured (eval_)batch_size. Best effort: skipped
+    with a warning on failure."""
+    try:
+        from jax import export as jax_export
+
+        from torcheasyrec_tpu.datasets.data_parser import DataParser
+        from torcheasyrec_tpu.utils.test_util import generate_mock_table
+
+        dc = pipeline_config.data_config
+        bs = int(dc.eval_batch_size or dc.batch_size)
+        tbl = generate_mock_table(
+            features, bs, list(dc.label_fields), seed=0
+        )
+        parser = DataParser(features, labels=[])
+        batch = parser.parse_to_batch(
+            {name: tbl.column(i)
+             for i, name in enumerate(tbl.schema.names)}
+        )
+        ctx_dtype = _compute_dtype(pipeline_config.train_config)
+
+        def serve_fn(dense, tables, batch):
+            ctx = M.Context(training=False, compute_dtype=ctx_dtype)
+            preds = model.forward(dense, tables, batch, ctx)
+            return {
+                k: v for k, v in preds.items() if not k.startswith("__")
+                and not isinstance(v, (list, tuple))
+            }
+
+        args = (state["dense"], state["tables"], batch)
+        leaves, treedef = jax.tree_util.tree_flatten(args)
+
+        def serve_flat(*flat):
+            dense, tables, batch_in = jax.tree_util.tree_unflatten(
+                treedef, flat
+            )
+            return serve_fn(dense, tables, batch_in)
+
+        shapes = [
+            jax.ShapeDtypeStruct(
+                np.asarray(x).shape, jnp.asarray(x).dtype
+            )
+            for x in leaves
+        ]
+        exp = jax_export.export(jax.jit(serve_flat))(*shapes)
+        with open(os.path.join(export_dir, "predict_fn.stablehlo"),
+                  "wb") as f:
+            f.write(exp.serialize())
+        with open(os.path.join(export_dir, "serving_spec.json"), "w") as f:
+            json.dump(
+                {
+                    "batch_size": bs,
+                    "platforms": list(exp.platforms),
+                    "num_inputs": len(leaves),
+                    "input_tree": str(treedef),
+                },
+                f,
+            )
+        logger.info("wrote predict_fn.stablehlo")
+    except Exception as e:  # noqa: BLE001
+        logger.warning(f"stablehlo export skipped: {e}")
 
 
 def _best_checkpoint(pipeline_config, model_dir) -> Optional[str]:
