@@ -489,10 +489,29 @@ def train_and_evaluate(
             return _shard_batch(b, mesh)
         return jax.device_put(b)
 
+    equalize_data = jax.process_count() > 1 and bool(
+        data_config.batch_cost_size
+    )
+
     for epoch in range(num_epochs):
         if stop:
             break
-        for batch, info in train_dl(device_put_fn=_to_device):
+        train_iter = iter(train_dl(device_put_fn=_to_device))
+        while True:
+            try:
+                batch, info = next(train_iter)
+                have = True
+            except StopIteration:
+                batch, info, have = None, None, False
+            if equalize_data:
+                from torcheasyrec_tpu.utils.dist_util import (
+                    all_workers_have_data,
+                )
+
+                if not all_workers_have_data(have):
+                    break
+            elif not have:
+                break
             step_rng = jax.random.fold_in(rng, step)
             state, metrics, state_updates = train_step(
                 state, batch, step_rng
@@ -543,7 +562,7 @@ def train_and_evaluate(
             if num_steps and step >= num_steps:
                 stop = True
                 break
-        else:
+        if not stop:
             # epoch completed
             if train_config.save_checkpoints_epochs and (
                 (epoch + 1) % train_config.save_checkpoints_epochs == 0

@@ -101,6 +101,8 @@ class EmbeddingGroup(M.Module):
                 init_fn=init_override or cfg.init_fn,
                 trainable=cfg.trainable,
                 sharding=sharding,
+                dtype=(getattr(feat.config, "data_type", "FP32")
+                       or "FP32").upper(),
             )
             if name in tables:
                 prev = tables[name]

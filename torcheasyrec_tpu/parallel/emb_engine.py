@@ -55,6 +55,9 @@ class TableSpec:
     init_fn: Optional[str] = None
     trainable: bool = True
     sharding: str = ROW_WISE
+    # storage dtype (feature config data_type: FP32 | BF16 | FP16);
+    # optimizer math stays fp32, weights round on scatter
+    dtype: str = "FP32"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -70,7 +73,8 @@ class LookupSpec:
 
 @dataclasses.dataclass
 class _Group:
-    """A fused megatable: same (dim, sharding) tables stacked row-wise."""
+    """A fused megatable: same (dim, sharding, dtype) tables stacked
+    row-wise."""
 
     dim: int
     sharding: str
@@ -78,10 +82,19 @@ class _Group:
     offsets: Dict[str, int]
     total_rows: int
     padded_rows: int
+    dtype: str = "FP32"
+
+    @property
+    def store_dtype(self):
+        return {
+            "FP32": jnp.float32, "BF16": jnp.bfloat16,
+            "FP16": jnp.float16,
+        }.get(self.dtype.upper(), jnp.float32)
 
 
-def _group_key(dim: int, sharding: str) -> str:
-    return f"d{dim}_{sharding}"
+def _group_key(dim: int, sharding: str, dtype: str = "FP32") -> str:
+    base = f"d{dim}_{sharding}"
+    return base if dtype.upper() == "FP32" else f"{base}_{dtype.lower()}"
 
 
 @jax.tree_util.register_pytree_node_class
@@ -132,10 +145,10 @@ class EmbeddingEngine:
         self.groups: Dict[str, _Group] = {}
         for t in tables:
             sharding = t.sharding if self.num_shards > 1 else DATA_PARALLEL
-            gk = _group_key(t.dim, sharding)
+            gk = _group_key(t.dim, sharding, t.dtype)
             g = self.groups.setdefault(
-                _group_key(t.dim, sharding),
-                _Group(t.dim, sharding, [], {}, 0, 0),
+                gk,
+                _Group(t.dim, sharding, [], {}, 0, 0, dtype=t.dtype),
             )
             g.offsets[t.name] = g.total_rows
             g.specs.append(t)
@@ -147,7 +160,9 @@ class EmbeddingEngine:
 
         self._table_group = {
             t.name: _group_key(
-                t.dim, t.sharding if self.num_shards > 1 else DATA_PARALLEL
+                t.dim,
+                t.sharding if self.num_shards > 1 else DATA_PARALLEL,
+                t.dtype,
             )
             for t in tables
         }
@@ -172,7 +187,7 @@ class EmbeddingEngine:
             pad = g.padded_rows - g.total_rows
             if pad:
                 pieces.append(jnp.zeros((pad, g.dim), jnp.float32))
-            w = jnp.concatenate(pieces, axis=0)
+            w = jnp.concatenate(pieces, axis=0).astype(g.store_dtype)
             out[gk] = self._device_put_table(w, g)
         return out
 

@@ -27,6 +27,10 @@ Params = Dict[str, Any]
 _DROP = dict(mode="drop")
 
 
+def _set_rows(weight, uids, new_rows):
+    return weight.at[uids].set(new_rows.astype(weight.dtype), **_DROP)
+
+
 def create_sparse_optimizer(type_name: str, cfg: Dict[str, Any]) -> "SparseOptimizer":
     return SparseOptimizer(type_name.replace("_optimizer", ""), cfg)
 
@@ -97,7 +101,9 @@ class SparseOptimizer:
         if c.get("gradient_clipping", False):
             mg = float(c.get("max_gradient", 1.0))
             grads = jnp.clip(grads, -mg, mg)
-        w_rows = weight.at[uids].get(mode="fill", fill_value=0.0)
+        w_rows = weight.at[uids].get(
+            mode="fill", fill_value=0.0
+        ).astype(jnp.float32)
         wd = float(c.get("weight_decay", 0.0))
         if wd and k in ("adam", "lamb", "partial_rowwise_lamb",
                         "partial_rowwise_adam", "lars_sgd", "adadelta",
@@ -106,7 +112,7 @@ class SparseOptimizer:
 
         if k == "sgd":
             new_rows = w_rows - lr * grads
-            return weight.at[uids].set(new_rows, **_DROP), state
+            return _set_rows(weight, uids, new_rows), state
 
         if k == "adagrad":
             eps = float(c.get("eps", 1e-10))
@@ -114,7 +120,7 @@ class SparseOptimizer:
             acc = acc + grads * grads
             new_rows = w_rows - lr * grads / (jnp.sqrt(acc) + eps)
             return (
-                weight.at[uids].set(new_rows, **_DROP),
+                _set_rows(weight, uids, new_rows),
                 {"acc": state["acc"].at[uids].set(acc, **_DROP)},
             )
 
@@ -124,7 +130,7 @@ class SparseOptimizer:
             acc = acc + jnp.mean(grads * grads, axis=-1, keepdims=True)
             new_rows = w_rows - lr * grads / (jnp.sqrt(acc) + eps)
             return (
-                weight.at[uids].set(new_rows, **_DROP),
+                _set_rows(weight, uids, new_rows),
                 {"acc": state["acc"].at[uids].set(acc, **_DROP)},
             )
 
@@ -144,7 +150,7 @@ class SparseOptimizer:
             vh = v / (1 - b2 ** step.astype(jnp.float32))
             new_rows = w_rows - lr * mh / (jnp.sqrt(vh) + eps)
             return (
-                weight.at[uids].set(new_rows, **_DROP),
+                _set_rows(weight, uids, new_rows),
                 {
                     "m": state["m"].at[uids].set(m, **_DROP),
                     "v": state["v"].at[uids].set(v, **_DROP),
@@ -174,7 +180,7 @@ class SparseOptimizer:
             )
             new_rows = w_rows - lr * trust * upd
             return (
-                weight.at[uids].set(new_rows, **_DROP),
+                _set_rows(weight, uids, new_rows),
                 {
                     "m": state["m"].at[uids].set(m, **_DROP),
                     "v": state["v"].at[uids].set(v, **_DROP),
@@ -196,7 +202,7 @@ class SparseOptimizer:
             mom = momentum * mom + local_lr * lr * grads
             new_rows = w_rows - mom
             return (
-                weight.at[uids].set(new_rows, **_DROP),
+                _set_rows(weight, uids, new_rows),
                 {"mom": state["mom"].at[uids].set(mom, **_DROP)},
             )
 
@@ -210,7 +216,7 @@ class SparseOptimizer:
             dacc = rho * dacc + (1 - rho) * delta * delta
             new_rows = w_rows - lr * delta
             return (
-                weight.at[uids].set(new_rows, **_DROP),
+                _set_rows(weight, uids, new_rows),
                 {
                     "acc": state["acc"].at[uids].set(acc, **_DROP),
                     "delta_acc": state["delta_acc"].at[uids].set(dacc, **_DROP),
@@ -224,7 +230,7 @@ class SparseOptimizer:
             sq = alpha * sq + (1 - alpha) * grads * grads
             new_rows = w_rows - lr * grads / (jnp.sqrt(sq) + eps)
             return (
-                weight.at[uids].set(new_rows, **_DROP),
+                _set_rows(weight, uids, new_rows),
                 {"sq": state["sq"].at[uids].set(sq, **_DROP)},
             )
 

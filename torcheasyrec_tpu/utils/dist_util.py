@@ -73,3 +73,18 @@ def broadcast_host_data(data, name: str = "bcast"):
     from jax.experimental import multihost_utils
 
     return multihost_utils.broadcast_one_to_all(data)
+
+
+def all_workers_have_data(has_data: bool) -> bool:
+    """Cross-process has-batch check so ranks stop together on uneven
+    data (reference dist_util.py:285-299 check_all_workers_data_status).
+    Single-process: trivially has_data."""
+    if jax.process_count() <= 1:
+        return has_data
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    flags = multihost_utils.process_allgather(
+        np.asarray([1 if has_data else 0], np.int32)
+    )
+    return bool(np.asarray(flags).min() > 0)
