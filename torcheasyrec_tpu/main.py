@@ -9,7 +9,6 @@ numpy batches, folds checkpoint-position state, and drives cadence
 (XLA overlaps transfer/compute via async dispatch).
 """
 
-import dataclasses
 import json
 import os
 import time
@@ -122,17 +121,6 @@ def _shard_batch(batch: Batch, mesh) -> Batch:
     shardings = jax.tree_util.tree_map(_sharding, batch)
     # single device_put over the whole tree amortizes dispatch latency
     return jax.device_put(batch, shardings)
-
-
-@dataclasses.dataclass
-class TrainEnv:
-    model: Any
-    features: List[Any]
-    mesh: Any
-    tx: Any
-    sparse_sched: Dict
-    dense_sched: Dict
-    compute_dtype: Any
 
 
 def _build_model_and_optim(pipeline_config, mesh, for_train=True,
@@ -608,8 +596,11 @@ def _run_eval(
     n = 0
     loss_sums: Dict[str, float] = {}
     loss_count = 0
-    for batch, info in eval_dl():
-        batch = _shard_batch(batch, mesh)
+
+    def _put(b):
+        return _shard_batch(b, mesh) if mesh is not None else jax.device_put(b)
+
+    for batch, info in eval_dl(device_put_fn=_put):
         preds, losses = eval_step(state, batch)
         preds = jax.device_get(preds)
         model.update_metrics(metrics, preds, jax.device_get(batch))
