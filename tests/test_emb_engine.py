@@ -203,3 +203,39 @@ def test_all_sparse_optimizers_run():
         after = engine.extract_table(nt, "t")
         assert np.abs(after[:6] - before[:6]).sum() > 0, kind
         np.testing.assert_allclose(after[6:], before[6:], err_msg=kind)
+
+
+def test_canonical_checkpoint_cross_layout():
+    """Tables saved from a sharded 8-device engine restore exactly into a
+    single-device engine (different fused-group keys and padding)."""
+    mesh = create_mesh()
+    opt = SparseOptimizer("adagrad", {"lr": 0.1})
+    multi = _mk_engine(mesh=mesh, optimizer=opt, sharding=ROW_WISE)
+    single = _mk_engine(mesh=None, optimizer=opt, sharding=ROW_WISE)
+    t_multi = multi.init(jax.random.key(3))
+    s_multi = multi.init_opt_state()
+    # mutate one table so restore is distinguishable from fresh init
+    sparse, seq, *_ = _batch()
+    sparse["f_c"] = SparseField(values=jnp.arange(8).reshape(8, 1))
+    out, res = multi.lookup(t_multi, sparse, seq)
+    t_multi, s_multi = multi.update(
+        t_multi, s_multi, res, {"c": jnp.ones_like(out["c"])},
+        jnp.float32(1.0),
+    )
+
+    canon = multi.to_canonical(t_multi, s_multi)
+    assert set(canon) == {"t_a", "t_b", "t_c"}
+
+    t_single = single.init(jax.random.key(999))  # different init
+    s_single = single.init_opt_state()
+    t_new, s_new = single.from_canonical(canon, t_single, s_single)
+    for name in ("t_a", "t_b", "t_c"):
+        np.testing.assert_allclose(
+            single.extract_table(t_new, name),
+            multi.extract_table(t_multi, name),
+            rtol=1e-6,
+        )
+    # optimizer accumulator restored too (t_c's group)
+    gk_s, off, rows = single.table_rows("t_c")
+    acc = np.asarray(jax.device_get(s_new[gk_s]["acc"]))[off : off + rows]
+    assert (acc[:8] > 0).all()

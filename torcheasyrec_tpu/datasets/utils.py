@@ -185,8 +185,9 @@ def pad_jagged_np(
 ) -> SparseField:
     """Pad a host jagged array to a bucketed static size.
 
-    Padded value slots get id 0 / weight 0; lengths stay exact so segment
-    ids computed on device place padding in segment B (dropped).
+    Padded value slots get id -1 / weight 0 (-1 gathers zeros and never
+    receives optimizer updates); lengths stay exact so segment ids
+    computed on device also place padding in segment B (dropped).
     """
     n = int(values.shape[0])
     cap = bucket if bucket is not None else bucketize_size(n)
@@ -196,7 +197,7 @@ def pad_jagged_np(
     dtype = values.dtype if values.size else np.int64
     if dtype == np.int64:
         dtype = np.int32
-    pv = np.zeros((cap,), dtype=dtype)
+    pv = np.full((cap,), -1, dtype=dtype)
     pv[:n] = values
     pw = None
     if weights is not None:

@@ -193,6 +193,8 @@ def make_train_step(model, tx, sparse_sched, dense_sched, compute_dtype,
             state["tables"], batch
         )
 
+        preds_out = [None]
+
         def loss_fn(dense_params, emb_out_in):
             ctx = M.Context(
                 training=True, rng=rng, compute_dtype=compute_dtype
@@ -201,6 +203,10 @@ def make_train_step(model, tx, sparse_sched, dense_sched, compute_dtype,
                 emb_out_in, batch, dense_params["embedding_group"], ctx
             )
             preds = model.predict(dense_params, grouped, batch, ctx)
+            preds_out[0] = {
+                k: v for k, v in preds.items()
+                if not isinstance(v, (list, tuple))
+            }
             losses = model.loss(preds, batch)
             total = model.total_loss(losses)
             return total, (losses, ctx.state_updates)
@@ -230,9 +236,18 @@ def make_train_step(model, tx, sparse_sched, dense_sched, compute_dtype,
                 jnp.all(jnp.isfinite(g))
                 for g in jax.tree_util.tree_leaves((dgrads, emb_grads))
             ]))
+            # zero out non-finite grads so 0*inf=NaN can't reach the
+            # tables or optimizer accumulators; lr gating alone would
+            # still poison adagrad acc and write NaN rows
+            dgrads, emb_grads = jax.tree_util.tree_map(
+                lambda g: jnp.where(grads_finite, g, jnp.zeros_like(g)),
+                (dgrads, emb_grads),
+            )
 
         lr_scale = sparse_sched["fn"](step)
         if use_scaler:
+            # skip the whole sparse update on overflow steps (zeroed
+            # grads would still advance adam moments)
             lr_scale = jnp.where(grads_finite, lr_scale, 0.0)
         tables, sparse_opt = engine.update(
             state["tables"], state["sparse_opt"], residuals, emb_grads,
@@ -300,6 +315,11 @@ def make_train_step(model, tx, sparse_sched, dense_sched, compute_dtype,
                 "good_steps": jnp.where(good >= interval, 0, good),
             }
         metrics = {"total_loss": total, **losses}
+        if getattr(model, "_train_metric_cfgs", None) or any(
+            len(getattr(t, "train_metrics", []))
+            for t in getattr(model, "_task_tower_cfgs", [])
+        ):
+            metrics["__preds"] = preds_out[0]
         return new_state, metrics, state_updates
 
     return train_step
@@ -348,9 +368,15 @@ def train_and_evaluate(
     mesh = maybe_mesh()
     compute_dtype = _compute_dtype(train_config)
 
+    from torcheasyrec_tpu.parallel import planner as planner_mod
+
+    saved_plan = planner_mod.load_plan(model_dir) if continue_train else None
     model, features, sparse_sched = _build_model_and_optim(
-        pipeline_config, mesh
+        pipeline_config, mesh, plan=saved_plan
     )
+    if getattr(model, "sharding_plan", None):
+        os.makedirs(model_dir, exist_ok=True)
+        planner_mod.save_plan(model.sharding_plan, model_dir)
     dense_params, tables, sparse_opt_state = _init_state(
         model, pipeline_config
     )
@@ -390,11 +416,11 @@ def train_and_evaluate(
     dataloader_state: Dict[int, int] = {}
     latest = checkpoint_util.latest_checkpoint(model_dir)
     if continue_train and latest:
-        state = checkpoint_util.restore_model(latest, state)
+        state = checkpoint_util.restore_train_state(latest, model, state)
         dataloader_state = checkpoint_util.load_dataloader_state(latest)
     elif fine_tune_checkpoint or train_config.fine_tune_checkpoint:
         ft = fine_tune_checkpoint or train_config.fine_tune_checkpoint
-        state = checkpoint_util.restore_model(ft, state)
+        state = checkpoint_util.restore_train_state(ft, model, state)
 
     os.makedirs(model_dir, exist_ok=True)
     config_util.save_message(
@@ -477,9 +503,7 @@ def train_and_evaluate(
             return _shard_batch(b, mesh)
         return jax.device_put(b)
 
-    equalize_data = jax.process_count() > 1 and bool(
-        data_config.batch_cost_size
-    )
+    equalize_data = jax.process_count() > 1
 
     for epoch in range(num_epochs):
         if stop:
@@ -520,6 +544,12 @@ def train_and_evaluate(
                     dataloader_state.get(sid, -1), row
                 )
 
+            preds_for_metrics = metrics.pop("__preds", None)
+            if train_metrics and preds_for_metrics is not None:
+                model.update_metrics(
+                    train_metrics, jax.device_get(preds_for_metrics),
+                    jax.device_get(batch),
+                )
             if step % log_every == 0:
                 m = jax.device_get(metrics)
                 lr_mult = float(
@@ -529,9 +559,16 @@ def train_and_evaluate(
                     f"{k}={float(v):.5f}" for k, v in m.items()
                 )
                 rate = examples / max(time.time() - t_start, 1e-9)
+                tm_str = ""
+                if train_metrics:
+                    tm_vals = model.compute_metrics(train_metrics)
+                    tm_str = " " + " ".join(
+                        f"train_{k}={v:.4f}" for k, v in tm_vals.items()
+                        if np.isfinite(v)
+                    )
                 logger.info(
                     f"step {step}: {loss_str} lr_mult={lr_mult:.4f} "
-                    f"({rate:.0f} ex/s)"
+                    f"({rate:.0f} ex/s){tm_str}"
                 )
                 if tb is not None:
                     tb.log_scalars(step, m, lr_mult)
@@ -541,7 +578,11 @@ def train_and_evaluate(
                 step, data_timestamp=info.data_timestamp
             ):
                 ckpt_manager.save(
-                    step, jax.device_get(state), dataloader_state
+                    step,
+                    checkpoint_util.state_for_save(
+                        model, jax.device_get(state)
+                    ),
+                    dataloader_state,
                 )
                 eval_result = _run_eval(
                     model, eval_step, state, eval_dl, mesh,
@@ -556,7 +597,11 @@ def train_and_evaluate(
                 (epoch + 1) % train_config.save_checkpoints_epochs == 0
             ):
                 ckpt_manager.save(
-                    step, jax.device_get(state), dataloader_state
+                    step,
+                    checkpoint_util.state_for_save(
+                        model, jax.device_get(state)
+                    ),
+                    dataloader_state,
                 )
                 eval_result = _run_eval(
                     model, eval_step, state, eval_dl, mesh,
@@ -574,7 +619,11 @@ def train_and_evaluate(
         state["dense"] = model.on_train_end(jax.device_get(state["dense"]))
 
     # final save + eval
-    ckpt_manager.save(step, jax.device_get(state), dataloader_state)
+    ckpt_manager.save(
+        step,
+        checkpoint_util.state_for_save(model, jax.device_get(state)),
+        dataloader_state,
+    )
     eval_result = _run_eval(
         model, eval_step, state, eval_dl, mesh, pipeline_config, step,
         model_dir,
@@ -665,13 +714,7 @@ def evaluate(
         state["zch"] = model.embedding_group.init_zch_states()
     ckpt = checkpoint_path or checkpoint_util.latest_checkpoint(model_dir)
     if ckpt:
-        # optimizer states may be absent in a partial restore; restore the
-        # model arrays only
-        sub = {"dense": state["dense"], "tables": state["tables"]}
-        if "zch" in state:
-            sub["zch"] = state["zch"]
-        restored = checkpoint_util.restore_model(ckpt, sub)
-        state.update(restored)
+        state = checkpoint_util.restore_train_state(ckpt, model, state)
 
     eval_dl = create_dataloader(
         pipeline_config.data_config, features,
@@ -719,8 +762,10 @@ def export(
     if ckpt is None:
         ckpt = checkpoint_util.latest_checkpoint(model_dir)
     sub = {"dense": dense_params, "tables": tables}
+    if model.embedding_group.has_zch:
+        sub["zch"] = model.embedding_group.init_zch_states()
     if ckpt:
-        sub = checkpoint_util.restore_model(ckpt, sub)
+        sub = checkpoint_util.restore_train_state(ckpt, model, sub)
 
     os.makedirs(export_dir, exist_ok=True)
     # optional embedding quantization (reference export_util.py:264-289,
@@ -744,10 +789,17 @@ def export(
             }
         with open(os.path.join(export_dir, "quant_meta.json"), "w") as f:
             json.dump(quant_meta, f)
-        sub = {"dense": sub["dense"], **(
-            {"zch": sub["zch"]} if "zch" in sub else {}
-        )}
-    checkpoint_util.save_model(os.path.join(export_dir, "model"), sub)
+        sub = {
+            "dense": sub["dense"],
+            **({"zch": sub["zch"]} if "zch" in sub else {}),
+        }
+    if quant_dtype:
+        # quantized tables live in quant_tables/; save dense (+zch) only
+        checkpoint_util.save_model(os.path.join(export_dir, "model"), sub)
+    else:
+        checkpoint_util.save_train_state(
+            os.path.join(export_dir, "model"), model, sub
+        )
     config_util.save_message(
         pipeline_config, os.path.join(export_dir, "pipeline.config")
     )
@@ -899,7 +951,7 @@ def predict_checkpoint(
         pipeline_config.model_dir
     )
     if ckpt:
-        sub = checkpoint_util.restore_model(ckpt, sub)
+        sub = checkpoint_util.restore_train_state(ckpt, model, sub)
     state = dict(sub)
     state["step"] = jnp.zeros((), jnp.int32)
 
@@ -956,16 +1008,20 @@ def predict(
     compute_dtype = _compute_dtype(pipeline_config.train_config)
     model, features, _ = _build_model_and_optim(pipeline_config, mesh)
     dense_params, tables, _ = _init_state(model, pipeline_config)
+    base_state = {"dense": dense_params, "tables": tables}
+    if model.embedding_group.has_zch:
+        base_state["zch"] = model.embedding_group.init_zch_states()
     quant_meta_path = os.path.join(scripted_model_path, "quant_meta.json")
     if os.path.exists(quant_meta_path):
         from torcheasyrec_tpu.acc.quant_util import dequantize_rowwise
 
         with open(quant_meta_path) as f:
             quant_meta = json.load(f)
-        sub = checkpoint_util.restore_model(
-            os.path.join(scripted_model_path, "model"),
-            {"dense": dense_params},
+        sub_t = {k: v for k, v in base_state.items() if k != "tables"}
+        sub_t = checkpoint_util.restore_model(
+            os.path.join(scripted_model_path, "model"), sub_t
         )
+        state = dict(sub_t)
         new_tables = {}
         for gk, meta in quant_meta["groups"].items():
             z = np.load(os.path.join(
@@ -975,13 +1031,11 @@ def predict(
                 {"values": z["values"], "scales": z["scales"]},
                 quant_meta["dtype"], meta["dim"],
             ))
-        state = {"dense": sub["dense"], "tables": new_tables}
+        state["tables"] = new_tables
     else:
-        sub = checkpoint_util.restore_model(
-            os.path.join(scripted_model_path, "model"),
-            {"dense": dense_params, "tables": tables},
+        state = checkpoint_util.restore_train_state(
+            os.path.join(scripted_model_path, "model"), model, base_state
         )
-        state = {"dense": sub["dense"], "tables": sub["tables"]}
 
     reserved = [c.strip() for c in (reserved_columns or "").split(",")
                 if c.strip()]
@@ -1004,7 +1058,9 @@ def predict(
         preds = jax.device_get(eval_step(state, batch))
         out: Dict[str, pa.Array] = {}
         for k, v in preds.items():
-            if out_cols and k not in out_cols:
+            if k.startswith("__") or (out_cols and k not in out_cols):
+                continue
+            if isinstance(v, (list, tuple)):
                 continue
             v = np.asarray(v)
             if v.ndim == 1:

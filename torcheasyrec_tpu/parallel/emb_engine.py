@@ -297,10 +297,11 @@ class EmbeddingEngine:
                     n = field.values.shape[0]
                     b = field.lengths.shape[0]
                     seg = segment_ids_from_lengths(field.lengths, n)
-                    valid = seg < b
-                    ids = jnp.where(
-                        valid, field.values.astype(jnp.int32) + off, -1
-                    )
+                    v = field.values.astype(jnp.int32)
+                    # guard BOTH padding (seg==b) and in-row -1 markers so
+                    # the megatable offset can't alias a foreign table
+                    valid = (seg < b) & (v >= 0)
+                    ids = jnp.where(valid, v + off, -1)
                     plan.append(PlanEntry(
                         lk, pos, n, "pool", seg, field.weights,
                         field.lengths, (b, n),
@@ -523,6 +524,71 @@ class EmbeddingEngine:
     # ------------------------------------------------------------------
     # introspection / export helpers
     # ------------------------------------------------------------------
+
+    def to_canonical(self, tables, opt_state) -> Dict[str, Any]:
+        """Fused group arrays -> per-table dict (layout-independent
+        checkpoint format, the reference's reshard-on-load equivalent:
+        a checkpoint saved under any device count / sharding plan
+        restores under any other)."""
+        import numpy as np_
+
+        out: Dict[str, Any] = {}
+        for gk, g in self.groups.items():
+            w = np_.asarray(jax.device_get(tables[gk]))
+            st = jax.device_get(opt_state.get(gk, {})) if opt_state else {}
+            for t in g.specs:
+                off = g.offsets[t.name]
+                entry: Dict[str, Any] = {"weight": w[off : off + t.rows]}
+                for k, v in (st or {}).items():
+                    if getattr(v, "ndim", 0) >= 1 and v.shape[0] == g.padded_rows:
+                        entry[f"opt__{k}"] = np_.asarray(v)[off : off + t.rows]
+                    else:
+                        entry[f"opt__{k}"] = np_.asarray(v)
+                out[t.name] = entry
+        return out
+
+    def from_canonical(
+        self, canon: Dict[str, Any], tables, opt_state
+    ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, Any]]:
+        """Per-table dict -> this engine's fused layout. Tables absent
+        from the checkpoint keep their current (initialized) values."""
+        import numpy as np_
+
+        new_tables = {}
+        new_state = {}
+        for gk, g in self.groups.items():
+            w = np_.array(jax.device_get(tables[gk]))
+            st = {
+                k: np_.array(v)
+                for k, v in jax.device_get(opt_state.get(gk, {})).items()
+            } if opt_state else {}
+            for t in g.specs:
+                entry = canon.get(t.name)
+                if entry is None:
+                    continue
+                off = g.offsets[t.name]
+                w[off : off + t.rows] = np_.asarray(
+                    entry["weight"]
+                ).astype(w.dtype)
+                for k in list(st.keys()):
+                    ck = f"opt__{k}"
+                    if ck not in entry:
+                        continue
+                    v = np_.asarray(entry[ck])
+                    if st[k].ndim >= 1 and st[k].shape[0] == g.padded_rows:
+                        st[k][off : off + t.rows] = v.astype(st[k].dtype)
+                    else:
+                        st[k] = v.astype(st[k].dtype)
+            new_tables[gk] = self._device_put_table(jnp.asarray(w), g)
+            if opt_state:
+                new_state[gk] = jax.tree_util.tree_map(
+                    lambda x: self._device_put_table(jnp.asarray(x), g)
+                    if getattr(x, "ndim", 0) >= 1
+                    and x.shape[0] == g.padded_rows
+                    else jnp.asarray(x),
+                    st,
+                )
+        return new_tables, new_state if opt_state else opt_state
 
     def table_rows(self, table_name: str) -> Tuple[str, int, int]:
         """(group_key, row_offset, rows) for extracting one table."""

@@ -94,7 +94,8 @@ def lookup_insert(
     ) % size  # [N, K]
 
     keys_at = state["keys"][probes]  # [N, K]
-    is_match = keys_at == flat[:, None]
+    # padding ids (-1) must never match the empty-slot sentinel (-1)
+    is_match = (keys_at == flat[:, None]) & valid[:, None]
     is_empty = keys_at == -1
 
     def _first_true(mask):
@@ -120,8 +121,10 @@ def lookup_insert(
     slots = jnp.take_along_axis(probes, chosen_k[:, None], axis=1)[:, 0]
 
     if not training:
-        # read-only: unmatched ids deterministically use probe 0
+        # read-only: unmatched ids deterministically use probe 0;
+        # padding stays -1 (engine gathers zeros, drops updates)
         slots_ro = jnp.where(has_match, slots, probes[:, 0])
+        slots_ro = jnp.where(valid, slots_ro, -1)
         return slots_ro.reshape(shape), state
 
     write = valid
@@ -136,4 +139,5 @@ def lookup_insert(
         jnp.asarray(step, jnp.int32), mode="drop"
     )
     new_state = {"keys": new_keys, "count": cnt, "last": last}
+    slots = jnp.where(valid, slots, -1)
     return slots.reshape(shape), new_state

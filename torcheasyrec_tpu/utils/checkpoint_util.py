@@ -194,3 +194,107 @@ class CheckpointManager:
             shutil.rmtree(_ckpt_path(self.model_dir, victim),
                           ignore_errors=True)
             logger.info(f"pruned checkpoint model.ckpt-{victim}")
+
+
+# ---------------------------------------------------------------------------
+# model-aware train-state save/restore: embedding tables + sparse optimizer
+# state are stored in a canonical PER-TABLE layout so checkpoints are
+# independent of device count / fused-group layout / sharding plan
+# (the reference's reshard-on-load, checkpoint_util.py:66-183).
+# ---------------------------------------------------------------------------
+
+
+def state_for_save(model, state: Dict[str, Any]) -> Dict[str, Any]:
+    engine = model.embedding_group.engine
+    out = {k: v for k, v in state.items()
+           if k not in ("tables", "sparse_opt")}
+    out["canonical_tables"] = engine.to_canonical(
+        state["tables"], state.get("sparse_opt")
+    )
+    return out
+
+
+def state_after_restore(model, restored: Dict[str, Any],
+                        state: Dict[str, Any]) -> Dict[str, Any]:
+    engine = model.embedding_group.engine
+    canon = restored.pop("canonical_tables", None)
+    out = dict(state)
+    for k, v in restored.items():
+        if k in out or k in ("dense", "zch", "step", "dense_opt"):
+            out[k] = v
+    if canon:
+        tables, sparse_opt = engine.from_canonical(
+            canon, state["tables"], state.get("sparse_opt")
+        )
+        out["tables"] = tables
+        if state.get("sparse_opt") is not None and sparse_opt:
+            out["sparse_opt"] = sparse_opt
+    elif "tables" in restored:  # legacy fused-layout checkpoint
+        out["tables"] = restored["tables"]
+        if "sparse_opt" in restored:
+            out["sparse_opt"] = restored["sparse_opt"]
+    return out
+
+
+def save_train_state(ckpt_dir: str, model, state: Dict[str, Any],
+                     dataloader_state=None) -> None:
+    save_model(ckpt_dir, state_for_save(model, jax.device_get(state)),
+               dataloader_state)
+
+
+def restore_train_state(ckpt_dir: str, model,
+                        state: Dict[str, Any]) -> Dict[str, Any]:
+    """Partial-restore into `state`: keys absent from the checkpoint keep
+    their current values; tables restore through the canonical layout."""
+    target = {k: v for k, v in state.items()
+              if k not in ("tables", "sparse_opt")}
+    with ocp.PyTreeCheckpointer() as ckptr:
+        raw = ckptr.restore(os.path.join(os.path.abspath(ckpt_dir), "state"))
+    restored = dict(state)
+    # graft non-table subtrees with shape checking
+    grafted = _graft_tree(target, {k: v for k, v in raw.items()
+                                   if k != "canonical_tables"})
+    restored.update(grafted)
+    canon = raw.get("canonical_tables")
+    if canon:
+        engine = model.embedding_group.engine
+        tables, sparse_opt = engine.from_canonical(
+            canon, state["tables"], state.get("sparse_opt")
+        )
+        restored["tables"] = tables
+        if state.get("sparse_opt") is not None and sparse_opt:
+            restored["sparse_opt"] = sparse_opt
+    elif "tables" in raw and "tables" in state:
+        legacy = {"tables": state["tables"]}
+        if "sparse_opt" in raw and state.get("sparse_opt") is not None:
+            legacy["sparse_opt"] = state["sparse_opt"]
+        restored.update(_graft_tree(
+            legacy, {k: raw[k] for k in legacy if k in raw}
+        ))
+    logger.info(f"restored checkpoint from {ckpt_dir}")
+    return restored
+
+
+def _graft_tree(target, source):
+    def _graft(t, s):
+        if isinstance(t, dict):
+            if not isinstance(s, dict):
+                return t
+            return {k: _graft(v, s[k]) if k in s else v
+                    for k, v in t.items()}
+        if isinstance(t, (list, tuple)):
+            if not isinstance(s, (list, tuple)):
+                return t
+            out = [_graft(a, b) for a, b in zip(t, s)] + list(t[len(s):])
+            return type(t)(out) if isinstance(t, tuple) else out
+        if s is None:
+            return t
+        if hasattr(t, "sharding") and getattr(
+            t.sharding, "mesh", None
+        ) is not None:
+            return jax.device_put(np.asarray(s), t.sharding)
+        if hasattr(t, "dtype"):
+            return jnp_asarray_like(s, t)
+        return s
+
+    return _graft(target, source)
