@@ -53,7 +53,7 @@ def test_valid_attn_mask_num_targets():
     assert m[0][5, :4].all()  # sees full history
 
 
-def _rand_qkv(b=2, n=128, h=2, d=32, vd=32, seed=0):
+def _rand_qkv(b=2, n=128, h=2, d=32, vd=32, seed=0):  # noqa: D103
     rng = np.random.default_rng(seed)
     q = jnp.asarray(rng.normal(size=(b, n, h, d)).astype(np.float32))
     k = jnp.asarray(rng.normal(size=(b, n, h, d)).astype(np.float32))
@@ -70,11 +70,16 @@ def _rand_qkv(b=2, n=128, h=2, d=32, vd=32, seed=0):
         dict(causal=True, contextual_seq_len=4),
         dict(causal=True, num_targets=True),
         dict(causal=True, max_attn_len=16, min_full_attn_seq_len=8),
+        # contextual rows attend ALL columns: must hold across MULTIPLE
+        # key blocks (regression: causal block-bound skipped them)
+        dict(causal=True, contextual_seq_len=4, n=512),
+        dict(causal=True, contextual_seq_len=2, num_targets=True, n=512),
     ],
 )
 def test_pallas_matches_jax(kwargs):
-    q, k, v, lengths = _rand_qkv()
     kwargs = dict(kwargs)
+    n = kwargs.pop("n", 128)
+    q, k, v, lengths = _rand_qkv(n=n)
     num_targets = None
     if kwargs.pop("num_targets", False):
         num_targets = jnp.minimum(lengths // 4 + 1, lengths)
@@ -82,12 +87,12 @@ def test_pallas_matches_jax(kwargs):
     ref = _jax_hstu_mha(
         q, k, v, lengths, alpha, kwargs.get("causal", True), num_targets,
         kwargs.get("max_attn_len", 0), kwargs.get("contextual_seq_len", 0),
-        kwargs.get("min_full_attn_seq_len", 0), 128,
+        kwargs.get("min_full_attn_seq_len", 0), n,
     )
     with pltpu.force_tpu_interpret_mode():
         out = pallas_hstu_mha(
             q, k, v, lengths, alpha=alpha, num_targets=num_targets,
-            scaling_seqlen=128, **kwargs,
+            scaling_seqlen=n, **kwargs,
         )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-5)

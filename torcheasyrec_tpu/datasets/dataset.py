@@ -287,8 +287,11 @@ class PrefetchIterator:
         return self
 
     def __next__(self):
+        if getattr(self, "_finished", False):
+            raise StopIteration
         item = self._q.get()
         if item is self._done:
+            self._finished = True
             if self._err is not None:
                 raise self._err
             raise StopIteration

@@ -131,13 +131,42 @@ class KafkaReader(BaseReader):
             return None
 
     def _emit(self, rows) -> Iterator[Tuple[int, int, pa.RecordBatch]]:
-        cols: Dict[str, list] = {}
+        """Group by partition and carry REAL per-message offsets so
+        checkpoint_info records resumable positions even with
+        interleaved partitions or offset gaps (compacted topics)."""
+        by_part: Dict[int, list] = {}
         for r in rows:
-            for k, v in r.items():
-                cols.setdefault(k, []).append(v)
-        rb = pa.RecordBatch.from_pydict(
-            {k: pa.array(v) for k, v in cols.items()}
+            by_part.setdefault(int(r.get("__kafka_partition__", 0)),
+                               []).append(r)
+        for partition, part_rows in by_part.items():
+            cols: Dict[str, list] = {}
+            for r in part_rows:
+                for k, v in r.items():
+                    if k == "__kafka_partition__":
+                        continue
+                    cols.setdefault(k, []).append(v)
+            rb = pa.RecordBatch.from_pydict(
+                {k: pa.array(v) for k, v in cols.items()}
+            )
+            yield partition, int(part_rows[0]["__kafka_offset__"]), rb
+
+    def _inject_ckpt_cols(self, rb, source_id, start_row):
+        """Override: the real kafka offsets ride in __kafka_offset__;
+        BaseReader's arange would fabricate wrong resume positions."""
+        import numpy as _np
+
+        from torcheasyrec_tpu.datasets.utils import (
+            CKPT_ROW_IDX,
+            CKPT_SOURCE_ID,
         )
-        partition = rows[0].get("__kafka_partition__", 0)
-        offset = rows[0].get("__kafka_offset__", 0)
-        yield int(partition), int(offset), rb
+
+        n = rb.num_rows
+        offsets = rb.column(
+            rb.schema.get_field_index("__kafka_offset__")
+        )
+        rb = rb.drop_columns(["__kafka_offset__"])
+        rb = rb.append_column(
+            CKPT_SOURCE_ID, pa.array(_np.full(n, source_id, _np.int64))
+        )
+        rb = rb.append_column(CKPT_ROW_IDX, offsets.cast(pa.int64()))
+        return rb

@@ -323,25 +323,33 @@ class TDMSampler(BaseSampler):
         rep_idx: List[int] = []
         out_nodes: List[int] = []
         out_labels: List[float] = []
-        n_layers = len(self._layer_num_sample) or self._max_depth
         for i, it in enumerate(items):
             anc = self.ancestors(int(it) if it is not None else 0)
-            for li in range(min(n_layers, len(anc))):
-                layer_depth = self._depth.get(anc[li], 0)
-                # positive
-                rep_idx.append(i)
-                out_nodes.append(anc[li])
-                out_labels.append(1.0)
+            for node in anc:
+                # layer_num_sample is indexed from the ROOT (depth 0),
+                # reference sampler.py:920-923; the root itself has no
+                # negatives (its configured count is 0)
+                layer_depth = self._depth.get(node, 0)
                 neg_cnt = (
-                    self._layer_num_sample[li]
-                    if li < len(self._layer_num_sample) else 1
+                    self._layer_num_sample[layer_depth]
+                    if layer_depth < len(self._layer_num_sample)
+                    else (self._layer_num_sample[-1]
+                          if self._layer_num_sample else 1)
                 )
                 pool = self._layer_nodes.get(layer_depth)
-                if pool is None or len(pool) <= 1:
+                if layer_depth == 0 and neg_cnt == 0 and (
+                    pool is None or len(pool) <= 1
+                ):
+                    continue  # skip the root entirely
+                # positive
+                rep_idx.append(i)
+                out_nodes.append(node)
+                out_labels.append(1.0)
+                if pool is None or len(pool) <= 1 or neg_cnt <= 0:
                     continue
                 negs = self._rng.choice(pool, size=neg_cnt)
                 for ng in negs:
-                    if int(ng) == anc[li]:
+                    if int(ng) == node:
                         continue
                     rep_idx.append(i)
                     out_nodes.append(int(ng))

@@ -60,6 +60,10 @@ class DlrmHSTU(BaseModel):
             eg.group_total_dim("contextual")
             if eg.has_group("contextual") else 0
         )
+        n_ctx_features = (
+            len(eg.group_dims("contextual"))
+            if eg.has_group("contextual") else 0
+        )
         self._has_ctx = ctx_dim > 0
         self._aux_groups = {
             name: eg.has_group(name)
@@ -95,7 +99,9 @@ class DlrmHSTU(BaseModel):
             uih_content_dim=uih_dim,
             cand_content_dim=cand_dim,
             contextual_dim=ctx_dim,
-            n_contextual_tokens=1 if ctx_dim else 0,
+            # one token per contextual feature (reference
+            # preprocessors.py:105 max_contextual_seq_len = feature num)
+            n_contextual_tokens=n_ctx_features,
             action_encoder=action_encoder,
             input_dropout_ratio=input_dropout,
         )

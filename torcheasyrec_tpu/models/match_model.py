@@ -83,8 +83,10 @@ class MatchModel(BaseModel):
         """[B, 1+num_neg] (col 0 = positive) or [B, B] in-batch."""
         b = user_emb.shape[0]
         if self._in_batch_negative:
+            # full item matrix: B in-batch positives on the diagonal PLUS
+            # any sampler-appended negatives (reference match_model.py:282)
             return jnp.dot(
-                user_emb, item_emb[:b].T, preferred_element_type=jnp.float32
+                user_emb, item_emb.T, preferred_element_type=jnp.float32
             )
         pos = jnp.sum(
             user_emb.astype(jnp.float32) * item_emb[:b].astype(jnp.float32),

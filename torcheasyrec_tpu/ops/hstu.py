@@ -261,12 +261,21 @@ def hstu_compute_output(
         normed = (a - mean) * jax.lax.rsqrt(var + eps) * norm_scale + norm_bias
     gated = normed.astype(u.dtype) * u
     if concat_ux:
-        gated = jnp.concatenate([u, gated], axis=-1)
+        # reference concatenates [u, raw attn, normed*u]
+        # (pt_hstu_linear.py:53-54) => output_weight is 3*H*linear wide
+        gated = jnp.concatenate([u, a.astype(u.dtype), gated], axis=-1)
+    # dropout on the gated features BEFORE the projection
+    # (pt_hstu_linear.py:55-59; post-projection dropout is a different
+    # regularizer since the matmul mixes features)
+    if training and dropout_pr > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(
+            dropout_rng, 1 - dropout_pr, gated.shape
+        )
+        gated = jnp.where(
+            keep, gated / (1 - dropout_pr), 0.0
+        ).astype(gated.dtype)
     y = jnp.einsum(
         "bnf,fe->bne", gated, output_weight.astype(gated.dtype),
         preferred_element_type=jnp.float32,
     ).astype(x.dtype)
-    if training and dropout_pr > 0.0 and dropout_rng is not None:
-        keep = jax.random.bernoulli(dropout_rng, 1 - dropout_pr, y.shape)
-        y = jnp.where(keep, y / (1 - dropout_pr), 0.0).astype(y.dtype)
     return x + y

@@ -38,8 +38,10 @@ def split_2D_jagged(
     a_lengths: jnp.ndarray,
     max_a: int,
     max_b: int,
+    b_lengths: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Inverse of concat_2D_jagged: -> ([B, max_a, D], [B, max_b, D])."""
+    """Inverse of concat_2D_jagged: -> ([B, max_a, D], [B, max_b, D]).
+    Positions past each segment's length are zeroed."""
     b = values.shape[0]
     la = a_lengths.astype(jnp.int32)[:, None]
     ja = jnp.arange(max_a, dtype=jnp.int32)[None, :]
@@ -51,6 +53,14 @@ def split_2D_jagged(
     jb = jnp.arange(max_b, dtype=jnp.int32)[None, :]
     b_idx = jnp.clip(la + jb, 0, values.shape[1] - 1)
     b_out = jnp.take_along_axis(values, b_idx[..., None], axis=1)
+    lb = (
+        b_lengths.astype(jnp.int32)[:, None]
+        if b_lengths is not None
+        else jnp.int32(values.shape[1]) - la
+    )
+    b_out = jnp.where(
+        (jb < lb)[..., None], b_out, jnp.zeros_like(b_out)
+    )
     return a_out, b_out
 
 

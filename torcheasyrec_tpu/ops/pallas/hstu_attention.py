@@ -92,7 +92,10 @@ def _fwd_kernel(
     rows = qi * BQ + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
 
     num_kb = n // BK
-    if causal:
+    # contextual prefix rows attend ALL valid columns (reference
+    # triton_hstu_attention.py:464-467 widens the loop for them), so the
+    # causal block-bound only applies when there is no contextual prefix
+    if causal and contextual_seq_len == 0:
         num_kb_eff = qi + 1
     else:
         num_kb_eff = num_kb
@@ -142,8 +145,9 @@ def _bwd_dv_dk_kernel(
     cols = ki * BK + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
 
     num_qb = n // BQ
-    # causal: only q blocks at or after this k block contribute
-    start_qb = ki if causal else 0
+    # causal: only q blocks at or after this k block contribute — except
+    # contextual rows (block 0..) which attend every column
+    start_qb = ki if (causal and contextual_seq_len == 0) else 0
 
     def body(qi, carry):
         dv, dk = carry
@@ -197,7 +201,9 @@ def _bwd_dq_kernel(
     qblk = q_ref[0]
     doblk = do_ref[0]
     rows = qi * BQ + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
-    num_kb_eff = (qi + 1) if causal else (n // BK)
+    num_kb_eff = (
+        (qi + 1) if (causal and contextual_seq_len == 0) else (n // BK)
+    )
 
     def body(kb, dq):
         kblk = k_ref[0, pl.ds(kb * BK, BK), :]
