@@ -35,3 +35,25 @@ def test_hash_throughput_sanity():
     dt = time.perf_counter() - t0
     assert len(out) == 200_000
     assert dt < 5.0, f"native hash too slow: {dt:.2f}s"
+
+
+def test_split_hash_arrow_matches_python_path():
+    import pyarrow as pa
+    from google.protobuf import text_format
+
+    from torcheasyrec_tpu.features import create_features
+    from torcheasyrec_tpu.protos import feature_pb2
+    from torcheasyrec_tpu.protos.data_pb2 import FgMode
+
+    cfg = text_format.Parse(
+        "id_feature { feature_name: 'tags' expression: 'item:tags' "
+        "hash_bucket_size: 100000 embedding_dim: 8 separator: ',' }",
+        feature_pb2.FeatureConfig(),
+    )
+    feat = create_features([cfg], fg_mode=FgMode.FG_NORMAL)[0]
+    col = pa.array(["a,b,c", None, "", "solo", "x,y"])
+    data = feat.parse({"tags": col})
+    np.testing.assert_array_equal(data.lengths, [3, 0, 0, 1, 2])
+    # values match the pure-python FNV path
+    expected = fg.hash_strings_mod(["a", "b", "c", "solo", "x", "y"], 100000)
+    np.testing.assert_array_equal(data.values, expected)

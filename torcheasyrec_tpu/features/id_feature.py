@@ -54,6 +54,20 @@ class IdFeature(BaseFeature):
             feat = pc.if_else(is_empty, pa.nulls(len(feat)), feat)
             if default:
                 feat = feat.fill_null(default)
+            # native split+hash fast path (pyfg hot loop equivalent)
+            if (
+                not self.is_weighted
+                and getattr(c, "hash_bucket_size", 0)
+                and pa.types.is_string(feat.type)
+            ):
+                from torcheasyrec_tpu import fg as fg_native
+
+                fast = fg_native.split_hash_arrow(
+                    feat, sep, int(c.hash_bucket_size)
+                )
+                if fast is not None:
+                    values, lengths = fast
+                    return SparseData(self.name, values, lengths, None)
             nulls = feat.is_null().to_numpy(zero_copy_only=False)
             lf = pc.split_pattern(feat.fill_null(""), sep)
             offs = lf.offsets.to_numpy()

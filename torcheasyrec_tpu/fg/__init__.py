@@ -60,6 +60,13 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
         ]
+        lib.fg_split_hash.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_char_p,
+            ctypes.c_int64, ctypes.c_char, ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.fg_split_hash.restype = ctypes.c_int64
         _LIB = lib
         return _LIB
 
@@ -125,3 +132,60 @@ def bucketize(values: np.ndarray, boundaries: np.ndarray,
         ctypes.c_int(threads),
     )
     return out
+
+
+def split_hash_arrow(str_array, sep: str, num_buckets: int):
+    """Split an Arrow string array on `sep` and FNV-hash each token
+    mod num_buckets, entirely in C++ (the pyfg multi-value hot path).
+    Returns (values int64 [n_tokens], lengths int32 [n]) or None when
+    the native lib is unavailable / layout unsupported."""
+    lib = _load()
+    if lib is None or len(sep) != 1:
+        return None
+    import pyarrow as pa
+
+    if isinstance(str_array, pa.ChunkedArray):
+        str_array = str_array.combine_chunks()
+    if not pa.types.is_string(str_array.type):
+        return None
+    buffers = str_array.buffers()  # [validity, offsets, data]
+    if buffers[1] is None:
+        return None
+    n = len(str_array)
+    arr_off = str_array.offset
+    offsets = np.frombuffer(
+        buffers[1], dtype=np.int32, count=n + 1 + arr_off
+    )[arr_off:]
+    data = bytes(buffers[2]) if buffers[2] is not None else b""
+    max_tokens = max(int(offsets[-1] - offsets[0]), 1)
+    out_vals = np.empty(max_tokens, np.int64)
+    out_lengths = np.zeros(n, np.int32)
+    offsets = np.ascontiguousarray(offsets)
+    total = lib.fg_split_hash(
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        data,
+        ctypes.c_int64(n),
+        ctypes.c_char(sep.encode("latin-1")),
+        ctypes.c_uint64(num_buckets),
+        out_vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(max_tokens),
+        out_lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if total < 0:
+        return None
+    # honor validity (null rows -> 0 tokens)
+    if buffers[0] is not None and str_array.null_count:
+        nulls = np.asarray(str_array.is_null())
+        if nulls.any():
+            # rebuild excluding null rows' tokens
+            keep_rows = ~nulls
+            starts = np.concatenate([[0], np.cumsum(out_lengths)])
+            pieces = [
+                out_vals[starts[i]:starts[i + 1]]
+                for i in range(n) if keep_rows[i]
+            ]
+            vals = (np.concatenate(pieces) if pieces
+                    else np.zeros(0, np.int64))
+            out_lengths = np.where(nulls, 0, out_lengths).astype(np.int32)
+            return vals, out_lengths
+    return out_vals[:total], out_lengths
