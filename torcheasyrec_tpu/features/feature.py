@@ -425,6 +425,12 @@ class BaseFeature(metaclass=_meta_cls):
         if getattr(c, "num_buckets", 0):
             return int(c.num_buckets)
         if len(getattr(c, "vocab_list", [])):
+            dbv = int(getattr(c, "default_bucketize_value", 0) or 0)
+            if getattr(c, "HasField", None) and _has_field_safe(
+                c, "default_bucketize_value"
+            ):
+                # raw 0-based vocab positions; OOV -> default_bucketize_value
+                return max(len(c.vocab_list), dbv + 1)
             # id 0 reserved for default, 1 for oov (reference vocab offset)
             return len(c.vocab_list) + 2
         if len(getattr(c, "vocab_dict", {})):
@@ -595,10 +601,17 @@ class BaseFeature(metaclass=_meta_cls):
 
     def _vocab_to_ids(self, tokens: np.ndarray) -> np.ndarray:
         c = self.config
+        has_dbv = _has_field_safe(c, "default_bucketize_value")
         default_bkt = int(getattr(c, "default_bucketize_value", 0) or 0)
         if len(getattr(c, "vocab_list", [])):
-            table = {t: i + 2 for i, t in enumerate(c.vocab_list)}
-            oov = 1 if not default_bkt else default_bkt
+            if has_dbv:
+                # raw positions, OOV -> default_bucketize_value (matches
+                # the reference/pyfg layout when dbv is configured)
+                table = {t: i for i, t in enumerate(c.vocab_list)}
+                oov = default_bkt
+            else:
+                table = {t: i + 2 for i, t in enumerate(c.vocab_list)}
+                oov = 1
             return np.array(
                 [table.get(str(t), oov) for t in tokens], dtype=np.int64
             )
@@ -647,10 +660,25 @@ class BaseFeature(metaclass=_meta_cls):
     # -- fg json (serving contract, reference feature.py:997-1015) ---------
 
     def fg_json(self) -> Dict[str, Any]:
+        # grouped sub-features keep their BARE name (the group carries the
+        # prefixing); standalone sequence features keep the sequence_ type
+        # and per-feature delim/length (reference feature.py:997-1012)
         out = {
-            "feature_name": self.name,
-            "feature_type": self._oneof_name.replace("sequence_", ""),
+            "feature_name": (
+                self.config.feature_name if self.sequence_name
+                else self.name
+            ),
+            "feature_type": (
+                self._oneof_name if self._is_seq_oneof
+                else self._oneof_name.replace("sequence_", "")
+            ),
         }
+        if self._is_seq_oneof:
+            out["sequence_delim"] = getattr(
+                self.config, "sequence_delim", ";"
+            )
+            if self.effective_sequence_length:
+                out["sequence_length"] = self.effective_sequence_length
         exprs = self.expressions
         if len(exprs) == 1:
             out["expression"] = exprs[0]
@@ -717,6 +745,13 @@ def create_features(
             if feat.is_item_side or inputs & set(neg_fields):
                 feat.set_data_group(NEG_DATA_GROUP)
     return features
+
+
+def _has_field_safe(msg, name: str) -> bool:
+    try:
+        return msg.HasField(name)
+    except ValueError:
+        return False
 
 
 def _oneof_to_class(oneof: str) -> str:

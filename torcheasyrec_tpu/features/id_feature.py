@@ -36,13 +36,25 @@ class IdFeature(BaseFeature):
             feat = pc.if_else(is_empty, pa.nulls(len(feat)), feat)
             if default:
                 feat = feat.fill_null(default)
+            nulls = feat.is_null().to_numpy(zero_copy_only=False)
             steps = pc.split_pattern(feat.fill_null(""), delim)
             toks = pc.split_pattern(steps.values, sep)
             seq_offs = steps.offsets.to_numpy()
             seq_lengths = (seq_offs[1:] - seq_offs[:-1]).astype(np.int32)
+            # null rows are EMPTY sequences, not a single hashed "" step
+            seq_lengths = np.where(nulls, 0, seq_lengths).astype(np.int32)
             tok_offs = toks.offsets.to_numpy()
             tok_lengths = (tok_offs[1:] - tok_offs[:-1]).astype(np.int32)
-            tokens = np.asarray(toks.values.to_pylist(), dtype=object)
+            keep_steps = np.repeat(~nulls, seq_offs[1:] - seq_offs[:-1])
+            tok_lengths = tok_lengths[keep_steps]
+            all_tokens = toks.values.to_pylist()
+            keep_tokens = np.repeat(
+                keep_steps, tok_offs[1:] - tok_offs[:-1]
+            )
+            tokens = np.asarray(
+                [t for t, kp in zip(all_tokens, keep_tokens) if kp],
+                dtype=object,
+            )
             ids = self._vocab_to_ids(tokens) if len(tokens) else np.zeros(
                 (0,), np.int64
             )

@@ -65,6 +65,7 @@ class LookupFeature(BaseFeature):
         sep = self.config.separator or "\x1d"
         n = len(keys)
         out = np.zeros((n,), np.float32)
+        tokens = [""] * n
         for i in range(n):
             m, k = maps[i], keys[i]
             if m is None or k is None:
@@ -79,14 +80,12 @@ class LookupFeature(BaseFeature):
             else:
                 v = None
             if v is not None:
+                tokens[i] = str(v)
                 try:
                     out[i] = float(v)
                 except ValueError:
                     out[i] = 0.0
-        if self.is_sparse and len(self.config.boundaries):
-            ids = self._bucketize(out)
-            return SparseData(self.name, ids, np.ones((n,), np.int32))
-        return DenseData(self.name, out[:, None])
+        return self._value_output(out, tokens, n)
 
 
 class MatchFeature(BaseFeature):
@@ -101,6 +100,8 @@ class MatchFeature(BaseFeature):
             or len(c.vocab_list) or len(c.vocab_dict)
         )
 
+    _value_output = None  # shared helper assigned below
+
     def _parse_fg(self, input_data: Dict[str, pa.Array], is_training: bool) -> Any:
         (_, nested_col), (_, pkey_col), (_, skey_col) = self.side_inputs[:3]
         nested = input_data[nested_col].cast(pa.string(), safe=False).to_pylist()
@@ -108,6 +109,7 @@ class MatchFeature(BaseFeature):
         skeys = input_data[skey_col].cast(pa.string(), safe=False).to_pylist()
         n = len(nested)
         out = np.zeros((n,), np.float32)
+        tokens = [""] * n
         for i in range(n):
             if nested[i] is None:
                 continue
@@ -122,14 +124,29 @@ class MatchFeature(BaseFeature):
                 )
             v = table.get(pkeys[i], {}).get(skeys[i])
             if v is not None:
+                tokens[i] = str(v)
                 try:
                     out[i] = float(v)
                 except ValueError:
                     pass
-        if self.is_sparse and len(self.config.boundaries):
+        return self._value_output(out, tokens, n)
+
+
+def _lookup_value_output(self, out, tokens, n):
+    """Route a looked-up value to dense or the configured id mapping
+    (boundaries -> bucketize; hash/num_buckets/vocab -> token ids)."""
+    c = self.config
+    if self.is_sparse:
+        if len(c.boundaries):
             ids = self._bucketize(out)
-            return SparseData(self.name, ids, np.ones((n,), np.int32))
-        return DenseData(self.name, out[:, None])
+        else:
+            ids = self._vocab_to_ids(np.asarray(tokens, dtype=object))
+        return SparseData(self.name, ids, np.ones((n,), np.int32))
+    return DenseData(self.name, out[:, None])
+
+
+LookupFeature._value_output = _lookup_value_output
+MatchFeature._value_output = _lookup_value_output
 
 
 class ExprFeature(BaseFeature):

@@ -33,7 +33,14 @@ class RawFeature(BaseFeature):
 
     @property
     def output_dim(self) -> int:
-        if self.is_sparse or self.has_dense_embedding:
+        if self.is_sparse:
+            return int(self.config.embedding_dim)
+        if self.has_dense_embedding:
+            if self.config.WhichOneof("dense_emb") == "autodis":
+                # per-column embeddings concatenate (reference n*d)
+                return int(self.config.embedding_dim) * max(
+                    self.value_dim, 1
+                )
             return int(self.config.embedding_dim)
         return max(self.value_dim, 1)
 

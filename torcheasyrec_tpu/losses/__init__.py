@@ -79,25 +79,24 @@ def jrc_loss(
     b = logits.shape[0]
     ce = softmax_cross_entropy(logits, labels_i)
 
-    same_sess = (session_ids[:, None] == session_ids[None, :]).astype(
-        jnp.float32
-    )  # [B, B] mask
+    same_sess = session_ids[:, None] == session_ids[None, :]  # [B, B]
     y = labels_i.astype(jnp.float32)
-    # logits_j[i, j] = logit of sample j for class of interest
     pos_logit = logits[:, 1]
     neg_logit = logits[:, 0]
+    eye = jnp.eye(logits.shape[0], dtype=bool)
 
-    def _listwise(sample_logits, indicator):
-        # softmax over same-session samples weighted by indicator
-        masked = jnp.where(
-            same_sess > 0, sample_logits[None, :], -jnp.inf
-        )  # [B, B] row i = session of i
+    def _listwise(sample_logits, indicator, other_class):
+        # sample i competes against ITSELF plus same-session samples of
+        # the OTHER class (reference loss/jrc_loss.py:89-104 masks out
+        # other same-class samples)
+        allow = same_sess & (eye | (other_class[None, :] > 0))
+        masked = jnp.where(allow, sample_logits[None, :], -jnp.inf)
         logp = jax.nn.log_softmax(masked, axis=-1)
         diag = jnp.diagonal(logp)
         return -(diag * indicator)
 
-    loss_pos = _listwise(pos_logit, y)
-    loss_neg = _listwise(neg_logit, 1.0 - y)
+    loss_pos = _listwise(pos_logit, y, 1.0 - y)
+    loss_neg = _listwise(neg_logit, 1.0 - y, y)
     ge_loss = loss_pos + loss_neg
     return alpha * ce + (1 - alpha) * ge_loss
 

@@ -91,22 +91,31 @@ class CapsuleLayer(M.Module):
             (b, self.max_k, L),
         )
         logits = jax.lax.stop_gradient(logits)
+        u_detached = jax.lax.stop_gradient(u)
         neg = jnp.float32(-(2 ** 31) + 1)
         interests = None
         for it in range(self.num_iters):
+            # scale applied once inside the softmax (reference
+            # capsule.py); the accumulated logits stay raw
             masked = jnp.where(
                 valid[:, None, :] & cap_mask[:, :, None],
                 logits * self.scale, neg,
             )
             w = jax.nn.softmax(masked, axis=1)  # route each behavior
+            # padded behaviors contribute zero (not uniform 1/K)
+            w = w * valid[:, None, :].astype(w.dtype)
+            last = it + 1 == self.num_iters
+            # routing iterations use DETACHED low capsules (reference
+            # detaches them); only the final read-out sees gradients
+            u_in = u if last else u_detached
             s = jnp.einsum(
-                "bkl,blh->bkh", w.astype(u.dtype), u,
+                "bkl,blh->bkh", w.astype(u_in.dtype), u_in,
                 preferred_element_type=jnp.float32,
             ).astype(u.dtype)
             interests = squash(s, self.squash_pow)
-            if it + 1 < self.num_iters:
+            if not last:
                 logits = logits + jnp.einsum(
-                    "bkh,blh->bkl", interests, u,
-                    preferred_element_type=jnp.float32,
+                    "bkh,blh->bkl", jax.lax.stop_gradient(interests),
+                    u_detached, preferred_element_type=jnp.float32,
                 )
         return interests, cap_mask

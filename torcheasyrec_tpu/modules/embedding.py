@@ -306,11 +306,13 @@ class EmbeddingGroup(M.Module):
                 for o in feat.config.DESCRIPTOR.oneofs
             ) else None
         if demb == "autodis":
-            kind, dim = "autodis", int(feat.config.embedding_dim)
+            vd = max(feat.value_dim, 1)
+            kind = "autodis"
+            dim = int(feat.config.embedding_dim) * vd
             c = feat.config.autodis
             self._dense_emb_modules[feat.name] = AutoDisEmbedding(
                 num_channels=int(c.num_channels),
-                embedding_dim=dim,
+                embedding_dim=int(feat.config.embedding_dim),
                 temperature=float(c.temperature),
                 keep_prob=float(c.keep_prob),
             )
@@ -506,7 +508,11 @@ class AutoDisEmbedding(M.Module):
             outs.append(
                 jnp.dot(p, params["meta"], preferred_element_type=jnp.float32)
             )
-        out = sum(outs) if len(outs) > 1 else outs[0]
+        # per-column embeddings CONCATENATE (reference
+        # dense_embedding_collection.py reshape to [b, n*d])
+        out = (
+            jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
+        )
         return out.astype(ctx.compute_dtype)
 
 

@@ -186,9 +186,13 @@ def batch_norm_apply(
     """BatchNorm1d; in training, batch stats are used and running-stat
     updates are collected in ctx.state_updates[path]."""
     xf = x.astype(jnp.float32)
+    # normalize per channel over ALL leading axes so 3D [B, L, D] inputs
+    # (DIN attn MLPs, Dice) keep [D]-shaped running stats (reference
+    # Dice transposes to normalize over batch*positions)
+    axes = tuple(range(x.ndim - 1))
     if ctx.training:
-        mean = jnp.mean(xf, axis=0)
-        var = jnp.var(xf, axis=0)
+        mean = jnp.mean(xf, axis=axes)
+        var = jnp.var(xf, axis=axes)
         ctx.state_updates[path] = {
             "mean": (1 - momentum) * p["mean"] + momentum * mean,
             "var": (1 - momentum) * p["var"] + momentum * var,

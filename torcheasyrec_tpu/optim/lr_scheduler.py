@@ -45,9 +45,14 @@ def create_lr_scheduler(
         factor = float(cfg.decay_factor)
         staircase = bool(cfg.staircase)
         min_ratio = float(cfg.min_learning_rate) / base_lr if base_lr else 0.0
+        warm = int(cfg.warmup_size)
 
         def fn(step):
-            t = jnp.asarray(step, jnp.float32) / decay_size
+            # decay starts from 0 AFTER warmup ends (reference
+            # ExponentialDecayLR: p = (step - warmup_size) / decay_size)
+            t = jnp.maximum(
+                jnp.asarray(step, jnp.float32) - warm, 0.0
+            ) / decay_size
             if staircase:
                 t = jnp.floor(t)
             return jnp.maximum(factor ** t, min_ratio)
@@ -79,9 +84,12 @@ def create_lr_scheduler(
     if which == "cosine_annealing_learning_rate":
         t_max = max(int(cfg.T_max), 1)
         min_ratio = float(cfg.min_learning_rate) / base_lr if base_lr else 0.0
+        warm_c = int(cfg.warmup_size)
 
         def fn(step):
-            t = jnp.clip(jnp.asarray(step, jnp.float32), 0, t_max)
+            t = jnp.clip(
+                jnp.asarray(step, jnp.float32) - warm_c, 0, t_max
+            )
             return min_ratio + (1 - min_ratio) * 0.5 * (
                 1 + jnp.cos(math.pi * t / t_max)
             )
