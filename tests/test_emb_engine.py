@@ -7,6 +7,8 @@ import pytest
 
 from torcheasyrec_tpu.datasets.utils import SparseField
 from torcheasyrec_tpu.parallel.emb_engine import (
+    COLUMN_WISE,
+    TABLE_WISE,
     DATA_PARALLEL,
     ROW_WISE,
     EmbeddingEngine,
@@ -142,11 +144,21 @@ def test_update_duplicate_ids_summed():
     np.testing.assert_allclose(after[:3], before[:3])
 
 
-@pytest.mark.parametrize("sharding", [ROW_WISE, DATA_PARALLEL])
-def test_sharded_matches_single_device(sharding):
+@pytest.mark.parametrize("sharding,opt_kind", [
+    (ROW_WISE, "rowwise_adagrad"),
+    (DATA_PARALLEL, "rowwise_adagrad"),
+    # column_wise with rowwise_adagrad exercises the cross-shard psum'd
+    # dim reductions; adam exercises full per-element state on the
+    # dim-sharded axis
+    (COLUMN_WISE, "rowwise_adagrad"),
+    (COLUMN_WISE, "adam"),
+    (TABLE_WISE, "rowwise_adagrad"),
+    (TABLE_WISE, "adagrad"),
+])
+def test_sharded_matches_single_device(sharding, opt_kind):
     assert len(jax.devices()) == 8, "conftest must provide 8 cpu devices"
     mesh = create_mesh()
-    opt = SparseOptimizer("rowwise_adagrad", {"lr": 0.05})
+    opt = SparseOptimizer(opt_kind, {"lr": 0.05})
     single = _mk_engine(optimizer=opt, sharding=sharding)
     multi = _mk_engine(mesh=mesh, optimizer=opt, sharding=sharding)
 
@@ -239,3 +251,30 @@ def test_canonical_checkpoint_cross_layout():
     gk_s, off, rows = single.table_rows("t_c")
     acc = np.asarray(jax.device_get(s_new[gk_s]["acc"]))[off : off + rows]
     assert (acc[:8] > 0).all()
+
+
+def test_canonical_checkpoint_column_to_table_wise():
+    """column_wise-sharded save restores exactly into a table_wise
+    engine (bin-packed offsets differ from sequential)."""
+    mesh = create_mesh()
+    opt = SparseOptimizer("adam", {"lr": 0.1})
+    cw = _mk_engine(mesh=mesh, optimizer=opt, sharding=COLUMN_WISE)
+    tw = _mk_engine(mesh=mesh, optimizer=opt, sharding=TABLE_WISE)
+    t_cw = cw.init(jax.random.key(5))
+    s_cw = cw.init_opt_state()
+    sparse, seq, *_ = _batch()
+    out, res = cw.lookup(t_cw, sparse, seq)
+    t_cw, s_cw = cw.update(
+        t_cw, s_cw, res,
+        {k: jnp.ones_like(v) for k, v in out.items()}, jnp.float32(1.0),
+    )
+    canon = cw.to_canonical(t_cw, s_cw)
+    t_tw, s_tw = tw.from_canonical(
+        canon, tw.init(jax.random.key(777)), tw.init_opt_state()
+    )
+    for name in ("t_a", "t_b", "t_c"):
+        np.testing.assert_allclose(
+            tw.extract_table(t_tw, name),
+            cw.extract_table(t_cw, name),
+            rtol=1e-6,
+        )

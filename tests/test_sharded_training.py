@@ -59,11 +59,15 @@ def _steps(mesh, plan, n_steps=4):
     return losses, table
 
 
-def test_sharded_training_matches_single_device():
+import pytest
+
+
+@pytest.mark.parametrize("layout", ["row_wise", "column_wise", "table_wise"])
+def test_sharded_training_matches_single_device(layout):
     from torcheasyrec_tpu.parallel.mesh import create_mesh
 
     assert len(jax.devices()) == 8
-    plan = {"cat_a_emb": "row_wise", "cat_a_emb__wide": "row_wise"}
+    plan = {"cat_a_emb": layout, "cat_a_emb__wide": layout}
     losses_1, table_1 = _steps(None, None)
     losses_8, table_8 = _steps(create_mesh(), plan)
     np.testing.assert_allclose(losses_8, losses_1, rtol=1e-4)

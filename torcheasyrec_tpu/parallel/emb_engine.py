@@ -44,6 +44,8 @@ from torcheasyrec_tpu.parallel.mesh import DATA_AXIS
 from torcheasyrec_tpu.parallel.sparse_optim import SparseOptimizer
 
 ROW_WISE = "row_wise"
+COLUMN_WISE = "column_wise"
+TABLE_WISE = "table_wise"
 DATA_PARALLEL = "data_parallel"
 
 
@@ -143,33 +145,64 @@ class EmbeddingEngine:
 
         # build fused groups
         self.groups: Dict[str, _Group] = {}
+        self._table_group: Dict[str, str] = {}
         for t in tables:
-            sharding = t.sharding if self.num_shards > 1 else DATA_PARALLEL
+            sharding = self._resolve_sharding(t)
             gk = _group_key(t.dim, sharding, t.dtype)
             g = self.groups.setdefault(
                 gk,
                 _Group(t.dim, sharding, [], {}, 0, 0, dtype=t.dtype),
             )
-            g.offsets[t.name] = g.total_rows
             g.specs.append(t)
             g.total_rows += t.rows
+            self._table_group[t.name] = gk
         for g in self.groups.values():
-            # pad rows to a multiple of shards (block sharding)
-            mult = self.num_shards * 8
-            g.padded_rows = ((g.total_rows + mult - 1) // mult) * mult
-
-        self._table_group = {
-            t.name: _group_key(
-                t.dim,
-                t.sharding if self.num_shards > 1 else DATA_PARALLEL,
-                t.dtype,
-            )
-            for t in tables
-        }
+            self._finalize_group(g)
         self._lookups_by_group: Dict[str, List[LookupSpec]] = {}
         for lk in self.lookups:
             gk = self._table_group[lk.table_name]
             self._lookups_by_group.setdefault(gk, []).append(lk)
+
+    def _resolve_sharding(self, t: TableSpec) -> str:
+        if self.num_shards <= 1:
+            return DATA_PARALLEL
+        if t.sharding == COLUMN_WISE and t.dim % self.num_shards != 0:
+            # uneven dim split: fall back to row sharding
+            return ROW_WISE
+        return t.sharding
+
+    def _finalize_group(self, g: _Group) -> None:
+        """Assign per-table row offsets inside the fused megatable.
+
+        table_wise reuses the row_wise exchange by construction: tables
+        are bin-packed into per-shard row blocks (greedy longest
+        processing time), so ``owner = id // rows_per_shard`` lands every
+        id of a table on its single owning shard (the reference's
+        TABLE_WISE placement, plan_util.py, without a separate code
+        path). Other layouts lay tables out sequentially.
+        """
+        D = self.num_shards
+        if g.sharding == TABLE_WISE and D > 1:
+            loads = [0] * D
+            within: Dict[str, int] = {}
+            owner: Dict[str, int] = {}
+            for t in sorted(g.specs, key=lambda t: -t.rows):
+                shard = min(range(D), key=lambda i: loads[i])
+                owner[t.name] = shard
+                within[t.name] = loads[shard]
+                loads[shard] += t.rows
+            rps = ((max(loads) + 7) // 8) * 8
+            for t in g.specs:
+                g.offsets[t.name] = owner[t.name] * rps + within[t.name]
+            g.padded_rows = rps * D
+            return
+        pos = 0
+        for t in g.specs:
+            g.offsets[t.name] = pos
+            pos += t.rows
+        # pad rows to a multiple of shards (block sharding)
+        mult = D * 8 if g.sharding != COLUMN_WISE else 8
+        g.padded_rows = ((pos + mult - 1) // mult) * mult
 
     # ------------------------------------------------------------------
     # init
@@ -179,16 +212,15 @@ class EmbeddingEngine:
         """Init megatable weights; per-table init fn honored via row slices."""
         out: Dict[str, jnp.ndarray] = {}
         for gk, g in self.groups.items():
-            pieces = []
+            w = jnp.zeros((g.padded_rows, g.dim), jnp.float32)
             for t in g.specs:
                 key, sub = jax.random.split(key)
                 fn = parse_init_fn(t.init_fn) or default_emb_init
-                pieces.append(fn(sub, (t.rows, t.dim), jnp.float32))
-            pad = g.padded_rows - g.total_rows
-            if pad:
-                pieces.append(jnp.zeros((pad, g.dim), jnp.float32))
-            w = jnp.concatenate(pieces, axis=0).astype(g.store_dtype)
-            out[gk] = self._device_put_table(w, g)
+                off = g.offsets[t.name]
+                w = w.at[off : off + t.rows].set(
+                    fn(sub, (t.rows, t.dim), jnp.float32)
+                )
+            out[gk] = self._device_put_table(w.astype(g.store_dtype), g)
         return out
 
     def init_opt_state(self) -> Dict[str, Any]:
@@ -203,15 +235,25 @@ class EmbeddingEngine:
             )
         return out
 
+    def _array_spec(self, x: Any, g: _Group) -> P:
+        nd = getattr(x, "ndim", 0)
+        if g.sharding in (ROW_WISE, TABLE_WISE):
+            if nd >= 1 and x.shape[0] == g.padded_rows:
+                return P(DATA_AXIS, *([None] * (nd - 1)))
+            return P()
+        if g.sharding == COLUMN_WISE:
+            # full-dim arrays shard on the dim axis; row-wise state
+            # ([rows, 1]) and scalars replicate (each shard computes
+            # identical values via psum'd dim reductions)
+            if nd >= 2 and x.shape[-1] == g.dim and x.shape[0] == g.padded_rows:
+                return P(*([None] * (nd - 1)), DATA_AXIS)
+            return P()
+        return P()
+
     def _device_put_table(self, x: jnp.ndarray, g: _Group) -> jnp.ndarray:
         if self.mesh is None:
             return x
-        spec = (
-            P(DATA_AXIS, *([None] * (x.ndim - 1)))
-            if g.sharding == ROW_WISE
-            else P()
-        )
-        return jax.device_put(x, NamedSharding(self.mesh, spec))
+        return jax.device_put(x, NamedSharding(self.mesh, self._array_spec(x, g)))
 
     def table_shardings(self) -> Dict[str, Any]:
         """NamedSharding per group key (for checkpoint/jit out_shardings)."""
@@ -222,7 +264,9 @@ class EmbeddingEngine:
             else:
                 out[gk] = NamedSharding(
                     self.mesh,
-                    P(DATA_AXIS, None) if g.sharding == ROW_WISE else P(),
+                    self._array_spec(
+                        jnp.zeros((g.padded_rows, g.dim)), g
+                    ),
                 )
         return out
 
@@ -359,6 +403,27 @@ class EmbeddingEngine:
         if self.mesh is None or g.sharding == DATA_PARALLEL:
             return weight.at[flat_ids].get(mode="fill", fill_value=0.0)
 
+        if g.sharding == COLUMN_WISE:
+            # each shard gathers its dim-slice for EVERY shard's ids,
+            # then an all_to_all swaps (sharded-by-ids) <-> (sharded-by
+            # -dim): [D*N_loc, dim/D] -> [N_loc, dim]. Rides ICI with
+            # the same bytes as the row_wise psum_scatter.
+            def _cw_fn(w_loc, ids_loc):
+                all_ids = jax.lax.all_gather(
+                    ids_loc, DATA_AXIS, tiled=True
+                )  # [D * N_loc]
+                r = w_loc.at[all_ids].get(mode="fill", fill_value=0.0)
+                return jax.lax.all_to_all(
+                    r, DATA_AXIS, split_axis=0, concat_axis=1, tiled=True
+                )  # [N_loc, dim]
+
+            return jax.shard_map(
+                _cw_fn,
+                mesh=self.mesh,
+                in_specs=(P(None, DATA_AXIS), P(DATA_AXIS)),
+                out_specs=P(DATA_AXIS, None),
+            )(weight, flat_ids)
+
         rows_per_shard = g.padded_rows // self.num_shards
 
         def _shard_fn(w_loc, ids_loc):
@@ -447,7 +512,8 @@ class EmbeddingEngine:
             return None
         return jnp.concatenate(pieces) if len(pieces) > 1 else pieces[0]
 
-    def _dedup_apply(self, weight, state, ids, grads, n_rows, lr):
+    def _dedup_apply(self, weight, state, ids, grads, n_rows, lr,
+                     dim_psum_axis=None, full_dim=None):
         """Sort + segment-sum duplicate ids, then sparse-apply optimizer.
 
         ids: [N] int32, -1 for invalid slots. OOB padding rows map past
@@ -466,13 +532,44 @@ class EmbeddingEngine:
         seg = jnp.cumsum(head) - 1  # [N] dense unique index
         gsum = jax.ops.segment_sum(sg, seg, num_segments=n)
         uids = jnp.full((n,), oob, jnp.int32).at[seg].set(sids)
-        return self.optimizer.apply(weight, state, uids, gsum, lr)
+        return self.optimizer.apply(
+            weight, state, uids, gsum, lr,
+            dim_psum_axis=dim_psum_axis, full_dim=full_dim,
+        )
 
     def _dist_update(self, weight, state, flat_ids, grads, g, lr):
         if self.mesh is None:
             return self._dedup_apply(
                 weight, state, flat_ids, grads, g.padded_rows, lr
             )
+
+        if g.sharding == COLUMN_WISE:
+            def _cw_upd(w_loc, st_loc, ids_loc, g_loc, lr_):
+                all_ids = jax.lax.all_gather(
+                    ids_loc, DATA_AXIS, tiled=True
+                )  # [D * N_loc] — identical on every shard, so the
+                # dedup sort below lines uids up across shards and the
+                # optimizer's psum'd dim reductions stay exact
+                g_slices = jax.lax.all_to_all(
+                    g_loc, DATA_AXIS, split_axis=1, concat_axis=0,
+                    tiled=True,
+                )  # [D * N_loc, dim/D]
+                return self._dedup_apply(
+                    w_loc, st_loc, all_ids, g_slices, g.padded_rows, lr_,
+                    dim_psum_axis=DATA_AXIS, full_dim=g.dim,
+                )
+
+            st_specs = jax.tree_util.tree_map(
+                lambda x: self._array_spec(x, g), state
+            )
+            return jax.shard_map(
+                _cw_upd,
+                mesh=self.mesh,
+                in_specs=(P(None, DATA_AXIS), st_specs, P(DATA_AXIS),
+                          P(DATA_AXIS, None), P()),
+                out_specs=(P(None, DATA_AXIS), st_specs),
+                check_vma=False,
+            )(weight, state, flat_ids, grads, lr)
 
         rows_per_shard = g.padded_rows // self.num_shards
 

@@ -8,8 +8,10 @@ ICI/HBM-bandwidth cost model, and picks the min-total-time plan under
 the device memory budget via dynamic programming over memory bins.
 
 TPU option space (engine-supported): ``row_wise`` (block-sharded rows,
-allgather-ids / psum-scatter-rows exchange) vs ``data_parallel``
-(replicated table, allgather-(ids,grads) update). Bandwidths follow the
+allgather-ids / psum-scatter-rows exchange), ``column_wise`` (dim-sharded,
+all_to_all exchange), ``table_wise`` (whole tables bin-packed onto
+shards) and ``data_parallel`` (replicated table, allgather-(ids,grads)
+update). Bandwidths follow the
 reference's env-var contract (plan_util.py:111-114) with TPU defaults:
 INTRA_NODE_BANDWIDTH -> ICI bytes/s, HBM_BANDWIDTH, STORAGE_RESERVE_PERCENT.
 """
@@ -20,8 +22,10 @@ import os
 from typing import Dict, List, Optional, Sequence
 
 from torcheasyrec_tpu.parallel.emb_engine import (
+    COLUMN_WISE,
     DATA_PARALLEL,
     ROW_WISE,
+    TABLE_WISE,
     TableSpec,
 )
 from torcheasyrec_tpu.utils.logging_util import logger
@@ -70,6 +74,17 @@ def _options(
         ) / _ICI_BW
         hbm = (n_devices * n * row_bytes * 3.0) / _HBM_BW
         out.append(_Option(ROW_WISE, comm + hbm, bytes_table / n_devices))
+        # column_wise: ids allgather + all_to_all rows/grads — same
+        # wire bytes as row_wise's psum_scatter/allgather pair; small
+        # tie-break penalty so row_wise wins at equal cost (CW's value
+        # is balancing hot rows / huge dims, selectable via forced plan)
+        if spec.dim % n_devices == 0:
+            out.append(_Option(
+                COLUMN_WISE, (comm + hbm) * 1.05, bytes_table / n_devices
+            ))
+        # table_wise: row_wise exchange but the owning shard does ALL
+        # the row traffic (hot-spot) and holds the whole table
+        out.append(_Option(TABLE_WISE, comm + hbm * n_devices, bytes_table))
     # data_parallel: local gather; update allgathers (ids, grads)
     comm_dp = (
         (n * (4.0 + row_bytes) * (n_devices - 1)) / _ICI_BW
@@ -132,10 +147,13 @@ def create_plan(
         s.name: table_opts[i][oi].sharding
         for i, (s, oi) in enumerate(zip(specs, best[1]))
     }
+    counts = {}
+    for v in plan.values():
+        counts[v] = counts.get(v, 0) + 1
     logger.info(
-        f"planner: {sum(v == ROW_WISE for v in plan.values())} row_wise, "
-        f"{sum(v == DATA_PARALLEL for v in plan.values())} data_parallel "
-        f"tables (est {best[0] * 1e3:.2f} ms/step comm+mem)"
+        "planner: "
+        + ", ".join(f"{c} {k}" for k, c in sorted(counts.items()))
+        + f" tables (est {best[0] * 1e3:.2f} ms/step comm+mem)"
     )
     return plan
 

@@ -18,13 +18,33 @@ partial_rowwise_lamb, partial_rowwise_adam, rowwise_adagrad, adadelta,
 rmsprop.
 """
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 Params = Dict[str, Any]
 
 _DROP = dict(mode="drop")
+
+
+def _dim_sum(x, axis_name: Optional[str]):
+    """Row-wise sum over the embedding dim; psums across a column-sharded
+    mesh axis so row-wise optimizer state (rowwise_adagrad acc, partial
+    rowwise v, lamb/lars norms) is EXACT under column_wise sharding."""
+    s = jnp.sum(x, axis=-1, keepdims=True)
+    if axis_name is not None:
+        s = jax.lax.psum(s, axis_name)
+    return s
+
+
+def _dim_mean(x, axis_name: Optional[str], full_dim: Optional[int]):
+    d = full_dim if full_dim is not None else x.shape[-1]
+    return _dim_sum(x, axis_name) / d
+
+
+def _dim_norm(x, axis_name: Optional[str]):
+    return jnp.sqrt(_dim_sum(x * x, axis_name))
 
 
 def _set_rows(weight, uids, new_rows):
@@ -95,6 +115,8 @@ class SparseOptimizer:
         uids: jnp.ndarray,  # [K] int32, OOB for padding
         grads: jnp.ndarray,  # [K, dim] fp32 (deduped row sums)
         lr: jnp.ndarray,  # scalar (schedule-scaled)
+        dim_psum_axis: Optional[str] = None,  # set under column_wise
+        full_dim: Optional[int] = None,  # global dim when column-sharded
     ) -> Tuple[jnp.ndarray, Params]:
         c = self.cfg
         k = self.kind
@@ -127,7 +149,7 @@ class SparseOptimizer:
         if k == "rowwise_adagrad":
             eps = float(c.get("eps", 1e-10))
             acc = state["acc"].at[uids].get(mode="fill", fill_value=0.0)
-            acc = acc + jnp.mean(grads * grads, axis=-1, keepdims=True)
+            acc = acc + _dim_mean(grads * grads, dim_psum_axis, full_dim)
             new_rows = w_rows - lr * grads / (jnp.sqrt(acc) + eps)
             return (
                 _set_rows(weight, uids, new_rows),
@@ -144,7 +166,7 @@ class SparseOptimizer:
             m = b1 * m + (1 - b1) * grads
             g2 = grads * grads
             if k == "partial_rowwise_adam":
-                g2 = jnp.mean(g2, axis=-1, keepdims=True)
+                g2 = _dim_mean(g2, dim_psum_axis, full_dim)
             v = b2 * v + (1 - b2) * g2
             mh = m / (1 - b1 ** step.astype(jnp.float32))
             vh = v / (1 - b2 ** step.astype(jnp.float32))
@@ -168,13 +190,13 @@ class SparseOptimizer:
             m = b1 * m + (1 - b1) * grads
             g2 = grads * grads
             if k == "partial_rowwise_lamb":
-                g2 = jnp.mean(g2, axis=-1, keepdims=True)
+                g2 = _dim_mean(g2, dim_psum_axis, full_dim)
             v = b2 * v + (1 - b2) * g2
             mh = m / (1 - b1 ** step.astype(jnp.float32))
             vh = v / (1 - b2 ** step.astype(jnp.float32))
             upd = mh / (jnp.sqrt(vh) + eps)
-            w_norm = jnp.linalg.norm(w_rows, axis=-1, keepdims=True)
-            u_norm = jnp.linalg.norm(upd, axis=-1, keepdims=True)
+            w_norm = _dim_norm(w_rows, dim_psum_axis)
+            u_norm = _dim_norm(upd, dim_psum_axis)
             trust = jnp.where(
                 (w_norm > 0) & (u_norm > 0), w_norm / (u_norm + 1e-12), 1.0
             )
@@ -191,8 +213,8 @@ class SparseOptimizer:
         if k == "lars_sgd":
             momentum = float(c.get("momentum", 0.9))
             eta = float(c.get("eta", 0.001))
-            w_norm = jnp.linalg.norm(w_rows, axis=-1, keepdims=True)
-            g_norm = jnp.linalg.norm(grads, axis=-1, keepdims=True)
+            w_norm = _dim_norm(w_rows, dim_psum_axis)
+            g_norm = _dim_norm(grads, dim_psum_axis)
             local_lr = jnp.where(
                 (w_norm > 0) & (g_norm > 0),
                 eta * w_norm / (g_norm + 1e-12),
