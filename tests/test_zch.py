@@ -121,3 +121,62 @@ model_config {{
 
     result = tzrec_main.train_and_evaluate(cfg_path)
     assert result["auc"] > 0.75, result
+
+
+def test_zch_frequency_admission():
+    """Ids below the admission threshold map to -1 (zeros, no update)
+    until their hashed counter reaches the threshold."""
+    cfg = zch.ZchConfig(
+        size=64, policy="lfu", admit_threshold=3, counter_size=256
+    )
+    state = zch.init_state(64, counter_size=256)
+    ids = jnp.asarray([7, 8], jnp.int32)
+    # batches 1-2: counts 1, 2 -> not admitted
+    for step in (1, 2):
+        slots, state = zch.lookup_insert(
+            state, cfg, ids, jnp.int32(step), True
+        )
+        np.testing.assert_array_equal(np.asarray(slots), [-1, -1])
+    # batch 3: count reaches 3 -> admitted, real slots assigned
+    slots, state = zch.lookup_insert(state, cfg, ids, jnp.int32(3), True)
+    s = np.asarray(slots)
+    assert (s >= 0).all() and s[0] != s[1]
+    # eval path does not bump counters
+    st_before = np.asarray(state["admit_cnt"]).copy()
+    _, state = zch.lookup_insert(state, cfg, ids, jnp.int32(4), False)
+    np.testing.assert_array_equal(np.asarray(state["admit_cnt"]), st_before)
+
+
+def test_zch_interval_eviction_gates_displacement():
+    """With eviction_interval=4, a new id arriving when the table is
+    full only displaces an occupied slot on sweep steps."""
+    size = 8  # tiny table so probes saturate
+    cfg = zch.ZchConfig(size=size, policy="lfu", eviction_interval=4)
+    # construct a fully-occupied table directly (batch insertion can
+    # leave holes from within-batch slot races)
+    state = {
+        "keys": jnp.arange(100, 100 + size, dtype=jnp.int32),
+        "count": jnp.full((size,), 5.0, jnp.float32),
+        "last": jnp.full((size,), 12, jnp.int32),
+    }
+    keys_full = np.asarray(state["keys"]).copy()
+    # off-sweep step: the cold newcomer must NOT displace anyone
+    cold = jnp.asarray([999], jnp.int32)
+    _, state = zch.lookup_insert(state, cfg, cold, jnp.int32(13), True)
+    np.testing.assert_array_equal(np.asarray(state["keys"]), keys_full)
+    # sweep step: displacement happens
+    _, state = zch.lookup_insert(state, cfg, cold, jnp.int32(16), True)
+    assert 999 in np.asarray(state["keys"])
+
+
+def test_zch_threshold_filtering_func():
+    """Lambda over batch id counts filters singleton ids from insertion."""
+    cfg = zch.ZchConfig(
+        size=64, policy="lfu",
+        filter_fn="lambda counts: counts >= 2",
+    )
+    state = zch.init_state(64)
+    ids = jnp.asarray([5, 5, 6], jnp.int32)  # 6 appears once
+    slots, state = zch.lookup_insert(state, cfg, ids, jnp.int32(1), True)
+    keys = np.asarray(state["keys"])
+    assert 5 in keys and 6 not in keys

@@ -230,6 +230,14 @@ class EmbeddingGroup(M.Module):
                 self._zch_cfgs[f.name] = zch_mod.ZchConfig(
                     size=int(zc.zch_size), policy=policy,
                     decay_exponent=decay,
+                    eviction_interval=int(
+                        getattr(zc, "eviction_interval", 1) or 1
+                    ),
+                    filter_fn=(
+                        zc.threshold_filtering_func
+                        if getattr(zc, "threshold_filtering_func", "")
+                        else None
+                    ),
                 )
                 continue
             # DynamicEmbedding maps onto the same zero-collision table
@@ -243,8 +251,20 @@ class EmbeddingGroup(M.Module):
                     "LFU": "lfu", "STEP": "lru", "TIMESTAMP": "lru",
                     "NO_EVICTION": "lfu",
                 }.get((de.score_strategy or "STEP").upper(), "lru")
+                admit_threshold = 0
+                counter_size = 0
+                if de.WhichOneof("admission_strategy") == (
+                    "frequency_admission_strategy"
+                ):
+                    fas = de.frequency_admission_strategy
+                    admit_threshold = int(fas.threshold)
+                    counter_size = int(
+                        fas.counter_capacity or 4 * de.max_capacity
+                    )
                 self._zch_cfgs[f.name] = zch_mod.ZchConfig(
                     size=int(de.max_capacity), policy=policy,
+                    admit_threshold=admit_threshold,
+                    counter_size=counter_size,
                 )
 
     @property
@@ -255,7 +275,12 @@ class EmbeddingGroup(M.Module):
         from torcheasyrec_tpu.parallel import zch as zch_mod
 
         return {
-            name: zch_mod.init_state(cfg.size)
+            name: zch_mod.init_state(
+                cfg.size,
+                counter_size=(
+                    cfg.counter_size if cfg.admit_threshold > 0 else 0
+                ),
+            )
             for name, cfg in self._zch_cfgs.items()
         }
 

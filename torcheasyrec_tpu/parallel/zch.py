@@ -18,6 +18,24 @@ Eviction scores (reference feature.proto ZeroCollisionHash):
   LFU:          score = access count
   LRU:          score = 1 / (step - last_access) ** decay
   DistanceLFU:  score = count / (step - last_access) ** decay
+
+Interval eviction (eviction_interval, reference default 5): occupied
+slots may only be evicted on steps where ``step % interval == 0``;
+between sweeps new ids still claim EMPTY slots, and unmatched ids
+read probe slot 0 without writing (the functional analogue of the
+reference's periodic _update sweep, mc_modules in feature.py:693-736).
+
+Frequency admission (DynamicEmbFrequencyAdmissionStrategy,
+feature.proto): ids are counted in a separate hashed counter array of
+``counter_size`` slots; until an id's count reaches ``admit_threshold``
+it is NOT admitted — it maps to -1, so the engine gathers zeros and
+drops its updates (the reference's non-admitted default-initializer
+with CONSTANT 0).
+
+threshold_filtering_func (experimental, same contract as the
+reference): a python lambda string over the batch's per-id occurrence
+counts returning a keep-mask (or (mask, threshold)); filtered ids are
+treated read-only for this batch.
 """
 
 import dataclasses
@@ -35,14 +53,51 @@ class ZchConfig:
     size: int
     policy: str = "lfu"  # lfu | lru | distance_lfu
     decay_exponent: float = 1.0
+    eviction_interval: int = 1  # evict only when step % interval == 0
+    admit_threshold: int = 0  # frequency admission (0 = admit all)
+    counter_size: int = 0  # admission counter slots (0 -> 4 * size)
+    filter_fn: Any = None  # threshold_filtering_func lambda string
 
 
-def init_state(size: int) -> Dict[str, jnp.ndarray]:
-    return {
+def init_state(size: int, counter_size: int = 0) -> Dict[str, jnp.ndarray]:
+    st = {
         "keys": jnp.full((size,), -1, jnp.int32),
         "count": jnp.zeros((size,), jnp.float32),
         "last": jnp.zeros((size,), jnp.int32),
     }
+    if counter_size > 0:
+        st["admit_cnt"] = jnp.zeros((counter_size,), jnp.float32)
+    return st
+
+
+def _batch_counts(flat: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Per-element occurrence count of its id within the batch (static
+    shapes: sort + run-length via segment_sum, inverse permutation)."""
+    n = flat.shape[0]
+    ids = jnp.where(valid, flat, jnp.int32(-2))
+    order = jnp.argsort(ids)
+    sids = ids[order]
+    head = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32), (sids[1:] != sids[:-1]).astype(jnp.int32)]
+    )
+    seg = jnp.cumsum(head) - 1
+    per_run = jax.ops.segment_sum(jnp.ones((n,), jnp.float32), seg, num_segments=n)
+    sorted_counts = per_run[seg]
+    inv = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+    return sorted_counts[inv]
+
+
+def _apply_filter_fn(fn: Any, counts: jnp.ndarray) -> jnp.ndarray:
+    """Evaluate threshold_filtering_func -> boolean keep mask."""
+    if isinstance(fn, str):
+        fn = eval(fn, {"jnp": jnp, "jax": jax, "np": jnp})  # noqa: S307
+    out = fn(counts)
+    if isinstance(out, tuple):
+        mask, thr = out[0], out[1]
+        if mask is None:
+            return counts > thr
+        return mask.astype(bool) & (counts > thr)
+    return out.astype(bool)
 
 
 def _hash1(ids, size):
@@ -86,6 +141,25 @@ def lookup_insert(
     size = state["keys"].shape[0]
     valid = flat >= 0
 
+    # frequency admission: bump hashed counters, gate on threshold
+    new_admit = state.get("admit_cnt")
+    if cfg.admit_threshold > 0 and new_admit is not None:
+        cslots = _hash1(flat, new_admit.shape[0])
+        if training:
+            new_admit = new_admit.at[
+                jnp.where(valid, cslots, new_admit.shape[0])
+            ].add(1.0, mode="drop")
+        admitted = new_admit[cslots] >= cfg.admit_threshold
+        valid = valid & admitted
+
+    # experimental threshold_filtering_func: drop low-count batch ids
+    # from update/eviction (they still read probe 0 when matched)
+    writable = valid
+    if cfg.filter_fn and training:
+        writable = valid & _apply_filter_fn(
+            cfg.filter_fn, _batch_counts(flat, valid)
+        )
+
     h1 = _hash1(flat, size)
     h2 = _hash2(flat, size)
     probes = (
@@ -125,9 +199,24 @@ def lookup_insert(
         # padding stays -1 (engine gathers zeros, drops updates)
         slots_ro = jnp.where(has_match, slots, probes[:, 0])
         slots_ro = jnp.where(valid, slots_ro, -1)
+        if new_admit is not None:
+            state = dict(state, admit_cnt=new_admit)
         return slots_ro.reshape(shape), state
 
-    write = valid
+    # interval eviction: between sweeps an unmatched id without an
+    # empty probe slot must NOT displace an occupied slot — it reads
+    # its probe-0 row this step and retries on the next sweep
+    needs_evict = ~has_match & ~has_empty
+    if cfg.eviction_interval > 1:
+        evict_ok = (
+            jnp.asarray(step, jnp.int32) % cfg.eviction_interval
+        ) == 0
+        slots = jnp.where(
+            needs_evict & ~evict_ok, probes[:, 0], slots
+        )
+        writable = writable & ~(needs_evict & ~evict_ok)
+
+    write = writable
     w_slots = jnp.where(write, slots, size)  # OOB drop for padding
     new_keys = state["keys"].at[w_slots].set(flat, mode="drop")
     # reset count on eviction/new insert; increment on access
@@ -139,5 +228,7 @@ def lookup_insert(
         jnp.asarray(step, jnp.int32), mode="drop"
     )
     new_state = {"keys": new_keys, "count": cnt, "last": last}
+    if new_admit is not None:
+        new_state["admit_cnt"] = new_admit
     slots = jnp.where(valid, slots, -1)
     return slots.reshape(shape), new_state
