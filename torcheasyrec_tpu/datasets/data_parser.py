@@ -48,6 +48,15 @@ class DataParser:
         self._sample_weights = sample_weights or []
         self._is_training = is_training
         self._force_base_data_group = force_base_data_group
+        # native FG DAG: eligible FG_NORMAL/FG_DAG features run as one
+        # C++ task-pool call per batch (fg/dag.py); ineligible features
+        # keep their python parse below
+        try:
+            from torcheasyrec_tpu.fg.dag import FgDag
+
+            self._fg_dag = FgDag(features)
+        except Exception:  # pragma: no cover - loader/toolchain issues
+            self._fg_dag = None
         # INPUT_TILE serving mode (reference acc/utils.py:31-70): user-side
         # features are constant within a request batch; parse row 0 only
         # and tile on device after embedding
@@ -56,7 +65,12 @@ class DataParser:
     def parse(self, input_data: Dict[str, pa.Array]) -> Dict[str, Any]:
         """Run every feature's parse; returns name -> ParsedData."""
         out: Dict[str, Any] = {}
+        dag = self._fg_dag
+        if dag is not None and not self._input_tile:
+            out.update(dag.parse(input_data, self._is_training))
         for feature in self._features:
+            if feature.name in out:
+                continue
             data = input_data
             if self._input_tile and feature.is_user_side:
                 data = {

@@ -12,6 +12,7 @@
 // whichever side computes it). Parallelized with a simple thread pool
 // (pyfg's multi-threaded DAG equivalent; fg_threads in DataConfig).
 
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstdlib>
@@ -138,5 +139,200 @@ void fg_normalize_log10(const float* values, int64_t n, float threshold,
 }
 
 int fg_version() { return 1; }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// FG DAG executor: one task per feature, a worker pool drains the task
+// array (the pyfg multi-threaded DAG equivalent — reference
+// FgArrowHandler processes all features of a batch in C++ in one call).
+// Python builds tasks from feature configs; unsupported feature types
+// stay on the python path per feature.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+enum FgTaskKind {
+  FG_TASK_ID_HASH = 0,    // split(sep) + FNV-1a mod buckets
+  FG_TASK_COMBO_HASH = 1, // join n_inputs single values with \x1d, hash
+  FG_TASK_RAW = 2,        // parse float (+log10) (+bucketize)
+  FG_TASK_KV_LOOKUP = 3,  // map "k:v,k:v" column + key column -> float
+};
+
+typedef struct {
+  // inputs: arrow string columns (offsets/data); fvals for numeric RAW
+  const int32_t* offsets[4];
+  const char* data[4];
+  const double* fvals;
+  const double* boundaries;
+  int64_t* out_vals;
+  float* out_fvals;
+  int32_t* out_lengths;
+  int64_t n_rows;
+  int64_t n_bounds;
+  int64_t max_tokens;
+  int64_t out_total;   // written by the executor
+  uint64_t num_buckets;
+  double norm_threshold;
+  double norm_default;
+  double default_fval;
+  int32_t kind;
+  int32_t n_inputs;
+  int32_t normalizer;  // 0 none, 1 log10
+  int32_t status;      // 0 ok; -1 capacity; -2 bad task
+  int32_t sep;         // multi-value separator char for ID_HASH
+  int32_t _pad;
+} FgTask;
+
+}  // extern "C"
+
+namespace {
+
+void run_id_hash(FgTask& t) {
+  int64_t total = fg_split_hash(t.offsets[0], t.data[0], t.n_rows,
+                                static_cast<char>(t.sep), t.num_buckets,
+                                t.out_vals, t.max_tokens, t.out_lengths);
+  if (total < 0) {
+    t.status = -1;
+    return;
+  }
+  t.out_total = total;
+}
+
+void run_combo_hash(FgTask& t) {
+  // cross of single values per row: join inputs with \x1d then hash
+  // (matches the python ComboFeature path); any empty input -> skip row
+  char buf[4096];
+  int64_t total = 0;
+  for (int64_t i = 0; i < t.n_rows; ++i) {
+    int64_t pos = 0;
+    bool ok = true;
+    for (int32_t j = 0; j < t.n_inputs; ++j) {
+      int64_t len = t.offsets[j][i + 1] - t.offsets[j][i];
+      if (len == 0 || pos + len + 1 > static_cast<int64_t>(sizeof(buf))) {
+        ok = false;
+        break;
+      }
+      if (j) buf[pos++] = '\x1d';
+      std::memcpy(buf + pos, t.data[j] + t.offsets[j][i], len);
+      pos += len;
+    }
+    if (!ok) {
+      t.out_lengths[i] = 0;
+      continue;
+    }
+    if (total >= t.max_tokens) {
+      t.status = -1;
+      return;
+    }
+    uint64_t h = fnv1a(buf, pos);
+    t.out_vals[total++] =
+        t.num_buckets ? static_cast<int64_t>(h % t.num_buckets)
+                      : static_cast<int64_t>(h);
+    t.out_lengths[i] = 1;
+  }
+  t.out_total = total;
+}
+
+inline double parse_double(const char* s, int64_t len, double dflt) {
+  if (len == 0) return dflt;
+  char buf[64];
+  int64_t n = std::min<int64_t>(len, 63);
+  std::memcpy(buf, s, n);
+  buf[n] = '\0';
+  char* end = nullptr;
+  double v = strtod(buf, &end);
+  return end == buf ? dflt : v;
+}
+
+void run_raw(FgTask& t) {
+  for (int64_t i = 0; i < t.n_rows; ++i) {
+    double v;
+    if (t.fvals) {
+      v = t.fvals[i];
+    } else {
+      v = parse_double(t.data[0] + t.offsets[0][i],
+                       t.offsets[0][i + 1] - t.offsets[0][i],
+                       t.default_fval);
+    }
+    if (t.normalizer == 1) {
+      v = v >= t.norm_threshold ? log10(v) : t.norm_default;
+    }
+    if (t.n_bounds > 0) {
+      t.out_vals[i] = std::upper_bound(t.boundaries,
+                                       t.boundaries + t.n_bounds, v) -
+                      t.boundaries;
+      t.out_lengths[i] = 1;
+    } else {
+      t.out_fvals[i] = static_cast<float>(v);
+    }
+  }
+  t.out_total = t.n_rows;
+}
+
+void run_kv_lookup(FgTask& t) {
+  // inputs[0] = map column "k1:v1<sep>k2:v2"; inputs[1] = key column
+  char sep = static_cast<char>(t.sep);
+  for (int64_t i = 0; i < t.n_rows; ++i) {
+    const char* key = t.data[1] + t.offsets[1][i];
+    int64_t key_len = t.offsets[1][i + 1] - t.offsets[1][i];
+    const char* m = t.data[0] + t.offsets[0][i];
+    const char* end = m + (t.offsets[0][i + 1] - t.offsets[0][i]);
+    double v = t.default_fval;
+    const char* entry = m;
+    while (entry < end && key_len > 0) {
+      const char* next = static_cast<const char*>(
+          memchr(entry, sep, end - entry));
+      const char* entry_end = next ? next : end;
+      const char* colon = static_cast<const char*>(
+          memchr(entry, ':', entry_end - entry));
+      if (colon && colon - entry == key_len &&
+          std::memcmp(entry, key, key_len) == 0) {
+        v = parse_double(colon + 1, entry_end - colon - 1, t.default_fval);
+        break;
+      }
+      entry = entry_end + 1;
+    }
+    t.out_fvals[i] = static_cast<float>(v);
+  }
+  t.out_total = t.n_rows;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Drain the task array with a worker pool (one task = one feature).
+// Returns the number of tasks with non-zero status.
+int fg_run_dag(FgTask* tasks, int64_t n_tasks, int threads) {
+  std::atomic<int64_t> next(0);
+  std::atomic<int> errors(0);
+  auto worker = [&]() {
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n_tasks) return;
+      FgTask& t = tasks[i];
+      t.status = 0;
+      t.out_total = 0;
+      switch (t.kind) {
+        case FG_TASK_ID_HASH: run_id_hash(t); break;
+        case FG_TASK_COMBO_HASH: run_combo_hash(t); break;
+        case FG_TASK_RAW: run_raw(t); break;
+        case FG_TASK_KV_LOOKUP: run_kv_lookup(t); break;
+        default: t.status = -2;
+      }
+      if (t.status != 0) errors.fetch_add(1);
+    }
+  };
+  int n_workers = std::max(1, std::min<int>(threads, n_tasks));
+  if (n_workers == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    for (int w = 0; w < n_workers; ++w) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  return errors.load();
+}
 
 }  // extern "C"
