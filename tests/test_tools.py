@@ -136,3 +136,115 @@ def test_tdm_sampler_with_generated_tree(tmp_path):
     assert set(np.unique(labels)) <= {0.0, 1.0}
     assert labels.max() == 1.0 and labels.min() == 0.0
     assert len(users) == len(items_out) == len(labels)
+
+
+def test_tdm_retrieval_end_to_end(tmp_path):
+    """tdm_retrieval: tree gen -> model scoring -> layered beam search ->
+    recall. With recall_num >= n_items every item must be retrieved
+    (recall 1.0); a narrow beam exercises the child-expansion loop."""
+    from google.protobuf import text_format
+
+    from torcheasyrec_tpu.protos import pipeline_pb2
+    from torcheasyrec_tpu.tools.tdm.gen_tree import init_tree
+    from torcheasyrec_tpu.tools.tdm.retrieval import tdm_retrieval
+
+    tmp_path = str(tmp_path)
+    n_items = 32
+    tbl = pa.table({
+        "id": pa.array(np.arange(n_items, dtype=np.int64)),
+        "weight": pa.array(np.ones(n_items)),
+        "attrs": pa.array([str(i) for i in range(n_items)]),
+    })
+    items = os.path.join(tmp_path, "items.parquet")
+    pq.write_table(tbl, items)
+    tree_dir = os.path.join(tmp_path, "tree")
+    init_tree(items, tree_dir, branching=2)
+
+    rng = np.random.default_rng(0)
+    n_users = 24
+    pq.write_table(pa.table({
+        "user_id": pa.array(rng.integers(0, 16, n_users)),
+        "item_id": pa.array(rng.integers(0, n_items, n_users)),
+        "clicks": pa.array([
+            ";".join(str(x) for x in rng.integers(0, n_items, 4))
+            for _ in range(n_users)
+        ]),
+        "label": pa.array(np.ones(n_users, np.float32)),
+    }), os.path.join(tmp_path, "eval.parquet"))
+
+    cfg_text = f"""
+    train_input_path: "{tmp_path}/eval.parquet"
+    eval_input_path: "{tmp_path}/eval.parquet"
+    model_dir: "{tmp_path}/model"
+    train_config {{
+        sparse_optimizer {{ adagrad_optimizer {{ lr: 0.01 }}
+                            constant_learning_rate {{}} }}
+        dense_optimizer {{ adam_optimizer {{ lr: 0.001 }}
+                           constant_learning_rate {{}} }}
+        num_epochs: 1
+    }}
+    eval_config {{}}
+    data_config {{
+        batch_size: 8
+        dataset_type: ParquetDataset
+        fg_mode: FG_NONE
+        label_fields: "label"
+        tdm_sampler {{
+            item_input_path: "{tree_dir}/node_table.parquet"
+            edge_input_path: "{tree_dir}/edge_table.parquet"
+            predict_edge_input_path: "{tree_dir}/edge_table.parquet"
+            attr_fields: "item_id"
+            item_id_field: "item_id"
+            layer_num_sample: [1, 2, 2, 2, 2, 2]
+        }}
+    }}
+    feature_configs {{
+        id_feature {{ feature_name: "user_id" num_buckets: 16
+                      embedding_dim: 8 }}
+    }}
+    feature_configs {{
+        id_feature {{ feature_name: "item_id" num_buckets: 128
+                      embedding_dim: 8 }}
+    }}
+    feature_configs {{
+        sequence_id_feature {{ feature_name: "clicks" num_buckets: 128
+            embedding_dim: 8 sequence_length: 4 }}
+    }}
+    model_config {{
+        feature_groups {{ group_name: "all"
+            feature_names: ["user_id", "item_id"] group_type: DEEP }}
+        feature_groups {{ group_name: "seq"
+            feature_names: ["item_id", "clicks"] group_type: SEQUENCE }}
+        tdm {{
+            multiwindow_din {{ windows_len: [2, 2]
+                               attn_mlp {{ hidden_units: [8] }} }}
+            final {{ hidden_units: [16] }}
+        }}
+        num_class: 1
+        metrics {{ auc {{}} }}
+        losses {{ binary_cross_entropy {{}} }}
+    }}
+    """
+    cfg_path = os.path.join(tmp_path, "pipeline.config")
+    text_format.Parse(cfg_text, pipeline_pb2.EasyRecConfig())
+    with open(cfg_path, "w") as f:
+        f.write(cfg_text)
+
+    # full-coverage retrieval: every leaf retrievable
+    res = tdm_retrieval(
+        cfg_path, os.path.join(tmp_path, "eval.parquet"),
+        recall_num=n_items, n_cluster=2,
+    )
+    assert res["total"] == n_users
+    assert res["recall"] == 1.0
+
+    # narrow beam exercises child expansion across layers + writer
+    out_path = os.path.join(tmp_path, "recall.parquet")
+    res4 = tdm_retrieval(
+        cfg_path, os.path.join(tmp_path, "eval.parquet"), out_path,
+        recall_num=4, n_cluster=2, reserved_columns="user_id",
+    )
+    assert 0.0 <= res4["recall"] <= 1.0
+    got = pq.read_table(out_path)
+    assert got.num_rows == n_users
+    assert all(len(r) == 4 for r in got.column("recall_ids").to_pylist())
