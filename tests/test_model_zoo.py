@@ -248,3 +248,66 @@ def test_model_forward_and_train_step(model_name):
     )
     metrics_list = model.init_metrics()
     model.update_metrics(metrics_list, jax.device_get(preds), batch)
+
+
+@pytest.mark.parametrize("model_name", sorted(MODEL_CONFIGS))
+def test_bn_state_updates_resolve(model_name):
+    """Every batch-norm running-stat update path collected during a
+    train step must resolve into the dense-params tree — a mismatched
+    path silently freezes that layer's running stats."""
+    import re
+
+    from torcheasyrec_tpu.main import apply_state_updates
+
+    feature_cfgs = [
+        text_format.Parse(t, feature_pb2.FeatureConfig()) for t in FEATURES
+    ]
+    features = create_features(feature_cfgs)
+    # force BN on every MLP in the config
+    cfg_txt = re.sub(
+        r"(?<!_)hidden_units: (\[[0-9, ]+\])",
+        r"hidden_units: \1 use_bn: true",
+        MODEL_CONFIGS[model_name],
+    )
+    mc_text = GROUPS_RANK + cfg_txt + """
+    losses { binary_cross_entropy {} }
+    metrics { auc {} }
+    """
+    model_config = text_format.Parse(mc_text, model_pb2.ModelConfig())
+    labels = ["label", "label2"]
+    opt = SparseOptimizer("adagrad", {"lr": 0.01})
+    model = create_model(
+        model_config, features, labels, sparse_optimizer=opt
+    )
+    batch = _make_batch(features, labels)
+    dense_params = model.init(jax.random.key(0))
+    tables = model.embedding_group.init_tables(jax.random.key(1))
+    sparse_opt = model.embedding_group.init_opt_state()
+
+    from torcheasyrec_tpu.protos import optimizer_pb2
+
+    dense_cfg = optimizer_pb2.DenseOptimizer()
+    dense_cfg.adam_optimizer.lr = 0.01
+    tx, _ = create_dense_optimizer(dense_cfg, dense_params)
+    state = {
+        "dense": dense_params,
+        "tables": tables,
+        "sparse_opt": sparse_opt,
+        "dense_opt": tx.init(dense_params),
+        "step": jnp.zeros((), jnp.int32),
+    }
+    step = jax.jit(make_train_step(
+        model, tx, {"fn": lambda s: jnp.float32(1.0)},
+        {"fn": lambda s: jnp.float32(1.0)}, jnp.float32,
+    ))
+    new_state, _, state_updates = step(state, batch, jax.random.key(2))
+    bn_updates = {
+        k: v for k, v in jax.device_get(state_updates).items()
+        if k.endswith(".bn")
+    }
+    if not bn_updates:
+        pytest.skip(f"{model_name}: no BN-capable MLP in config")
+    _, skipped = apply_state_updates(
+        new_state["dense"], bn_updates, return_skipped=True
+    )
+    assert not skipped, f"{model_name}: unresolved BN paths {skipped}"

@@ -66,15 +66,19 @@ def _compute_dtype(train_config) -> Any:
     return jnp.float32
 
 
-def apply_state_updates(params: Dict[str, Any], updates: Dict[str, Any]):
+def apply_state_updates(
+    params: Dict[str, Any],
+    updates: Dict[str, Any],
+    return_skipped: bool = False,
+):
     """Fold collected batch-norm running-stat updates into params.
 
     Paths are dot-joined keys/list-indices rooted at the dense-params
-    tree. Unresolvable paths are skipped with a warning (encoder-internal
-    paths are threaded in a later phase).
+    tree. Unresolvable paths are skipped with a warning; tests assert
+    none are (test_model_zoo bn coverage).
     """
     if not updates:
-        return params
+        return (params, []) if return_skipped else params
 
     import copy
 
@@ -97,12 +101,14 @@ def apply_state_updates(params: Dict[str, Any], updates: Dict[str, Any]):
             return True
         return False
 
+    skipped = []
     for path, value in updates.items():
         parts = path.split(".")
         ok = _set(params, parts, value)
         if not ok:
+            skipped.append(path)
             logger.warning(f"state update path {path} not found; skipped")
-    return params
+    return (params, skipped) if return_skipped else params
 
 
 def _shard_batch(batch: Batch, mesh) -> Batch:

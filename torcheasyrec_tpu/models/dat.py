@@ -51,8 +51,8 @@ class DAT(MatchModel):
         ug, uag, ig, iag = self._groups
         user_in = jnp.concatenate([grouped[ug], grouped[uag]], axis=-1)
         item_in = jnp.concatenate([grouped[ig], grouped[iag]], axis=-1)
-        user_emb = self.user_tower(params["user_tower"], user_in, ctx)
-        item_emb = self.item_tower(params["item_tower"], item_in, ctx)
+        user_emb = self.user_tower(params["user_tower"], user_in, ctx, "user_tower")
+        item_emb = self.item_tower(params["item_tower"], item_in, ctx, "item_tower")
         preds = self._sim_to_prediction(self._sim(user_emb, item_emb))
         preds["user_tower_emb"] = user_emb
         preds["item_tower_emb"] = item_emb

@@ -119,7 +119,7 @@ class DBMTL(MultiTaskRank):
             h = task_inputs[i]
             if self.towers[name] is not None:
                 h = self.towers[name](
-                    params["towers"][name], h, ctx, f"tower.{name}"
+                    params["towers"][name], h, ctx, f"towers.{name}"
                 )
             hidden[name] = h
         preds = {}
@@ -132,7 +132,7 @@ class DBMTL(MultiTaskRank):
                 h = jnp.concatenate([h] + rel, axis=-1)
                 if name in self.relation_mlps:
                     h = self.relation_mlps[name](
-                        params["relations"][name], h, ctx, f"rel.{name}"
+                        params["relations"][name], h, ctx, f"relations.{name}"
                     )
             fused[name] = h
             y = M.linear_apply(params["outputs"][name], h, ctx)

@@ -98,7 +98,7 @@ class DC2VR(MultiTaskRank):
             h = task_inputs[i]
             if self.towers[name] is not None:
                 h = self.towers[name](
-                    params["towers"][name], h, ctx, f"tower.{name}"
+                    params["towers"][name], h, ctx, f"towers.{name}"
                 )
             hidden[name] = h
         preds = {}

@@ -64,7 +64,7 @@ class DeepFM(RankModel):
 
         if self._has_final:
             y_cat = jnp.concatenate([y_wide, y_fm, y_deep], axis=1)
-            y_final = self.final_mlp(params["final_mlp"], y_cat, ctx, "final")
+            y_final = self.final_mlp(params["final_mlp"], y_cat, ctx, "final_mlp")
             y = M.linear_apply(params["output"], y_final, ctx)
         else:
             y = (

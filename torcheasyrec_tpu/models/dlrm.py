@@ -67,6 +67,6 @@ class DLRM(RankModel):
         inter = self.interaction({}, feats, ctx)
         if self._arch_with_sparse:
             inter = jnp.concatenate([feats.reshape(b, -1), inter], axis=1)
-        h = self.final_mlp(params["final_mlp"], inter, ctx, "final")
+        h = self.final_mlp(params["final_mlp"], inter, ctx, "final_mlp")
         y = M.linear_apply(params["output"], h, ctx)
         return self._output_to_prediction(y)

@@ -89,9 +89,7 @@ class HSTUMatch(MatchModel):
                 jnp.sum(jnp.square(user_emb.astype(jnp.float32)), -1,
                         keepdims=True) + 1e-12
             ).astype(user_emb.dtype)
-        item_emb = self.item_tower(
-            params["item_tower"], grouped[self._item_group], ctx
-        )
+        item_emb = self.item_tower(params["item_tower"], grouped[self._item_group], ctx, "item_tower")
         preds = self._sim_to_prediction(self._sim(user_emb, item_emb))
         preds["user_tower_emb"] = user_emb
         preds["item_tower_emb"] = item_emb

@@ -48,9 +48,10 @@ class MatchTower(M.Module):
             params["output"] = M.linear_init(k2, hidden, self.output_dim)
         return params
 
-    def __call__(self, params, x, ctx: M.Context) -> jnp.ndarray:
+    def __call__(self, params, x, ctx: M.Context,
+                 path: str = "tower") -> jnp.ndarray:
         if self.mlp is not None:
-            x = self.mlp(params["mlp"], x, ctx, "tower_mlp")
+            x = self.mlp(params["mlp"], x, ctx, f"{path}.mlp")
         if self.output_dim > 0:
             x = M.linear_apply(params["output"], x, ctx)
         if self.similarity == simi_pb2.COSINE:

@@ -96,12 +96,12 @@ class MIND(MatchModel):
         seq = grouped[f"{self._hist_group}.sequence"]
         lengths = grouped[f"{self._hist_group}.sequence_length"]
         if self.hist_seq_mlp is not None:
-            seq = self.hist_seq_mlp(params["hist_mlp"], seq, ctx, "hist")
+            seq = self.hist_seq_mlp(params["hist_mlp"], seq, ctx, "hist_mlp")
         interests, cap_mask = self.capsule(
             params["capsule"], seq, lengths, ctx
         )  # [B, K, high]
         user = self.user_mlp(
-            params["user_mlp"], grouped[self._user_group], ctx, "user"
+            params["user_mlp"], grouped[self._user_group], ctx, "user_mlp"
         )
         k = interests.shape[1]
         user_k = jnp.broadcast_to(
@@ -111,7 +111,7 @@ class MIND(MatchModel):
             h = interests + user_k
         else:
             h = jnp.concatenate([interests, user_k], axis=-1)
-        h = self.concat_mlp(params["concat_mlp"], h, ctx, "concat")
+        h = self.concat_mlp(params["concat_mlp"], h, ctx, "concat_mlp")
         out = M.linear_apply(params["user_out"], h, ctx)
         if self._similarity == simi_pb2.COSINE:
             out = out * jax.lax.rsqrt(
@@ -122,9 +122,7 @@ class MIND(MatchModel):
 
     def predict(self, params, grouped, batch, ctx) -> Dict[str, jnp.ndarray]:
         interests, cap_mask = self._interests(params, grouped, ctx)
-        item_emb = self.item_tower(
-            params["item_tower"], grouped[self._item_group], ctx
-        )
+        item_emb = self.item_tower(params["item_tower"], grouped[self._item_group], ctx, "item_tower")
         b, k, d = interests.shape
         # per (user-interest, item) scores -> label-aware attention:
         # weight interests by softmax(simi_pow * score), masked

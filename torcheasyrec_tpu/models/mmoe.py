@@ -52,7 +52,7 @@ class MMoE(MultiTaskRank):
         for i, (t, mlp) in enumerate(zip(self._task_tower_cfgs, self.towers)):
             h = task_inputs[i]
             if mlp:
-                h = mlp(params["towers"][i], h, ctx, f"tower_{i}")
+                h = mlp(params["towers"][i], h, ctx, f"towers.{i}")
             y = M.linear_apply(params["outputs"][i], h, ctx)
             preds.update(self._task_output_to_prediction(t, y))
         return preds

@@ -180,7 +180,7 @@ class SimpleMultiTask(MultiTaskRank):
         x = grouped["all"]
         preds = {}
         for i, (t, mlp) in enumerate(zip(self._task_tower_cfgs, self.towers)):
-            h = mlp(params["towers"][i], x, ctx, f"tower_{i}") if mlp else x
+            h = mlp(params["towers"][i], x, ctx, f"towers.{i}") if mlp else x
             y = M.linear_apply(params["outputs"][i], h, ctx)
             preds.update(self._task_output_to_prediction(t, y))
         return preds

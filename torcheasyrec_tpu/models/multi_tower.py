@@ -47,7 +47,7 @@ class MultiTower(RankModel):
 
     def predict(self, params, grouped, batch, ctx) -> Dict[str, jnp.ndarray]:
         outs = [
-            mlp(params["towers"][name], grouped[name], ctx, f"tower.{name}")
+            mlp(params["towers"][name], grouped[name], ctx, f"towers.{name}")
             for name, mlp in self.towers
         ]
         h = self.final(
@@ -104,11 +104,11 @@ class MultiTowerDIN(RankModel):
 
     def predict(self, params, grouped, batch, ctx) -> Dict[str, jnp.ndarray]:
         outs = [
-            mlp(params["towers"][name], grouped[name], ctx, f"tower.{name}")
+            mlp(params["towers"][name], grouped[name], ctx, f"towers.{name}")
             for name, mlp in self.towers
         ]
         for i, enc in enumerate(self.din_towers):
-            outs.append(enc(params["din"][i], grouped, ctx))
+            outs.append(enc(params["din"][i], grouped, ctx, f"din.{i}"))
         h = self.final(
             params["final"], jnp.concatenate(outs, axis=1), ctx, "final"
         )

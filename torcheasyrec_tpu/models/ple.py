@@ -68,13 +68,14 @@ class PLE(MultiTaskRank):
         share = x
         for i, net in enumerate(self.extraction_nets):
             task_inputs, share = net(
-                params["extraction"][i], task_inputs, share, ctx
+                params["extraction"][i], task_inputs, share, ctx,
+                path=f"extraction.{i}"
             )
         preds = {}
         for i, (t, mlp) in enumerate(zip(self._task_tower_cfgs, self.towers)):
             h = task_inputs[i]
             if mlp:
-                h = mlp(params["towers"][i], h, ctx, f"tower_{i}")
+                h = mlp(params["towers"][i], h, ctx, f"towers.{i}")
             y = M.linear_apply(params["outputs"][i], h, ctx)
             preds.update(self._task_output_to_prediction(t, y))
         return preds

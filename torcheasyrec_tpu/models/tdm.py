@@ -69,7 +69,7 @@ class TDM(RankModel):
         }
 
     def predict(self, params, grouped, batch, ctx) -> Dict[str, jnp.ndarray]:
-        att = self.mwdin(params["mwdin"], grouped, ctx)
+        att = self.mwdin(params["mwdin"], grouped, ctx, "mwdin")
         parts = [att]
         qk = f"{self._seq_group}.query"
         if qk in grouped:

@@ -45,7 +45,7 @@ class WideAndDeep(RankModel):
         if self._has_final:
             y_final = self.final_mlp(
                 params["final_mlp"],
-                jnp.concatenate([y_wide, y_deep], axis=1), ctx, "final",
+                jnp.concatenate([y_wide, y_deep], axis=1), ctx, "final_mlp",
             )
             y = M.linear_apply(params["output"], y_final, ctx)
         else:

@@ -76,7 +76,7 @@ class WuKong(RankModel):
             ).reshape(b, -1, self._emb_dim)
             x = jnp.concatenate([d, x], axis=1)
         for i, layer in enumerate(self.layers):
-            x = layer(params["layers"][i], x, ctx)
+            x = layer(params["layers"][i], x, ctx, f"layers.{i}")
         h = self.final(params["final"], x.reshape(b, -1), ctx, "final")
         y = M.linear_apply(params["output"], h, ctx)
         return self._output_to_prediction(y)

@@ -478,7 +478,8 @@ class EmbeddingGroup(M.Module):
             encs = self._group_encoders.get(gname, [])
             for i, enc in enumerate(encs):
                 vals.append(
-                    enc(params["encoders"][gname][i], result, ctx)
+                    enc(params["encoders"][gname][i], result, ctx,
+                        f"embedding_group.encoders.{gname}.{i}")
                 )
             result[gname] = (
                 jnp.concatenate(vals, axis=-1) if len(vals) > 1 else vals[0]

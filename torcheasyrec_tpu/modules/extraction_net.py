@@ -79,20 +79,21 @@ class ExtractionNet(M.Module):
         return params
 
     def __call__(self, params, task_inputs: List[jnp.ndarray],
-                 share_input: jnp.ndarray, ctx: M.Context):
+                 share_input: jnp.ndarray, ctx: M.Context,
+                 path: str = "extraction"):
         all_task_outs = []  # flattened task expert outputs
         per_task_outs = []
         for t in range(self.num_task):
             outs = [
                 e(params["task_experts"][t][i], task_inputs[t], ctx,
-                  f"{self.name}.task{t}.e{i}")
+                  f"{path}.task_experts.{t}.{i}")
                 for i, e in enumerate(self.task_experts[t])
             ]
             per_task_outs.append(outs)
             all_task_outs.extend(outs)
         share_outs = [
             e(params["share_experts"][i], share_input, ctx,
-              f"{self.name}.share.e{i}")
+              f"{path}.share_experts.{i}")
             for i, e in enumerate(self.share_experts)
         ]
         new_task_inputs = []

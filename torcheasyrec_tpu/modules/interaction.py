@@ -212,7 +212,8 @@ class FactorizationMachineBlock(M.Module):
             "out": M.linear_init(k3, self.out_linear_in, self.k * self.d),
         }
 
-    def __call__(self, params, x: jnp.ndarray, ctx: M.Context) -> jnp.ndarray:
+    def __call__(self, params, x: jnp.ndarray, ctx: M.Context,
+                 path: str = "fmb") -> jnp.ndarray:
         b = x.shape[0]
         compressed = jnp.einsum(
             "bfd,fc->bcd", x, params["compress"].astype(ctx.compute_dtype),
@@ -221,7 +222,7 @@ class FactorizationMachineBlock(M.Module):
         fm = jnp.einsum(
             "bfd,bcd->bfc", x, compressed, preferred_element_type=jnp.float32
         ).astype(x.dtype)
-        h = self.mlp(params["mlp"], fm.reshape(b, -1), ctx, "fmb.mlp")
+        h = self.mlp(params["mlp"], fm.reshape(b, -1), ctx, f"{path}.mlp")
         out = M.linear_apply(params["out"], h, ctx)
         return out.reshape(b, self.k, self.d)
 
@@ -257,9 +258,10 @@ class WuKongLayer(M.Module):
             }
         return p
 
-    def __call__(self, params, x: jnp.ndarray, ctx: M.Context) -> jnp.ndarray:
+    def __call__(self, params, x: jnp.ndarray, ctx: M.Context,
+                 path: str = "layer") -> jnp.ndarray:
         lcb = self.lcb(params["lcb"], x, ctx)
-        fmb = self.fmb(params["fmb"], x, ctx)
+        fmb = self.fmb(params["fmb"], x, ctx, f"{path}.fmb")
         out = jnp.concatenate([fmb, lcb], axis=1)  # [B, K, D]
         if "residual_proj" in params:
             res = jnp.einsum(

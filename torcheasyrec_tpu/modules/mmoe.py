@@ -46,11 +46,12 @@ class MMoE(M.Module):
             params["gates"].append(g)
         return params
 
-    def __call__(self, params, x, ctx: M.Context) -> List[jnp.ndarray]:
+    def __call__(self, params, x, ctx: M.Context,
+                 path: str = "mmoe") -> List[jnp.ndarray]:
         # experts stacked: [B, E, D]
         expert_out = jnp.stack(
             [
-                e(params["experts"][i], x, ctx, f"mmoe.expert_{i}")
+                e(params["experts"][i], x, ctx, f"{path}.experts.{i}")
                 for i, e in enumerate(self.experts)
             ],
             axis=1,
@@ -60,7 +61,7 @@ class MMoE(M.Module):
             g_in = x
             if self.gate_mlps[t] is not None:
                 g_in = self.gate_mlps[t](
-                    params["gates"][t]["mlp"], g_in, ctx, f"mmoe.gate_{t}"
+                    params["gates"][t]["mlp"], g_in, ctx, f"{path}.gates.{t}.mlp"
                 )
             gate = jax.nn.softmax(
                 M.linear_apply(

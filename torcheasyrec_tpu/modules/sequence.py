@@ -77,7 +77,7 @@ class DINEncoder(SequenceEncoder):
             "linear": M.linear_init(k2, self.mlp.output_dim(), 1),
         }
 
-    def __call__(self, params, group, ctx):
+    def __call__(self, params, group, ctx, path: str = "din"):
         query = group[f"{self.input}.query"]
         sequence = group[f"{self.input}.sequence"]
         lengths = group[f"{self.input}.sequence_length"]
@@ -93,7 +93,7 @@ class DINEncoder(SequenceEncoder):
         attn_in = jnp.concatenate(
             [queries, sequence, queries - sequence, queries * sequence], axis=-1
         )
-        h = self.mlp(params["mlp"], attn_in, ctx, path="din.mlp")
+        h = self.mlp(params["mlp"], attn_in, ctx, path=f"{path}.mlp")
         scores = M.linear_apply(params["linear"], h, ctx)[..., 0]  # [B, L]
         scores = jax.nn.softmax(
             _mask_scores(scores.astype(jnp.float32), lengths, max_len), axis=-1
@@ -121,7 +121,7 @@ class SimpleAttention(SequenceEncoder):
     def output_dim(self) -> int:
         return self._sequence_dim
 
-    def __call__(self, params, group, ctx):
+    def __call__(self, params, group, ctx, path: str = "din"):
         query = group[f"{self.input}.query"]
         sequence = group[f"{self.input}.sequence"]
         lengths = group[f"{self.input}.sequence_length"]
@@ -272,7 +272,7 @@ class MultiWindowDINEncoder(SequenceEncoder):
             "linear": M.linear_init(k2, self.mlp.output_dim(), 1),
         }
 
-    def __call__(self, params, group, ctx):
+    def __call__(self, params, group, ctx, path: str = "din"):
         query = group[f"{self.input}.query"]
         sequence = group[f"{self.input}.sequence"]
         lengths = group[f"{self.input}.sequence_length"]
@@ -285,7 +285,7 @@ class MultiWindowDINEncoder(SequenceEncoder):
         attn_in = jnp.concatenate(
             [queries, sequence, queries - sequence, queries * sequence], axis=-1
         )
-        h = self.mlp(params["mlp"], attn_in, ctx, path="mwdin.mlp")
+        h = self.mlp(params["mlp"], attn_in, ctx, path=f"{path}.mlp")
         scores = M.linear_apply(params["linear"], h, ctx)[..., 0]
         valid = (
             jnp.arange(max_len, dtype=jnp.int32)[None, :]
