@@ -65,3 +65,37 @@ def test_convert_parses_and_loads(tmp_path):
     assert groups == {"wide", "deep"}
     assert any("optimizer" in w for w in warnings)
     assert any("input_type" in w for w in warnings)
+
+
+def test_reference_configs_parse():
+    """Config vocabulary compat: every upstream example/test/benchmark
+    config must parse with our proto schema (text_format.Merge, the
+    reference's own load path)."""
+    import glob
+    import os
+
+    import pytest
+    from google.protobuf import text_format
+
+    from torcheasyrec_tpu.protos import pipeline_pb2
+
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference checkout not mounted")
+    paths = sorted(
+        glob.glob("/root/reference/examples/*.config")
+        + glob.glob("/root/reference/tzrec/tests/configs/*.config")
+        + glob.glob(
+            "/root/reference/tzrec/benchmark/configs/**/*.config",
+            recursive=True,
+        )
+    )
+    assert len(paths) > 50
+    fails = []
+    for p in paths:
+        try:
+            text_format.Merge(
+                open(p).read(), pipeline_pb2.EasyRecConfig()
+            )
+        except Exception as e:  # noqa: BLE001
+            fails.append(f"{os.path.basename(p)}: {e}")
+    assert not fails, "\n".join(fails)

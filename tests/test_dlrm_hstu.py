@@ -96,7 +96,7 @@ model_config {{
         hstu {{
             stu {{
                 embedding_dim: 64
-                linear_hidden_dim: 16
+                hidden_dim: 16
                 attention_dim: 16
                 num_heads: 2
                 num_layers: 2
@@ -109,13 +109,15 @@ model_config {{
             input_preprocessor {{
                 contextual_preprocessor {{
                     action_encoder {{
-                        action_embedding_dim: 8
-                        action_weights: [1, 2]
+                        simple_action_encoder {{
+                            action_embedding_dim: 8
+                            action_weights: [1, 2]
+                        }}
                     }}
                 }}
             }}
             output_postprocessor {{
-                layer_norm_postprocessor {{}}
+                layernorm_postprocessor {{}}
             }}
         }}
         fusion_mtl_tower {{

@@ -161,7 +161,7 @@ MODEL_CONFIGS = {
     "hstu_match": """hstu_match {
         user_tower {
             input: "seq"
-            hstu { stu { embedding_dim: 32 linear_hidden_dim: 8
+            hstu { stu { embedding_dim: 32 hidden_dim: 8
                          attention_dim: 8 num_heads: 2 num_layers: 1 } }
             max_seq_len: 8
         }

@@ -50,6 +50,15 @@ class LookupFeature(BaseFeature):
     """Map-lookup by key (reference features/lookup_feature.py, 204 LoC)."""
 
     @property
+    def expressions(self):
+        # reference-style map/key fields take precedence over the
+        # repeated expression form
+        c = self.config
+        if getattr(c, "map", "") or getattr(c, "key", ""):
+            return [c.map, c.key]
+        return super().expressions
+
+    @property
     def is_sparse(self) -> bool:
         c = self.config
         return bool(
@@ -91,6 +100,13 @@ class LookupFeature(BaseFeature):
 class MatchFeature(BaseFeature):
     """Nested kv match by primary/secondary key
     (reference features/match_feature.py, 189 LoC)."""
+
+    @property
+    def expressions(self):
+        c = self.config
+        if getattr(c, "nested_map", ""):
+            return [c.nested_map, c.pkey, c.skey]
+        return super().expressions
 
     @property
     def is_sparse(self) -> bool:
@@ -332,8 +348,10 @@ class CustomFeature(BaseFeature):
 
             op = load_by_path(self.config.operator_name)
         params = {}
-        if getattr(self.config, "operator_params", ""):
-            params = _json.loads(self.config.operator_params)
+        if self.config.HasField("operator_params"):
+            from google.protobuf import json_format as _jf
+
+            params = _jf.MessageToDict(self.config.operator_params)
         cols = {c: input_data[c] for _, c in self.side_inputs
                 if c in input_data}
         out = op(cols, params)

@@ -73,13 +73,14 @@ class DlrmHSTU(BaseModel):
 
         action_encoder = None
         pre_cfg = hstu_cfg.input_preprocessor
-        which_pre = pre_cfg.WhichOneof("preprocessor")
-        input_dropout = 0.0
+        which_pre = pre_cfg.WhichOneof("input_preprocessor")
+        input_dropout = float(hstu_cfg.input_dropout_ratio)
         if which_pre is not None:
             pcfg = getattr(pre_cfg, which_pre)
-            input_dropout = float(getattr(pcfg, "input_dropout_ratio", 0.0))
-            if pcfg.HasField("action_encoder"):
-                ac = pcfg.action_encoder
+            if pcfg.HasField("action_encoder") and (
+                pcfg.action_encoder.WhichOneof("action_encoder")
+            ):
+                ac = pcfg.action_encoder.simple_action_encoder
                 action_encoder = SimpleActionEncoder(
                     action_embedding_dim=int(
                         ac.action_embedding_dim or 8
@@ -120,11 +121,13 @@ class DlrmHSTU(BaseModel):
             )
         post = None
         if hstu_cfg.HasField("output_postprocessor"):
-            which = hstu_cfg.output_postprocessor.WhichOneof("postprocessor")
+            which = hstu_cfg.output_postprocessor.WhichOneof(
+                "output_postprocessor"
+            )
             kind = {
-                "l2_norm_postprocessor": "l2_norm",
-                "layer_norm_postprocessor": "layer_norm",
-                "timestamp_layer_norm_postprocessor": "timestamp_layer_norm",
+                "l2norm_postprocessor": "l2_norm",
+                "layernorm_postprocessor": "layer_norm",
+                "timestamp_layernorm_postprocessor": "timestamp_layer_norm",
             }[which]
             post = OutputPostprocessor(kind, self._e)
         self.transducer = HSTUTransducer(

@@ -132,15 +132,18 @@ def stu_from_config(cfg: Dict[str, Any], kernel=Kernel.PALLAS) -> STUStack:
     """Build from the STU proto's config_to_kwargs dict (module.proto STU)."""
     layer = STULayer(
         embedding_dim=int(cfg["embedding_dim"]),
-        linear_hidden_dim=int(cfg["linear_hidden_dim"]),
+        linear_hidden_dim=int(cfg["hidden_dim"]),
         attention_dim=int(cfg["attention_dim"]),
         num_heads=int(cfg.get("num_heads", 1) or 1),
         max_attn_len=int(cfg.get("max_attn_len", 0) or 0),
         output_dropout_ratio=float(cfg.get("output_dropout_ratio", 0.0)),
         use_group_norm=bool(cfg.get("use_group_norm", False)),
         attn_alpha=float(cfg.get("attn_alpha", 0.0) or 0.0),
-        contextual_seq_len=int(cfg.get("contextual_seq_len", 0) or 0),
-        recompute=bool(cfg.get("recompute_uvqk_in_backward", True)),
+        # reference sentinel: < 0 = derive from the input preprocessor
+        contextual_seq_len=max(
+            int(cfg.get("contextual_seq_len", 0) or 0), 0
+        ),
+        recompute=bool(cfg.get("recompute_uvqk", True)),
         kernel=kernel,
     )
     return STUStack(layer, int(cfg.get("num_layers", 1) or 1))
