@@ -47,12 +47,14 @@ def _data():
             ["x\x1dy\x1dz", "", "solo", "x\x1dy", "q"]
         ),
         "price": pa.array(["10.5", "", "0.0", "100", "2.5"]),
-        "ctr": pa.array([0.05, 0.3, 0.7, 0.95, 0.5]),
+        "ctr": pa.array([0.05, None, 0.7, 0.95, 0.5]),  # null -> default
         "cty": pa.array(["us", "cn", "us", "", "de"]),
+        # duplicate key (python dict keeps LAST) + non-numeric value
+        # (python float() -> 0.0) probe the C++ parity edges
         "kv_map": pa.array(
-            ["a:1.5\x1db:2", "b:7", "", "a:3", "c:9\x1da:4"]
+            ["a:1.5\x1da:2.5", "b:7", "", "a:3xy", "c:9\x1da:4"]
         ),
-        "kv_key": pa.array(["a", "b", "a", "x", "a"]),
+        "kv_key": pa.array(["a", "b", "a", "a", "a"]),
     }
 
 

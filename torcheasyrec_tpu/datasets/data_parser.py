@@ -42,6 +42,7 @@ class DataParser:
         is_training: bool = False,
         force_base_data_group: bool = False,
         input_tile: bool = False,
+        fg_threads: int = 1,
     ) -> None:
         self._features = features
         self._labels = labels or []
@@ -54,7 +55,7 @@ class DataParser:
         try:
             from torcheasyrec_tpu.fg.dag import FgDag
 
-            self._fg_dag = FgDag(features)
+            self._fg_dag = FgDag(features, threads=max(fg_threads, 1))
         except Exception:  # pragma: no cover - loader/toolchain issues
             self._fg_dag = None
         # INPUT_TILE serving mode (reference acc/utils.py:31-70): user-side
@@ -67,7 +68,10 @@ class DataParser:
         out: Dict[str, Any] = {}
         dag = self._fg_dag
         if dag is not None and not self._input_tile:
-            out.update(dag.parse(input_data, self._is_training))
+            try:
+                out.update(dag.parse(input_data, self._is_training))
+            except Exception:  # noqa: BLE001 - fall back per feature
+                pass
         for feature in self._features:
             if feature.name in out:
                 continue

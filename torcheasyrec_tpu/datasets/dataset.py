@@ -210,6 +210,7 @@ class BaseDataset(metaclass=_dataset_meta):
                 mode == "predict"
                 and _os.environ.get("INPUT_TILE", "") in ("2", "3")
             ),
+            fg_threads=int(getattr(data_config, "fg_threads", 1) or 1),
         )
 
     @property

@@ -209,7 +209,11 @@ void run_combo_hash(FgTask& t) {
     bool ok = true;
     for (int32_t j = 0; j < t.n_inputs; ++j) {
       int64_t len = t.offsets[j][i + 1] - t.offsets[j][i];
-      if (len == 0 || pos + len + 1 > static_cast<int64_t>(sizeof(buf))) {
+      if (pos + len + 1 > static_cast<int64_t>(sizeof(buf))) {
+        t.status = -1;  // too long for the fixed buffer: python fallback
+        return;
+      }
+      if (len == 0) {
         ok = false;
         break;
       }
@@ -243,6 +247,17 @@ inline double parse_double(const char* s, int64_t len, double dflt) {
   char* end = nullptr;
   double v = strtod(buf, &end);
   return end == buf ? dflt : v;
+}
+
+// python float() semantics: the whole token must parse or -> dflt
+inline double parse_double_strict(const char* s, int64_t len, double dflt) {
+  if (len == 0 || len > 63) return dflt;
+  char buf[64];
+  std::memcpy(buf, s, len);
+  buf[len] = '\0';
+  char* end = nullptr;
+  double v = strtod(buf, &end);
+  return (end == buf + len) ? v : dflt;
 }
 
 void run_raw(FgTask& t) {
@@ -288,8 +303,9 @@ void run_kv_lookup(FgTask& t) {
           memchr(entry, ':', entry_end - entry));
       if (colon && colon - entry == key_len &&
           std::memcmp(entry, key, key_len) == 0) {
-        v = parse_double(colon + 1, entry_end - colon - 1, t.default_fval);
-        break;
+        // keep scanning: python dict() keeps the LAST duplicate key
+        v = parse_double_strict(colon + 1, entry_end - colon - 1,
+                                t.default_fval);
       }
       entry = entry_end + 1;
     }

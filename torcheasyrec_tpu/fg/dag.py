@@ -107,7 +107,7 @@ def _parse_log10(normalizer: str) -> Optional[Tuple[float, float]]:
 class FgDag:
     """Partition features into native tasks vs python fallback."""
 
-    def __init__(self, features: List[Any], threads: int = 8) -> None:
+    def __init__(self, features: List[Any], threads: int = 1) -> None:
         self._threads = threads
         self._lib = _load()
         self._native: List[Any] = []
@@ -138,6 +138,7 @@ class FgDag:
             return (
                 int(getattr(c, "hash_bucket_size", 0)) > 0
                 and not getattr(f, "is_weighted", False)
+                and len(getattr(c, "separator", "\x1d") or "\x1d") == 1
                 and not c.HasField("zch")
                 and not c.HasField("dynamicemb")
             )
@@ -160,6 +161,7 @@ class FgDag:
                 not f.is_sparse
                 and max(getattr(f, "value_dim", 1), 1) <= 1
                 and len(f.side_inputs) >= 2
+                and len(getattr(c, "separator", "\x1d") or "\x1d") == 1
             )
         return False
 
@@ -187,7 +189,7 @@ class FgDag:
                 built.append(
                     self._build_task(tasks[ti], f, input_data, keepalive)
                 )
-            except (KeyError, ValueError, TypeError):
+            except Exception:  # noqa: BLE001 - any failure -> python path
                 tasks[ti].kind = -1  # executor skips (status=-2)
                 built.append(None)
         run = [i for i, b in enumerate(built) if b is not None]
@@ -230,10 +232,11 @@ class FgDag:
             if pa.types.is_floating(arr.type) or pa.types.is_integer(
                 arr.type
             ):
+                dflt = float(getattr(c, "default_value", "0") or 0)
                 fv = np.ascontiguousarray(
-                    arr.cast(pa.float64(), safe=False).to_numpy(
-                        zero_copy_only=False
-                    )
+                    arr.cast(pa.float64(), safe=False)
+                    .fill_null(dflt)
+                    .to_numpy(zero_copy_only=False)
                 )
                 keepalive.append(fv)
                 t.fvals = _np_addr(fv)

@@ -106,6 +106,11 @@ class DlrmHSTU(BaseModel):
             action_encoder=action_encoder,
             input_dropout_ratio=input_dropout,
         )
+        # layer count inside HSTU comes from attn_num_layers unless
+        # stu.num_layers is explicitly set (reference hstu.py stacks
+        # attn_num_layers STU layers)
+        if not hstu_cfg.stu.HasField("num_layers"):
+            stu_cfg["num_layers"] = int(hstu_cfg.attn_num_layers)
         stack = stu_from_config(stu_cfg)
         # contextual prefix length feeds the attention mask
         stack.layer.contextual_seq_len = pre.n_ctx

@@ -167,7 +167,12 @@ class EmbeddingEngine:
         if self.num_shards <= 1:
             return DATA_PARALLEL
         if t.sharding == COLUMN_WISE and t.dim % self.num_shards != 0:
-            # uneven dim split: fall back to row sharding
+            from torcheasyrec_tpu.utils.logging_util import logger
+
+            logger.warning(
+                f"table {t.name}: dim {t.dim} not divisible by "
+                f"{self.num_shards} shards; column_wise -> row_wise"
+            )
             return ROW_WISE
         return t.sharding
 
@@ -209,12 +214,21 @@ class EmbeddingEngine:
     # ------------------------------------------------------------------
 
     def init(self, key: jax.Array) -> Dict[str, jnp.ndarray]:
-        """Init megatable weights; per-table init fn honored via row slices."""
+        """Init megatable weights; per-table init fn honored via row slices.
+
+        Per-table keys are derived from the table NAME (not iteration
+        order) so initialization is identical under any grouping /
+        sharding plan — required for the sharded-vs-single-device
+        equivalence guarantees."""
+        import zlib
+
         out: Dict[str, jnp.ndarray] = {}
         for gk, g in self.groups.items():
             w = jnp.zeros((g.padded_rows, g.dim), jnp.float32)
             for t in g.specs:
-                key, sub = jax.random.split(key)
+                sub = jax.random.fold_in(
+                    key, zlib.crc32(t.name.encode()) & 0x7FFFFFFF
+                )
                 fn = parse_init_fn(t.init_fn) or default_emb_init
                 off = g.offsets[t.name]
                 w = w.at[off : off + t.rows].set(
@@ -265,7 +279,10 @@ class EmbeddingEngine:
                 out[gk] = NamedSharding(
                     self.mesh,
                     self._array_spec(
-                        jnp.zeros((g.padded_rows, g.dim)), g
+                        jax.ShapeDtypeStruct(
+                            (g.padded_rows, g.dim), jnp.float32
+                        ),
+                        g,
                     ),
                 )
         return out

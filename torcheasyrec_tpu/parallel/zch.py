@@ -204,17 +204,20 @@ def lookup_insert(
         return slots_ro.reshape(shape), state
 
     # interval eviction: between sweeps an unmatched id without an
-    # empty probe slot must NOT displace an occupied slot — it reads
-    # its probe-0 row this step and retries on the next sweep
+    # empty probe slot must NOT displace an occupied slot — it maps to
+    # -1 (zeros, update dropped) and retries on the next sweep. The
+    # same applies to filter_fn-gated unmatched ids: returning a live
+    # probe slot would scatter this id's gradient into another key's
+    # row.
     needs_evict = ~has_match & ~has_empty
+    blocked = ~has_match & ~writable
     if cfg.eviction_interval > 1:
         evict_ok = (
             jnp.asarray(step, jnp.int32) % cfg.eviction_interval
         ) == 0
-        slots = jnp.where(
-            needs_evict & ~evict_ok, probes[:, 0], slots
-        )
-        writable = writable & ~(needs_evict & ~evict_ok)
+        blocked = blocked | (needs_evict & ~evict_ok)
+    writable = writable & ~blocked
+    valid = valid & ~blocked
 
     write = writable
     w_slots = jnp.where(write, slots, size)  # OOB drop for padding
