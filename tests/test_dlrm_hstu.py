@@ -211,3 +211,38 @@ def test_dlrm_hstu_end_to_end(tmp_path):
     result = tzrec_main.train_and_evaluate(cfg_path)
     assert result["auc_is_click"] > 0.6, result
     assert np.isfinite(result["loss_bce_is_like"])
+
+
+def test_dlrm_hstu_with_sla_and_truncation(tmp_path):
+    """SLA + attention truncation variants train to finite loss and
+    better-than-random AUC end-to-end."""
+    tmp_path = str(tmp_path)
+    train, evalp = _gen(tmp_path)
+    cfg_text = CONFIG.format(
+        train=train, eval=evalp, model_dir=os.path.join(tmp_path, "model")
+    )
+    cfg_text = cfg_text.replace(
+        "num_layers: 2",
+        "num_layers: 2 sla_k1: 8 sla_k2: 4",
+    ).replace(
+        "max_seq_len: 40",
+        "max_seq_len: 40",
+    )
+    # enable truncation after layer 1: keep last 16 UIH tokens
+    cfg_text = cfg_text.replace(
+        "input_preprocessor {",
+        "attn_truncation_split_layer: 1\n"
+        "            attn_truncation_tail_len: 16\n"
+        "            input_preprocessor {",
+        1,
+    )
+    cfg_path = os.path.join(tmp_path, "pipeline.config")
+    with open(cfg_path, "w") as f:
+        f.write(cfg_text)
+    text_format.Parse(cfg_text, pipeline_pb2.EasyRecConfig())
+
+    from torcheasyrec_tpu import main as tzrec_main
+
+    result = tzrec_main.train_and_evaluate(cfg_path)
+    assert result["auc_is_click"] > 0.55, result
+    assert np.isfinite(result["loss_bce_is_like"])

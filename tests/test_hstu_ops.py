@@ -143,3 +143,96 @@ def test_uqvk_and_output_shapes():
         num_heads=h, linear_dim=ld,
     )
     assert out.shape == (b, n, e)
+
+
+def test_sla_mask_semantics():
+    """SLA mask (reference build_sla_func_tensor semantics): history rows
+    attend to global prefix + local causal window; target rows attend to
+    all history only; k1 >= N with k2 = 0 degrades to plain causal."""
+    import numpy as np
+
+    from torcheasyrec_tpu.ops.hstu import valid_attn_mask
+
+    n = 12
+    lengths = jnp.asarray([12, 9], jnp.int32)
+    num_targets = jnp.asarray([3, 2], jnp.int32)
+    k1, k2 = 3, 2
+    got = np.asarray(valid_attn_mask(
+        n, lengths, causal=True, num_targets=num_targets,
+        sla_k1=k1, sla_k2=k2,
+    ))
+
+    for b, (L, T) in enumerate([(12, 3), (9, 2)]):
+        H = L - T
+        for r in range(n):
+            for c in range(n):
+                if c >= L:
+                    expect = False
+                elif r < H:
+                    expect = (c < min(k2, r + 1)) or (
+                        max(k2, r - k1 + 1) <= c <= r
+                    )
+                else:
+                    expect = c < H
+                assert got[b, r, c] == expect, (b, r, c)
+
+    # k1 >= N, k2 = 0, no targets -> plain causal
+    full = np.asarray(valid_attn_mask(
+        n, lengths, causal=True, sla_k1=n, sla_k2=0,
+    ))
+    causal = np.asarray(valid_attn_mask(n, lengths, causal=True))
+    np.testing.assert_array_equal(full, causal)
+
+
+def test_sla_attention_runs_and_differs():
+    """SLA restricts attention: outputs differ from full causal but agree
+    when the window spans everything."""
+    from torcheasyrec_tpu.ops import Kernel
+    from torcheasyrec_tpu.ops.hstu import hstu_mha
+
+    rng = jax.random.key(0)
+    b, n, h, d = 2, 16, 2, 8
+    ks = jax.random.split(rng, 3)
+    q = jax.random.normal(ks[0], (b, n, h, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, n, h, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, n, h, d), jnp.float32)
+    lengths = jnp.asarray([16, 11], jnp.int32)
+    base = hstu_mha(q, k, v, lengths, alpha=0.1, kernel=Kernel.JAX)
+    sla_full = hstu_mha(
+        q, k, v, lengths, alpha=0.1, kernel=Kernel.JAX, sla_k1=n,
+    )
+    np.testing.assert_allclose(base, sla_full, rtol=1e-5, atol=1e-6)
+    sla_narrow = hstu_mha(
+        q, k, v, lengths, alpha=0.1, kernel=Kernel.JAX, sla_k1=2, sla_k2=1,
+    )
+    assert np.abs(np.asarray(sla_narrow - base)).max() > 1e-3
+
+
+def test_truncate_uih_repacking():
+    """truncate_uih keeps [ctx | last tail UIH | targets] contiguously
+    and rewrites lengths (reference HSTU attn_truncation_*)."""
+    from torcheasyrec_tpu.modules.gr.stu import truncate_uih
+
+    b, n, e = 2, 12, 4
+    n_ctx, tail, max_t = 2, 3, 2
+    # token value = its position, to track the gather
+    x = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.float32)[None, :, None], (b, n, e)
+    )
+    lengths = jnp.asarray([10, 5], jnp.int32)  # sample 1: short uih
+    num_targets = jnp.asarray([2, 1], jnp.int32)
+    x2, len2, (safe, valid) = truncate_uih(
+        x, lengths, num_targets, tail, n_ctx, max_t
+    )
+    assert x2.shape == (b, n_ctx + tail + max_t, e)
+    # sample 0: H=8, uih=[2..7], keep last 3 -> [5,6,7], targets [8,9]
+    np.testing.assert_array_equal(
+        np.asarray(x2[0, :, 0]), [0, 1, 5, 6, 7, 8, 9]
+    )
+    assert int(len2[0]) == 2 + 3 + 2
+    # sample 1: H=4, uih=[2,3] (keep 2), target [4], rest zero-padded
+    np.testing.assert_array_equal(
+        np.asarray(x2[1, :5, 0]), [0, 1, 2, 3, 4]
+    )
+    np.testing.assert_array_equal(np.asarray(x2[1, 5:, 0]), [0, 0])
+    assert int(len2[1]) == 2 + 2 + 1

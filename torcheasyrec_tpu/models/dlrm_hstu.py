@@ -136,7 +136,11 @@ class DlrmHSTU(BaseModel):
             }[which]
             post = OutputPostprocessor(kind, self._e)
         self.transducer = HSTUTransducer(
-            pre, stack, pos, post, max_seq_len=self.max_seq_len
+            pre, stack, pos, post, max_seq_len=self.max_seq_len,
+            attn_truncation_split_layer=int(
+                hstu_cfg.attn_truncation_split_layer
+            ),
+            attn_truncation_tail_len=int(hstu_cfg.attn_truncation_tail_len),
         )
 
         # fusion multi-task tower

@@ -175,12 +175,16 @@ class HSTUTransducer(M.Module):
         positional_encoder: Optional[PositionalEncoder] = None,
         postprocessor: Optional[OutputPostprocessor] = None,
         max_seq_len: int = 0,
+        attn_truncation_split_layer: int = 0,
+        attn_truncation_tail_len: int = 0,
     ) -> None:
         self.pre = preprocessor
         self.stack = stack
         self.pos = positional_encoder
         self.post = postprocessor
         self.max_seq_len = max_seq_len
+        self.trunc_split = attn_truncation_split_layer
+        self.trunc_tail = attn_truncation_tail_len
 
     def init(self, key: jax.Array) -> M.Params:
         ks = M.split_keys(key, 4)
@@ -200,10 +204,36 @@ class HSTUTransducer(M.Module):
         )
         if self.pos is not None:
             x = self.pos(params["pos"], x, lengths, timestamps, ctx)
-        x = self.stack(
-            params["stack"], x, lengths, ctx, num_targets,
-            scaling_seqlen=self.max_seq_len or x.shape[1],
+        scaling = self.max_seq_len or x.shape[1]
+        do_trunc = (
+            0 < self.trunc_split < self.stack.num_layers
+            and self.trunc_tail > 0
         )
+        if do_trunc:
+            from torcheasyrec_tpu.modules.gr.stu import truncate_uih
+
+            x = self.stack(
+                params["stack"], x, lengths, ctx, num_targets,
+                scaling_seqlen=scaling, end=self.trunc_split,
+            )
+            max_targets = inputs["cand_emb"].shape[1]
+            x, lengths, (safe, valid) = truncate_uih(
+                x, lengths, num_targets, self.trunc_tail,
+                self.pre.n_ctx, max_targets,
+            )
+            if timestamps is not None:
+                timestamps = jnp.take_along_axis(
+                    timestamps, safe, axis=1
+                ) * valid.astype(timestamps.dtype)
+            x = self.stack(
+                params["stack"], x, lengths, ctx, num_targets,
+                scaling_seqlen=scaling, start=self.trunc_split,
+            )
+        else:
+            x = self.stack(
+                params["stack"], x, lengths, ctx, num_targets,
+                scaling_seqlen=scaling,
+            )
         if self.post is not None:
             x = self.post(params["post"], x, timestamps, ctx)
         return x, lengths, num_targets

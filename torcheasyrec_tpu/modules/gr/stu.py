@@ -36,6 +36,8 @@ class STULayer(M.Module):
         contextual_seq_len: int = 0,
         recompute: bool = True,
         kernel: Kernel = Kernel.PALLAS,
+        sla_k1: int = 0,
+        sla_k2: int = 0,
     ) -> None:
         self.e = embedding_dim
         self.ld = linear_hidden_dim
@@ -48,6 +50,8 @@ class STULayer(M.Module):
         self.contextual_seq_len = contextual_seq_len
         self.recompute = recompute
         self.kernel = kernel
+        self.sla_k1 = sla_k1
+        self.sla_k2 = sla_k2
 
     def init(self, key: jax.Array) -> M.Params:
         h, ld, ad, e = self.h, self.ld, self.ad, self.e
@@ -88,6 +92,8 @@ class STULayer(M.Module):
                 contextual_seq_len=self.contextual_seq_len,
                 scaling_seqlen=scaling_seqlen,
                 kernel=self.kernel,
+                sla_k1=self.sla_k1,
+                sla_k2=self.sla_k2,
             )
             return hstu_compute_output(
                 attn, u, x,
@@ -119,13 +125,57 @@ class STUStack(M.Module):
         }
 
     def __call__(self, params, x, lengths, ctx, num_targets=None,
-                 scaling_seqlen: int = -1):
-        for i in range(self.num_layers):
+                 scaling_seqlen: int = -1, start: int = 0,
+                 end: Optional[int] = None):
+        for i in range(start, self.num_layers if end is None else end):
             x = self.layer(
                 params[f"layer_{i}"], x, lengths, ctx, num_targets,
                 scaling_seqlen,
             )
         return x
+
+
+def truncate_uih(
+    x: jnp.ndarray,  # [B, N, E] = [ctx | uih | targets | pad]
+    lengths: jnp.ndarray,  # [B] valid tokens incl. ctx + targets
+    num_targets: Optional[jnp.ndarray],  # [B]
+    tail_len: int,
+    n_ctx: int,
+    max_targets: int,
+):
+    """Attention truncation (reference module.proto HSTU
+    attn_truncation_*): keep the contextual prefix, the LAST
+    ``tail_len`` UIH tokens, and the targets, repacked contiguously
+    into a shorter static width. Returns
+    (x', lengths', (src_idx, valid)) — the gather applies identically
+    to any aligned per-token tensor (e.g. timestamps)."""
+    b, n, _ = x.shape
+    t = (
+        num_targets.astype(jnp.int32)
+        if num_targets is not None
+        else jnp.zeros((b,), jnp.int32)
+    )
+    h_bound = lengths.astype(jnp.int32) - t  # ctx + uih
+    keep = jnp.minimum(jnp.maximum(h_bound - n_ctx, 0), tail_len)
+    n_new = min(n, n_ctx + tail_len + max_targets)
+    s = jnp.arange(n_new, dtype=jnp.int32)[None, :]  # [1, n']
+    rel = s - n_ctx
+    keep_b = keep[:, None]
+    rel2 = rel - keep_b
+    src = jnp.where(
+        s < n_ctx, jnp.broadcast_to(s, (b, n_new)),
+        jnp.where(
+            rel < keep_b, h_bound[:, None] - keep_b + rel,
+            jnp.where(rel2 < t[:, None], h_bound[:, None] + rel2, n),
+        ),
+    )
+    valid = src < n
+    safe = jnp.minimum(src, n - 1)
+    x_new = jnp.take_along_axis(
+        x, safe[..., None], axis=1
+    ) * valid[..., None].astype(x.dtype)
+    new_lengths = n_ctx + keep + t
+    return x_new, new_lengths, (safe, valid)
 
 
 def stu_from_config(cfg: Dict[str, Any], kernel=Kernel.PALLAS) -> STUStack:
@@ -145,5 +195,7 @@ def stu_from_config(cfg: Dict[str, Any], kernel=Kernel.PALLAS) -> STUStack:
         ),
         recompute=bool(cfg.get("recompute_uvqk", True)),
         kernel=kernel,
+        sla_k1=int(cfg.get("sla_k1", 0) or 0),
+        sla_k2=int(cfg.get("sla_k2", 0) or 0),
     )
     return STUStack(layer, int(cfg.get("num_layers", 1) or 1))

@@ -30,9 +30,40 @@ def valid_attn_mask(
     max_attn_len: int = 0,
     contextual_seq_len: int = 0,
     min_full_attn_seq_len: int = 0,
+    sla_k1: int = 0,
+    sla_k2: int = 0,
 ) -> jnp.ndarray:
-    """[B, N, N] bool mask (reference pt_hstu_attention.py:23-75)."""
+    """[B, N, N] bool mask (reference pt_hstu_attention.py:23-75).
+
+    When sla_k1 or sla_k2 > 0, Semi-Local Attention REPLACES the
+    standard causal mask (reference hstu_attention_utils.py
+    build_sla_func_tensor:26-130): history rows attend to the global
+    prefix [0, min(eff_k2, pos+1)) plus the local causal window
+    [max(eff_k2, pos - k1 + 1), pos + 1) where
+    eff_k2 = max(sla_k2, contextual_seq_len); target rows attend to
+    all history and no other targets.
+    """
     b = lengths.shape[0]
+    if sla_k1 > 0 or sla_k2 > 0:
+        eff_k2 = max(sla_k2, contextual_seq_len)
+        r = jnp.arange(n, dtype=jnp.int32)[None, :, None]  # [1, N, 1]
+        c = jnp.arange(n, dtype=jnp.int32)[None, None, :]  # [1, 1, N]
+        t = (
+            num_targets.astype(jnp.int32).reshape(b, 1, 1)
+            if num_targets is not None
+            else jnp.zeros((b, 1, 1), jnp.int32)
+        )
+        h_bound = jnp.maximum(lengths.astype(jnp.int32).reshape(b, 1, 1) - t, 0)
+        hist = (c < jnp.minimum(eff_k2, r + 1)) | (
+            (c >= jnp.maximum(eff_k2, r - sla_k1 + 1)) & (c <= r)
+        )
+        tgt = c < h_bound
+        mask = jnp.where(r < h_bound, hist, tgt)
+        col_valid = (
+            jnp.arange(n, dtype=jnp.int32)[None, None, :]
+            < lengths.astype(jnp.int32)[:, None, None]
+        )
+        return mask & col_valid
     ids = jnp.arange(n, dtype=jnp.int32)[None, :]  # [1, N]
     max_ids = lengths.astype(jnp.int32).reshape(b, 1, 1)
     if contextual_seq_len > 0:
@@ -92,6 +123,8 @@ def hstu_mha(
     dropout_pr: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
     kernel: Kernel = Kernel.PALLAS,
+    sla_k1: int = 0,
+    sla_k2: int = 0,
 ) -> jnp.ndarray:
     """Pointwise-nonlinear attention (reference pt_hstu_attention.py:174-236).
 
@@ -100,6 +133,9 @@ def hstu_mha(
     n = q.shape[1]
     if scaling_seqlen == -1:
         scaling_seqlen = n
+    if (sla_k1 > 0 or sla_k2 > 0) and kernel == Kernel.PALLAS:
+        # SLA rides the XLA masked path (no pallas NFUNC mask yet)
+        kernel = Kernel.JAX
     if kernel == Kernel.PALLAS and dropout_pr == 0.0:
         from torcheasyrec_tpu.ops.pallas.hstu_attention import (
             pallas_hstu_mha,
@@ -119,14 +155,14 @@ def hstu_mha(
     return _jax_hstu_mha(
         q, k, v, lengths, alpha, causal, num_targets, max_attn_len,
         contextual_seq_len, min_full_attn_seq_len, scaling_seqlen,
-        dropout_pr, dropout_rng,
+        dropout_pr, dropout_rng, sla_k1, sla_k2,
     )
 
 
 def _jax_hstu_mha(
     q, k, v, lengths, alpha, causal, num_targets, max_attn_len,
     contextual_seq_len, min_full_attn_seq_len, scaling_seqlen,
-    dropout_pr=0.0, dropout_rng=None,
+    dropout_pr=0.0, dropout_rng=None, sla_k1=0, sla_k2=0,
 ):
     n = q.shape[1]
     qk = jnp.einsum(
@@ -135,7 +171,7 @@ def _jax_hstu_mha(
     attn = jax.nn.silu(qk) / scaling_seqlen
     mask = valid_attn_mask(
         n, lengths, causal, num_targets, max_attn_len, contextual_seq_len,
-        min_full_attn_seq_len,
+        min_full_attn_seq_len, sla_k1=sla_k1, sla_k2=sla_k2,
     )
     attn = attn * mask[:, None].astype(attn.dtype)
     if dropout_pr > 0.0 and dropout_rng is not None:
