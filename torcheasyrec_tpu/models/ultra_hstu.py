@@ -41,6 +41,8 @@ class UltraHSTU(DlrmHSTU):
             assert int(stu_cfg["embedding_dim"]) == self._e, (
                 "all UltraHSTU channels must share embedding_dim"
             )
+            if not hcfg.stu.HasField("num_layers"):
+                stu_cfg["num_layers"] = int(hcfg.attn_num_layers)
             self.extra_stacks.append(stu_from_config(stu_cfg))
 
     def init_dense(self, key: jax.Array) -> M.Params:
