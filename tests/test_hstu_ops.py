@@ -236,3 +236,40 @@ def test_truncate_uih_repacking():
     )
     np.testing.assert_array_equal(np.asarray(x2[1, 5:, 0]), [0, 0])
     assert int(len2[1]) == 2 + 2 + 1
+
+
+@pytest.mark.parametrize("ctx_len", [0, 4])
+def test_pallas_sla_matches_xla(ctx_len):
+    """Pallas SLA (block-skipping) must match the XLA masked path for
+    forward AND gradients, with targets and contextual prefix."""
+    from torcheasyrec_tpu.ops.hstu import _jax_hstu_mha
+    from torcheasyrec_tpu.ops.pallas.hstu_attention import pallas_hstu_mha
+
+    b, n, h, d = 2, 256, 2, 32
+    ks = jax.random.split(jax.random.key(3), 3)
+    q = jax.random.normal(ks[0], (b, n, h, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, n, h, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, n, h, d), jnp.float32)
+    lengths = jnp.asarray([256, 190], jnp.int32)
+    num_targets = jnp.asarray([8, 5], jnp.int32)
+    k1, k2 = 32, 16
+
+    def xla_fn(q, k, v):
+        return _jax_hstu_mha(
+            q, k, v, lengths, 0.1, True, num_targets, 0, ctx_len, 0, n,
+            sla_k1=k1, sla_k2=k2,
+        ).sum()
+
+    def pallas_fn(q, k, v):
+        return pallas_hstu_mha(
+            q, k, v, lengths, alpha=0.1, causal=True,
+            num_targets=num_targets, contextual_seq_len=ctx_len,
+            scaling_seqlen=n, sla_k1=k1, sla_k2=k2,
+        ).sum()
+
+    o1, g1 = jax.value_and_grad(xla_fn, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        o2, g2 = jax.value_and_grad(pallas_fn, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(o1, o2, rtol=2e-4)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(a, b_, rtol=2e-3, atol=2e-5)

@@ -133,9 +133,6 @@ def hstu_mha(
     n = q.shape[1]
     if scaling_seqlen == -1:
         scaling_seqlen = n
-    if (sla_k1 > 0 or sla_k2 > 0) and kernel == Kernel.PALLAS:
-        # SLA rides the XLA masked path (no pallas NFUNC mask yet)
-        kernel = Kernel.JAX
     if kernel == Kernel.PALLAS and dropout_pr == 0.0:
         from torcheasyrec_tpu.ops.pallas.hstu_attention import (
             pallas_hstu_mha,
@@ -149,6 +146,7 @@ def hstu_mha(
                 contextual_seq_len=contextual_seq_len,
                 min_full_attn_seq_len=min_full_attn_seq_len,
                 scaling_seqlen=scaling_seqlen,
+                sla_k1=sla_k1, sla_k2=sla_k2,
             )
         except NotImplementedError:
             pass  # fall back to the XLA path

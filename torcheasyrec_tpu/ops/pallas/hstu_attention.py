@@ -37,9 +37,27 @@ BK = 256
 
 def _mask_block(
     rows, cols, seq_len, n_targets, causal, max_attn_len,
-    contextual_seq_len, min_full_attn_seq_len,
+    contextual_seq_len, min_full_attn_seq_len, sla_k1=0, sla_k2=0,
 ):
     """[bq, bk] bool mask for true row/col position blocks."""
+    if sla_k1 > 0 or sla_k2 > 0:
+        # Semi-Local Attention REPLACES the standard causal mask
+        # (reference hstu_attention_utils.py build_sla_func_tensor):
+        # history rows attend the global prefix + local causal window;
+        # target rows attend all history only. Contextual rows are
+        # plain history rows here (prefix attendance via eff_k2).
+        eff_k2 = max(sla_k2, contextual_seq_len)
+        h_bound = seq_len - (n_targets if n_targets is not None else 0)
+        hist = (cols < jnp.minimum(eff_k2, rows + 1)) | (
+            (cols >= jnp.maximum(eff_k2, rows - sla_k1 + 1))
+            & (cols <= rows)
+        )
+        tgt = cols < h_bound
+        is_hist = rows < h_bound
+        # boolean algebra, not where(): mosaic can't truncate i8->i1
+        # vectors for select_n on booleans
+        mask = (is_hist & hist) | (~is_hist & tgt)
+        return mask & (cols < seq_len)
     ids_r, ids_c = rows, cols
     max_ids = seq_len
     if contextual_seq_len > 0:
@@ -68,6 +86,19 @@ def _mask_block(
     return mask
 
 
+def _sla_block_needed(qi, kb, bq, bk, sla_k1, sla_k2,
+                      contextual_seq_len, h_bound):
+    """Scalar predicate: does k block kb contribute anything to q block
+    qi under SLA? (prefix overlap, local-window overlap, or the q block
+    contains target rows, which attend all history)."""
+    eff_k2 = max(sla_k2, contextual_seq_len)
+    in_prefix = kb * bk < eff_k2
+    # window columns for this q block span [qi*bq - k1 + 1, qi*bq+bq-1]
+    in_window = kb * bk + bk > qi * bq - sla_k1 + 1
+    has_targets = (qi * bq + bq) > h_bound
+    return in_prefix | in_window | has_targets
+
+
 def _silu(x):
     return x * jax.nn.sigmoid(x)
 
@@ -81,6 +112,7 @@ def _fwd_kernel(
     lengths_ref, targets_ref, q_ref, k_ref, v_ref, o_ref,
     *, h, n, alpha, scale, causal, has_targets, max_attn_len,
     contextual_seq_len, min_full_attn_seq_len, bq, bk,
+    sla_k1=0, sla_k2=0,
 ):
     BQ, BK = bq, bk
     bh = pl.program_id(0)
@@ -92,15 +124,19 @@ def _fwd_kernel(
     rows = qi * BQ + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
 
     num_kb = n // BK
+    sla = sla_k1 > 0 or sla_k2 > 0
     # contextual prefix rows attend ALL valid columns (reference
     # triton_hstu_attention.py:464-467 widens the loop for them), so the
-    # causal block-bound only applies when there is no contextual prefix
-    if causal and contextual_seq_len == 0:
+    # causal block-bound only applies when there is no contextual
+    # prefix. Under SLA contextual rows are plain history rows, so the
+    # causal bound always holds.
+    if causal and (contextual_seq_len == 0 or sla):
         num_kb_eff = qi + 1
     else:
         num_kb_eff = num_kb
+    h_bound = seq_len - (n_t if n_t is not None else 0)
 
-    def body(kb, acc):
+    def compute(kb, acc):
         kblk = k_ref[0, pl.ds(kb * BK, BK), :]
         vblk = v_ref[0, pl.ds(kb * BK, BK), :]
         s = jax.lax.dot_general(
@@ -111,13 +147,24 @@ def _fwd_kernel(
         cols = kb * BK + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
         mask = _mask_block(
             rows, cols, seq_len, n_t, causal, max_attn_len,
-            contextual_seq_len, min_full_attn_seq_len,
+            contextual_seq_len, min_full_attn_seq_len, sla_k1, sla_k2,
         )
         s = jnp.where(mask, s, 0.0)
         return acc + jax.lax.dot_general(
             s.astype(vblk.dtype), vblk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+
+    if sla:
+        def body(kb, acc):
+            # skip blocks outside the SLA prefix/window (no DMA, no MXU)
+            return jax.lax.cond(
+                _sla_block_needed(qi, kb, BQ, BK, sla_k1, sla_k2,
+                                  contextual_seq_len, h_bound),
+                lambda a: compute(kb, a), lambda a: a, acc,
+            )
+    else:
+        body = compute
 
     acc = jax.lax.fori_loop(
         0, num_kb_eff, body,
@@ -131,6 +178,7 @@ def _bwd_dv_dk_kernel(
     dv_ref, dk_ref,
     *, h, n, alpha, scale, causal, has_targets, max_attn_len,
     contextual_seq_len, min_full_attn_seq_len, bq, bk,
+    sla_k1=0, sla_k2=0,
 ):
     BQ, BK = bq, bk
     """grid (BH, num_k_blocks): dv_j = sum_i s_ij^T do_i;
@@ -145,11 +193,14 @@ def _bwd_dv_dk_kernel(
     cols = ki * BK + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
 
     num_qb = n // BQ
+    sla = sla_k1 > 0 or sla_k2 > 0
     # causal: only q blocks at or after this k block contribute — except
-    # contextual rows (block 0..) which attend every column
-    start_qb = ki if (causal and contextual_seq_len == 0) else 0
+    # contextual rows (block 0..) which attend every column (under SLA
+    # contextual rows are plain history rows, so causal always holds)
+    start_qb = ki if (causal and (contextual_seq_len == 0 or sla)) else 0
+    h_bound = seq_len - (n_t if n_t is not None else 0)
 
-    def body(qi, carry):
+    def compute_qb(qi, carry):
         dv, dk = carry
         qblk = q_ref[0, pl.ds(qi * BQ, BQ), :]
         doblk = do_ref[0, pl.ds(qi * BQ, BQ), :]
@@ -160,7 +211,7 @@ def _bwd_dv_dk_kernel(
         rows = qi * BQ + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
         mask = _mask_block(
             rows, cols, seq_len, n_t, causal, max_attn_len,
-            contextual_seq_len, min_full_attn_seq_len,
+            contextual_seq_len, min_full_attn_seq_len, sla_k1, sla_k2,
         )
         s = jnp.where(mask, _silu(z) * (1.0 / scale), 0.0)
         dv = dv + jax.lax.dot_general(
@@ -180,6 +231,16 @@ def _bwd_dv_dk_kernel(
         )
         return dv, dk
 
+    if sla:
+        def body(qi, carry):
+            return jax.lax.cond(
+                _sla_block_needed(qi, ki, BQ, BK, sla_k1, sla_k2,
+                                  contextual_seq_len, h_bound),
+                lambda c: compute_qb(qi, c), lambda c: c, carry,
+            )
+    else:
+        body = compute_qb
+
     dv0 = jnp.zeros((BK, vblk.shape[-1]), jnp.float32)
     dk0 = jnp.zeros((BK, kblk.shape[-1]), jnp.float32)
     dv, dk = jax.lax.fori_loop(start_qb, num_qb, body, (dv0, dk0))
@@ -191,6 +252,7 @@ def _bwd_dq_kernel(
     lengths_ref, targets_ref, q_ref, k_ref, v_ref, do_ref, dq_ref,
     *, h, n, alpha, scale, causal, has_targets, max_attn_len,
     contextual_seq_len, min_full_attn_seq_len, bq, bk,
+    sla_k1=0, sla_k2=0,
 ):
     BQ, BK = bq, bk
     bh = pl.program_id(0)
@@ -201,11 +263,15 @@ def _bwd_dq_kernel(
     qblk = q_ref[0]
     doblk = do_ref[0]
     rows = qi * BQ + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
+    sla = sla_k1 > 0 or sla_k2 > 0
     num_kb_eff = (
-        (qi + 1) if (causal and contextual_seq_len == 0) else (n // BK)
+        (qi + 1)
+        if (causal and (contextual_seq_len == 0 or sla))
+        else (n // BK)
     )
+    h_bound = seq_len - (n_t if n_t is not None else 0)
 
-    def body(kb, dq):
+    def compute(kb, dq):
         kblk = k_ref[0, pl.ds(kb * BK, BK), :]
         vblk = v_ref[0, pl.ds(kb * BK, BK), :]
         z = jax.lax.dot_general(
@@ -215,7 +281,7 @@ def _bwd_dq_kernel(
         cols = kb * BK + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
         mask = _mask_block(
             rows, cols, seq_len, n_t, causal, max_attn_len,
-            contextual_seq_len, min_full_attn_seq_len,
+            contextual_seq_len, min_full_attn_seq_len, sla_k1, sla_k2,
         )
         dattn = jax.lax.dot_general(
             doblk, vblk, (((1,), (1,)), ((), ())),
@@ -226,6 +292,16 @@ def _bwd_dq_kernel(
             dz.astype(kblk.dtype), kblk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+
+    if sla:
+        def body(kb, dq):
+            return jax.lax.cond(
+                _sla_block_needed(qi, kb, BQ, BK, sla_k1, sla_k2,
+                                  contextual_seq_len, h_bound),
+                lambda a: compute(kb, a), lambda a: a, dq,
+            )
+    else:
+        body = compute
 
     dq = jax.lax.fori_loop(
         0, num_kb_eff, body, jnp.zeros((BQ, qblk.shape[-1]), jnp.float32)
@@ -249,15 +325,17 @@ def _prep(q, k, v, lengths, num_targets):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10)
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12)
 )
 def _pallas_hstu_mha_core(
     q, k, v, length_targets, alpha, causal, has_targets, max_attn_len,
     contextual_seq_len, min_full_attn_seq_len, scaling_seqlen,
+    sla_k1, sla_k2,
 ):
     return _fwd_impl(
         q, k, v, length_targets, alpha, causal, has_targets, max_attn_len,
         contextual_seq_len, min_full_attn_seq_len, scaling_seqlen,
+        sla_k1, sla_k2,
     )
 
 
@@ -278,6 +356,7 @@ def _grid_spec(b, h, n, grid_axis1, out_shapes, n_inputs):
 def _fwd_impl(
     q, k, v, length_targets, alpha, causal, has_targets, max_attn_len,
     contextual_seq_len, min_full_attn_seq_len, scaling_seqlen,
+    sla_k1=0, sla_k2=0,
 ):
     lengths, targets = length_targets
     bh, n, d = q.shape
@@ -289,6 +368,7 @@ def _fwd_impl(
         causal=causal, has_targets=has_targets, max_attn_len=max_attn_len,
         contextual_seq_len=contextual_seq_len,
         min_full_attn_seq_len=min_full_attn_seq_len, bq=bq, bk=bk,
+        sla_k1=sla_k1, sla_k2=sla_k2,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -310,17 +390,19 @@ def _fwd_impl(
 def _fwd_rule(
     q, k, v, length_targets, alpha, causal, has_targets, max_attn_len,
     contextual_seq_len, min_full_attn_seq_len, scaling_seqlen,
+    sla_k1, sla_k2,
 ):
     out = _fwd_impl(
         q, k, v, length_targets, alpha, causal, has_targets, max_attn_len,
         contextual_seq_len, min_full_attn_seq_len, scaling_seqlen,
+        sla_k1, sla_k2,
     )
     return out, (q, k, v, length_targets)
 
 
 def _bwd_rule(
     alpha, causal, has_targets, max_attn_len, contextual_seq_len,
-    min_full_attn_seq_len, scaling_seqlen, res, do,
+    min_full_attn_seq_len, scaling_seqlen, sla_k1, sla_k2, res, do,
 ):
     q, k, v, length_targets = res
     lengths, targets = length_targets
@@ -333,6 +415,7 @@ def _bwd_rule(
         has_targets=has_targets, max_attn_len=max_attn_len,
         contextual_seq_len=contextual_seq_len,
         min_full_attn_seq_len=min_full_attn_seq_len, bq=bq, bk=bk,
+        sla_k1=sla_k1, sla_k2=sla_k2,
     )
     dv, dk = pl.pallas_call(
         functools.partial(_bwd_dv_dk_kernel, **common),
@@ -388,6 +471,8 @@ def pallas_hstu_mha(
     contextual_seq_len: int = 0,
     min_full_attn_seq_len: int = 0,
     scaling_seqlen: int = -1,
+    sla_k1: int = 0,
+    sla_k2: int = 0,
 ) -> jnp.ndarray:
     b, n, h, d = q.shape
     if n % 128 != 0 or n < 128:
@@ -401,7 +486,7 @@ def pallas_hstu_mha(
         qf, kf, vf, (lengths_i, targets), float(alpha), bool(causal),
         num_targets is not None, int(max_attn_len),
         int(contextual_seq_len), int(min_full_attn_seq_len),
-        int(scaling_seqlen),
+        int(scaling_seqlen), int(sla_k1), int(sla_k2),
     )
     vd = v.shape[-1]
     return out.reshape(b, h, n, vd).transpose(0, 2, 1, 3)
