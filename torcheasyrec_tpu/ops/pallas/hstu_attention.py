@@ -156,15 +156,23 @@ def _fwd_kernel(
         )
 
     if sla:
-        def body(kb, acc):
-            # skip blocks outside the SLA prefix/window (no DMA, no MXU)
-            return jax.lax.cond(
-                _sla_block_needed(qi, kb, BQ, BK, sla_k1, sla_k2,
-                                  contextual_seq_len, h_bound),
-                lambda a: compute(kb, a), lambda a: a, acc,
-            )
-    else:
-        body = compute
+        # two-phase iteration instead of scanning every causal block:
+        # prefix blocks [0, n_pref) always; then window blocks from
+        # max(n_pref, window_start) — unless this q block holds target
+        # rows (they attend ALL history, so fall back to a full scan)
+        eff_k2 = max(sla_k2, contextual_seq_len)
+        n_pref = jnp.minimum((eff_k2 + BK - 1) // BK, num_kb_eff)
+        win_start = jnp.maximum(
+            (qi * BQ - sla_k1 + 1) // BK, n_pref
+        )
+        has_tgt = (qi * BQ + BQ) > h_bound
+        start2 = jnp.where(has_tgt, n_pref, win_start)
+        acc = jnp.zeros((BQ, v_ref.shape[-1]), jnp.float32)
+        acc = jax.lax.fori_loop(0, n_pref, compute, acc)
+        acc = jax.lax.fori_loop(start2, num_kb_eff, compute, acc)
+        o_ref[0] = acc.astype(o_ref.dtype)
+        return
+    body = compute
 
     acc = jax.lax.fori_loop(
         0, num_kb_eff, body,
@@ -231,19 +239,29 @@ def _bwd_dv_dk_kernel(
         )
         return dv, dk
 
-    if sla:
-        def body(qi, carry):
-            return jax.lax.cond(
-                _sla_block_needed(qi, ki, BQ, BK, sla_k1, sla_k2,
-                                  contextual_seq_len, h_bound),
-                lambda c: compute_qb(qi, c), lambda c: c, carry,
-            )
-    else:
-        body = compute_qb
-
     dv0 = jnp.zeros((BK, vblk.shape[-1]), jnp.float32)
     dk0 = jnp.zeros((BK, kblk.shape[-1]), jnp.float32)
-    dv, dk = jax.lax.fori_loop(start_qb, num_qb, body, (dv0, dk0))
+    if sla:
+        eff_k2 = max(sla_k2, contextual_seq_len)
+        # window: q rows within k1 of these columns, i.e. q blocks
+        # [ki, ceil((ki*BK + BK - 1 + k1) / BQ)); prefix k blocks are
+        # read by EVERY causal q block; then the trailing target
+        # blocks (targets attend all history columns)
+        win_end = jnp.minimum(
+            (ki * BK + BK - 1 + sla_k1) // BQ + 1, num_qb
+        )
+        win_end = jnp.where(ki * BK < eff_k2, num_qb, win_end)
+        tgt_start = jnp.maximum(h_bound // BQ, win_end)
+        carry = jax.lax.fori_loop(
+            start_qb, win_end, compute_qb, (dv0, dk0)
+        )
+        dv, dk = jax.lax.fori_loop(
+            tgt_start, num_qb, compute_qb, carry
+        )
+    else:
+        dv, dk = jax.lax.fori_loop(
+            start_qb, num_qb, compute_qb, (dv0, dk0)
+        )
     dv_ref[0] = dv.astype(dv_ref.dtype)
     dk_ref[0] = dk.astype(dk_ref.dtype)
 
@@ -294,17 +312,21 @@ def _bwd_dq_kernel(
         )
 
     if sla:
-        def body(kb, dq):
-            return jax.lax.cond(
-                _sla_block_needed(qi, kb, BQ, BK, sla_k1, sla_k2,
-                                  contextual_seq_len, h_bound),
-                lambda a: compute(kb, a), lambda a: a, dq,
-            )
-    else:
-        body = compute
+        eff_k2 = max(sla_k2, contextual_seq_len)
+        n_pref = jnp.minimum((eff_k2 + BK - 1) // BK, num_kb_eff)
+        win_start = jnp.maximum(
+            (qi * BQ - sla_k1 + 1) // BK, n_pref
+        )
+        has_tgt = (qi * BQ + BQ) > h_bound
+        start2 = jnp.where(has_tgt, n_pref, win_start)
+        dq = jnp.zeros((BQ, qblk.shape[-1]), jnp.float32)
+        dq = jax.lax.fori_loop(0, n_pref, compute, dq)
+        dq = jax.lax.fori_loop(start2, num_kb_eff, compute, dq)
+        dq_ref[0] = dq.astype(dq_ref.dtype)
+        return
 
     dq = jax.lax.fori_loop(
-        0, num_kb_eff, body, jnp.zeros((BQ, qblk.shape[-1]), jnp.float32)
+        0, num_kb_eff, compute, jnp.zeros((BQ, qblk.shape[-1]), jnp.float32)
     )
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
