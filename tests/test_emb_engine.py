@@ -278,3 +278,57 @@ def test_canonical_checkpoint_column_to_table_wise():
             cw.extract_table(t_cw, name),
             rtol=1e-6,
         )
+
+
+def test_table_row_wise_matches_single_device():
+    """table_row_wise (host-grouped row sharding, 4 hosts x 2 shards)
+    matches the single-device engine exactly."""
+    mesh = create_mesh()
+    opt = SparseOptimizer("rowwise_adagrad", {"lr": 0.05})
+
+    def mk(mesh_):
+        tables = [
+            TableSpec("t_a", rows=100, dim=16, sharding="table_row_wise"),
+            TableSpec("t_b", rows=50, dim=16, sharding="table_row_wise"),
+            TableSpec("t_c", rows=30, dim=8, sharding="table_row_wise"),
+        ]
+        lookups = [
+            LookupSpec("a", "f_a", "t_a", "sum"),
+            LookupSpec("b", "f_b", "t_b", "mean"),
+            LookupSpec("c", "f_c", "t_c", "sum"),
+        ]
+        return EmbeddingEngine(
+            tables, lookups, mesh=mesh_, optimizer=opt, shards_per_host=2
+        )
+
+    single = mk(None)
+    multi = mk(mesh)
+    # every table's rows confined to one 2-shard host region
+    for gk, g in multi.groups.items():
+        rps = g.padded_rows // 8
+        for t in g.specs:
+            off = g.offsets[t.name]
+            host0 = off // (2 * rps)
+            host1 = (off + t.rows - 1) // (2 * rps)
+            assert host0 == host1, (t.name, off, t.rows, rps)
+
+    t1 = single.init(jax.random.key(42))
+    t2 = multi.init(jax.random.key(42))
+    sparse, seq, *_ = _batch(b=16)
+    o1, r1 = single.lookup(t1, sparse, seq)
+    o2, r2 = jax.jit(lambda t, s, q: multi.lookup(t, s, q))(t2, sparse, seq)
+    for k in o1:
+        np.testing.assert_allclose(o1[k], o2[k], rtol=1e-5, atol=1e-6)
+    grads = {k: jnp.ones_like(v) * 0.5 for k, v in o1.items()}
+    nt1, _ = single.update(
+        t1, single.init_opt_state(), r1, grads, jnp.float32(1.0)
+    )
+    nt2, _ = jax.jit(
+        lambda t, s, r, g: multi.update(t, s, r, g, jnp.float32(1.0))
+    )(t2, multi.init_opt_state(), r2, grads)
+    for name in ("t_a", "t_b", "t_c"):
+        np.testing.assert_allclose(
+            single.extract_table(nt1, name),
+            multi.extract_table(nt2, name),
+            rtol=1e-5, atol=1e-6,
+        )

@@ -46,6 +46,9 @@ from torcheasyrec_tpu.parallel.sparse_optim import SparseOptimizer
 ROW_WISE = "row_wise"
 COLUMN_WISE = "column_wise"
 TABLE_WISE = "table_wise"
+# TorchRec TABLE_ROW_WISE: each table lives on ONE host group, rows
+# block-sharded across that group's shards
+TABLE_ROW_WISE = "table_row_wise"
 DATA_PARALLEL = "data_parallel"
 
 
@@ -136,9 +139,16 @@ class EmbeddingEngine:
         lookups: Sequence[LookupSpec],
         mesh: Optional[Mesh] = None,
         optimizer: Optional[SparseOptimizer] = None,
+        shards_per_host: Optional[int] = None,
     ) -> None:
         self.mesh = mesh
         self.num_shards = mesh.devices.size if mesh is not None else 1
+        # host-group width for table_row_wise placement (shards per
+        # host); clamped to a divisor of the shard count
+        g = shards_per_host or jax.local_device_count()
+        while self.num_shards % g:
+            g -= 1
+        self.shards_per_host = max(g, 1)
         self.optimizer = optimizer or SparseOptimizer("adagrad", {"lr": 0.001})
         self._specs = {t.name: t for t in tables}
         self.lookups = list(lookups)
@@ -166,6 +176,10 @@ class EmbeddingEngine:
     def _resolve_sharding(self, t: TableSpec) -> str:
         if self.num_shards <= 1:
             return DATA_PARALLEL
+        if t.sharding == TABLE_ROW_WISE and (
+            self.shards_per_host >= self.num_shards
+        ):
+            return ROW_WISE  # single host group: identical to row_wise
         if t.sharding == COLUMN_WISE and t.dim % self.num_shards != 0:
             from torcheasyrec_tpu.utils.logging_util import logger
 
@@ -199,6 +213,29 @@ class EmbeddingEngine:
             rps = ((max(loads) + 7) // 8) * 8
             for t in g.specs:
                 g.offsets[t.name] = owner[t.name] * rps + within[t.name]
+            g.padded_rows = rps * D
+            return
+        if g.sharding == TABLE_ROW_WISE and D > 1:
+            # bin-pack tables onto host groups; within a group a
+            # table's rows are contiguous so the row_wise owner rule
+            # (id // rows_per_shard) block-shards them over exactly
+            # that group's shards
+            spg = self.shards_per_host
+            n_hosts = D // spg
+            loads = [0] * n_hosts
+            within = {}
+            owner = {}
+            for t in sorted(g.specs, key=lambda t: -t.rows):
+                host = min(range(n_hosts), key=lambda i: loads[i])
+                owner[t.name] = host
+                within[t.name] = loads[host]
+                loads[host] += t.rows
+            # per-host region = spg shard blocks
+            rps = ((max(loads) + spg * 8 - 1) // (spg * 8)) * 8
+            for t in g.specs:
+                g.offsets[t.name] = (
+                    owner[t.name] * spg * rps + within[t.name]
+                )
             g.padded_rows = rps * D
             return
         pos = 0
@@ -251,7 +288,7 @@ class EmbeddingEngine:
 
     def _array_spec(self, x: Any, g: _Group) -> P:
         nd = getattr(x, "ndim", 0)
-        if g.sharding in (ROW_WISE, TABLE_WISE):
+        if g.sharding in (ROW_WISE, TABLE_WISE, TABLE_ROW_WISE):
             if nd >= 1 and x.shape[0] == g.padded_rows:
                 return P(DATA_AXIS, *([None] * (nd - 1)))
             return P()

@@ -25,6 +25,7 @@ from torcheasyrec_tpu.parallel.emb_engine import (
     COLUMN_WISE,
     DATA_PARALLEL,
     ROW_WISE,
+    TABLE_ROW_WISE,
     TABLE_WISE,
     TableSpec,
 )
@@ -58,7 +59,8 @@ class _Option:
 
 
 def _options(
-    spec: TableSpec, n_devices: int, ids_per_step: float, opt_factor: float
+    spec: TableSpec, n_devices: int, ids_per_step: float, opt_factor: float,
+    shards_per_host: int = 1,
 ) -> List[_Option]:
     bytes_table = spec.rows * spec.dim * 4.0 * (1.0 + opt_factor)
     row_bytes = spec.dim * 4.0
@@ -85,6 +87,14 @@ def _options(
         # table_wise: row_wise exchange but the owning shard does ALL
         # the row traffic (hot-spot) and holds the whole table
         out.append(_Option(TABLE_WISE, comm + hbm * n_devices, bytes_table))
+        # table_row_wise: rows split over one host group's shards —
+        # milder hot-spot than table_wise, memory / shards_per_host
+        if 1 < shards_per_host < n_devices:
+            out.append(_Option(
+                TABLE_ROW_WISE,
+                comm + hbm * (n_devices // shards_per_host),
+                bytes_table / shards_per_host,
+            ))
     # data_parallel: local gather; update allgathers (ids, grads)
     comm_dp = (
         (n * (4.0 + row_bytes) * (n_devices - 1)) / _ICI_BW
@@ -103,6 +113,7 @@ def create_plan(
     optimizer_kind: str = "adagrad",
     hbm_budget: Optional[float] = None,
     n_bins: int = 64,
+    shards_per_host: int = 1,
 ) -> Dict[str, str]:
     """DP over memory bins -> {table_name: sharding}."""
     if not specs:
@@ -111,7 +122,8 @@ def create_plan(
     opt_factor = _OPT_STATE_FACTOR.get(optimizer_kind, 1.0)
     ids = batch_size * avg_ids_per_sample
     table_opts = [
-        _options(s, n_devices, ids, opt_factor) for s in specs
+        _options(s, n_devices, ids, opt_factor, shards_per_host)
+        for s in specs
     ]
     bin_bytes = budget / n_bins
     inf = float("inf")
