@@ -244,5 +244,5 @@ def test_dlrm_hstu_with_sla_and_truncation(tmp_path):
     from torcheasyrec_tpu import main as tzrec_main
 
     result = tzrec_main.train_and_evaluate(cfg_path)
-    assert result["auc_is_click"] > 0.55, result
+    assert result["auc_is_click"] > 0.6, result
     assert np.isfinite(result["loss_bce_is_like"])

@@ -154,11 +154,16 @@ def _build_model_and_optim(pipeline_config, mesh, for_train=True,
         from torcheasyrec_tpu.parallel import planner
 
         specs = list(model.embedding_group.engine._specs.values())
+        spg = jax.local_device_count()
+        while mesh.devices.size % spg:
+            spg -= 1
         plan = planner.create_plan(
             specs,
             n_devices=mesh.devices.size,
             batch_size=int(pipeline_config.data_config.batch_size),
             optimizer_kind=sparse_opt.kind,
+            # same host-group width the engine lays TWRW out with
+            shards_per_host=max(spg, 1),
         )
         model = create_model(
             pipeline_config.model_config,

@@ -211,8 +211,10 @@ class DlrmHSTU(BaseModel):
             params["transducer"], ctx, **inputs
         )
         lc_max = cand.shape[1]
+        # targets sit at [lengths - num_targets, lengths) in the
+        # RETURNED layout (which truncation may have repacked)
         cand_out = extract_candidates(
-            seq_out, self.transducer.pre.n_ctx, uih_len, lc_max
+            seq_out, 0, lengths - num_targets, lc_max
         )  # [B, Lc, E]
         item_h = jax.nn.silu(
             M.linear_apply(params["item_proj"], cand, ctx)

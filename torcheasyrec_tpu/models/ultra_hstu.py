@@ -22,11 +22,23 @@ class _MixtureStack:
         self.base = base
         self.extras = extras  # list of (stack, params)
 
+    @property
+    def num_layers(self):
+        # truncation split indexes the BASE channel's layer count;
+        # extra channels split at the same depth, clamped to their own
+        return self.base.num_layers
+
     def __call__(self, p, x, lengths, ctx, num_targets=None,
-                 scaling_seqlen=-1):
-        outs = [self.base(p, x, lengths, ctx, num_targets, scaling_seqlen)]
+                 scaling_seqlen=-1, start=0, end=None):
+        def run(stack, sp):
+            e = end if end is None else min(end, stack.num_layers)
+            s0 = min(start, stack.num_layers)
+            return stack(sp, x, lengths, ctx, num_targets,
+                         scaling_seqlen, start=s0, end=e)
+
+        outs = [run(self.base, p)]
         for st, sp in self.extras:
-            outs.append(st(sp, x, lengths, ctx, num_targets, scaling_seqlen))
+            outs.append(run(st, sp))
         return sum(outs) / len(outs)
 
 
@@ -43,7 +55,11 @@ class UltraHSTU(DlrmHSTU):
             )
             if not hcfg.stu.HasField("num_layers"):
                 stu_cfg["num_layers"] = int(hcfg.attn_num_layers)
-            self.extra_stacks.append(stu_from_config(stu_cfg))
+            st = stu_from_config(stu_cfg)
+            # extra channels share the preprocessor's contextual prefix
+            # (base stack gets this in DlrmHSTU.__init__)
+            st.layer.contextual_seq_len = self.transducer.pre.n_ctx
+            self.extra_stacks.append(st)
 
     def init_dense(self, key: jax.Array) -> M.Params:
         params = super().init_dense(key)

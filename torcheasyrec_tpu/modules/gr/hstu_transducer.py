@@ -21,7 +21,7 @@ from torcheasyrec_tpu.modules.gr.encoders import (
     PositionalEncoder,
     SimpleActionEncoder,
 )
-from torcheasyrec_tpu.modules.gr.stu import STUStack
+from torcheasyrec_tpu.modules.gr.stu import STUStack, truncate_uih
 
 
 def compact_concat(
@@ -210,8 +210,6 @@ class HSTUTransducer(M.Module):
             and self.trunc_tail > 0
         )
         if do_trunc:
-            from torcheasyrec_tpu.modules.gr.stu import truncate_uih
-
             x = self.stack(
                 params["stack"], x, lengths, ctx, num_targets,
                 scaling_seqlen=scaling, end=self.trunc_split,

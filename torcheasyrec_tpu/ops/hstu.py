@@ -192,6 +192,8 @@ def delta_hstu_mha(
     max_attn_len: int = 0,
     contextual_seq_len: int = 0,
     scaling_seqlen: int = -1,
+    sla_k1: int = 0,
+    sla_k2: int = 0,
 ) -> jnp.ndarray:
     """Cached/incremental attention (reference pt_hstu_attention.py
     pytorch_cached_hstu_mha :239-267, delta dispatch
@@ -212,7 +214,8 @@ def delta_hstu_mha(
         + jnp.arange(ld, dtype=jnp.int32)[None, :]
     )  # [B, Ld]
     full = valid_attn_mask(
-        n, lengths, True, num_targets, max_attn_len, contextual_seq_len, 0
+        n, lengths, True, num_targets, max_attn_len, contextual_seq_len, 0,
+        sla_k1=sla_k1, sla_k2=sla_k2,
     )  # [B, N, N]
     rows = jnp.clip(row_pos, 0, n - 1)
     mask = jnp.take_along_axis(full, rows[:, :, None], axis=1)  # [B, Ld, N]

@@ -86,19 +86,6 @@ def _mask_block(
     return mask
 
 
-def _sla_block_needed(qi, kb, bq, bk, sla_k1, sla_k2,
-                      contextual_seq_len, h_bound):
-    """Scalar predicate: does k block kb contribute anything to q block
-    qi under SLA? (prefix overlap, local-window overlap, or the q block
-    contains target rows, which attend all history)."""
-    eff_k2 = max(sla_k2, contextual_seq_len)
-    in_prefix = kb * bk < eff_k2
-    # window columns for this q block span [qi*bq - k1 + 1, qi*bq+bq-1]
-    in_window = kb * bk + bk > qi * bq - sla_k1 + 1
-    has_targets = (qi * bq + bq) > h_bound
-    return in_prefix | in_window | has_targets
-
-
 def _silu(x):
     return x * jax.nn.sigmoid(x)
 
