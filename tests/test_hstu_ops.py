@@ -273,3 +273,56 @@ def test_pallas_sla_matches_xla(ctx_len):
     np.testing.assert_allclose(o1, o2, rtol=2e-4)
     for a, b_ in zip(g1, g2):
         np.testing.assert_allclose(a, b_, rtol=2e-3, atol=2e-5)
+
+
+def test_stu_cached_incremental_matches_full():
+    """KV-cached incremental decode through a 2-layer STU stack must
+    reproduce the full forward's outputs for the new tokens."""
+    from torcheasyrec_tpu.modules.gr.stu import STULayer, STUStack
+    from torcheasyrec_tpu.modules import module as M
+    from torcheasyrec_tpu.ops import Kernel
+
+    b, n, e = 2, 24, 16
+    layer = STULayer(
+        embedding_dim=e, linear_hidden_dim=8, attention_dim=8,
+        num_heads=2, kernel=Kernel.JAX,
+    )
+    stack = STUStack(layer, 2)
+    params = stack.init(jax.random.key(0))
+    ctx = M.Context(training=False)
+    x = jax.random.normal(jax.random.key(1), (b, n, e), jnp.float32)
+    lengths = jnp.asarray([20, 20], jnp.int32)
+
+    full = stack(params, x, lengths, ctx, scaling_seqlen=n)
+
+    # prefill 16 tokens, then decode 4 new tokens incrementally
+    caches = stack.init_cache(b, n)
+    _, caches = stack.cached_forward(
+        params, x[:, :16], jnp.asarray([16, 16], jnp.int32), caches,
+        ctx, scaling_seqlen=n,
+    )
+    y, caches = stack.cached_forward(
+        params, x[:, 16:20], lengths, caches, ctx, scaling_seqlen=n,
+    )
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(full[:, 16:20]), rtol=1e-4, atol=1e-5,
+    )
+
+    # one-token-at-a-time decode also matches
+    caches2 = stack.init_cache(b, n)
+    _, caches2 = stack.cached_forward(
+        params, x[:, :16], jnp.asarray([16, 16], jnp.int32), caches2,
+        ctx, scaling_seqlen=n,
+    )
+    outs = []
+    for t in range(16, 20):
+        yt, caches2 = stack.cached_forward(
+            params, x[:, t : t + 1],
+            jnp.full((b,), t + 1, jnp.int32), caches2, ctx,
+            scaling_seqlen=n,
+        )
+        outs.append(yt)
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate(outs, axis=1)),
+        np.asarray(full[:, 16:20]), rtol=1e-4, atol=1e-5,
+    )

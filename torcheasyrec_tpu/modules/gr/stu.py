@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from torcheasyrec_tpu.modules import module as M
 from torcheasyrec_tpu.ops import Kernel
 from torcheasyrec_tpu.ops.hstu import (
+    delta_hstu_mha,
     hstu_compute_output,
     hstu_compute_uqvk,
     hstu_mha,
@@ -112,6 +113,67 @@ class STULayer(M.Module):
             _layer = jax.checkpoint(_layer)
         return _layer(x)
 
+    def init_cache(self, b: int, n_max: int) -> Dict[str, jnp.ndarray]:
+        """Per-layer KV cache for incremental inference (reference
+        stu.py k_cache/v_cache/kv_caching_offsets)."""
+        return {
+            "k": jnp.zeros((b, n_max, self.h, self.ad), jnp.float32),
+            "v": jnp.zeros((b, n_max, self.h, self.ld), jnp.float32),
+        }
+
+    def cached_forward(
+        self,
+        params: M.Params,
+        x_new: jnp.ndarray,  # [B, Ld, E] NEW tokens only
+        lengths: jnp.ndarray,  # [B] TOTAL valid tokens incl. the new
+        cache: Dict[str, jnp.ndarray],
+        ctx: M.Context,
+        scaling_seqlen: int = -1,
+    ):
+        """Incremental decode: only the Ld new tokens' q/k/v are
+        computed; keys/values are scattered into the cache at
+        [lengths - Ld, lengths) and the new queries attend the cached
+        sequence (delta_hstu_mha). Returns (y_new, new_cache)."""
+        ld_new = x_new.shape[1]
+        u, v, q, k = hstu_compute_uqvk(
+            x_new,
+            params["input_ln"]["scale"], params["input_ln"]["bias"],
+            params["uvqk_w"], params["uvqk_b"],
+            self.h, self.ld, self.ad,
+        )
+        starts = (lengths.astype(jnp.int32) - ld_new)
+
+        def _scatter(buf, new):
+            return jax.vmap(
+                lambda c, n_, s: jax.lax.dynamic_update_slice(
+                    c, n_.astype(c.dtype), (s, 0, 0)
+                )
+            )(buf, new, starts)
+
+        new_cache = {
+            "k": _scatter(cache["k"], k),
+            "v": _scatter(cache["v"], v),
+        }
+        attn = delta_hstu_mha(
+            q, new_cache["k"].astype(q.dtype),
+            new_cache["v"].astype(q.dtype), lengths,
+            alpha=self.alpha,
+            max_attn_len=self.max_attn_len,
+            contextual_seq_len=self.contextual_seq_len,
+            scaling_seqlen=scaling_seqlen,
+            sla_k1=self.sla_k1,
+            sla_k2=self.sla_k2,
+        )
+        y = hstu_compute_output(
+            attn, u, x_new,
+            params["output_ln"]["scale"], params["output_ln"]["bias"],
+            params["output_w"],
+            dropout_pr=0.0, dropout_rng=None, training=False,
+            group_norm=self.use_group_norm,
+            num_heads=self.h, linear_dim=self.ld,
+        )
+        return y, new_cache
+
 
 class STUStack(M.Module):
     def __init__(self, layer: STULayer, num_layers: int) -> None:
@@ -133,6 +195,25 @@ class STUStack(M.Module):
                 scaling_seqlen,
             )
         return x
+
+
+    def init_cache(self, b: int, n_max: int):
+        return [
+            self.layer.init_cache(b, n_max) for _ in range(self.num_layers)
+        ]
+
+    def cached_forward(self, params, x_new, lengths, caches, ctx,
+                       scaling_seqlen: int = -1):
+        """Incremental decode through every layer, threading one KV
+        cache per layer. Returns (y_new, new_caches)."""
+        new_caches = []
+        for i in range(self.num_layers):
+            x_new, c = self.layer.cached_forward(
+                params[f"layer_{i}"], x_new, lengths, caches[i], ctx,
+                scaling_seqlen,
+            )
+            new_caches.append(c)
+        return x_new, new_caches
 
 
 def truncate_uih(
