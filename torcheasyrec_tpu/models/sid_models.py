@@ -44,6 +44,30 @@ class UniqueRatio(Metric):
         return float(len(tuples) / max(len(c), 1))
 
 
+class RelativeL1(Metric):
+    """Mean symmetric relative-L1 reconstruction error
+    |t - p| / (max(|t|, |p|) + eps) (reference metrics/relative_l1.py:
+    bounded, 0 = exact; element-count-weighted mean)."""
+
+    def __init__(self, eps: float = 1e-8, **kw):
+        self.eps = eps
+        self.reset()
+
+    def reset(self):
+        self._sum = 0.0
+        self._n = 0
+
+    def update(self, preds, target=None, **kw):
+        p = np.asarray(preds, np.float64)
+        t = np.asarray(target, np.float64)
+        rel = np.abs(t - p) / (np.maximum(np.abs(t), np.abs(p)) + self.eps)
+        self._sum += float(rel.sum())
+        self._n += rel.size
+
+    def compute(self) -> float:
+        return self._sum / max(self._n, 1)
+
+
 class SidRqvae(BaseModel):
     def __init__(self, model_config, features, labels, sample_weights=None,
                  **kwargs) -> None:
@@ -169,12 +193,21 @@ class SidRqvae(BaseModel):
         return losses
 
     def init_metrics(self):
-        return [{"name": "unique_ratio", "metric": UniqueRatio(),
-                 "config": {}}]
+        return [
+            {"name": "unique_ratio", "metric": UniqueRatio(),
+             "config": {}},
+            {"name": "rel_loss", "metric": RelativeL1(), "config": {}},
+        ]
 
     def update_metrics(self, metrics, predictions, batch: Batch) -> None:
         for m in metrics:
-            m["metric"].update(np.asarray(predictions["codes"]))
+            if m["name"] == "rel_loss":
+                m["metric"].update(
+                    np.asarray(predictions["recon"]),
+                    np.asarray(predictions["__x"]),
+                )
+            else:
+                m["metric"].update(np.asarray(predictions["codes"]))
 
 
 def _lloyd_kmeans(x: np.ndarray, k: int, iters: int = 20, seed: int = 0):
@@ -280,12 +313,21 @@ class SidRqkmeans(BaseModel):
         return {**params, "rq": rq_params}
 
     def init_metrics(self):
-        return [{"name": "unique_ratio", "metric": UniqueRatio(),
-                 "config": {}}]
+        return [
+            {"name": "unique_ratio", "metric": UniqueRatio(),
+             "config": {}},
+            {"name": "rel_loss", "metric": RelativeL1(), "config": {}},
+        ]
 
     def update_metrics(self, metrics, predictions, batch: Batch) -> None:
         for m in metrics:
-            m["metric"].update(np.asarray(predictions["codes"]))
+            if m["name"] == "rel_loss":
+                m["metric"].update(
+                    np.asarray(predictions["recon"]),
+                    np.asarray(predictions["__x"]),
+                )
+            else:
+                m["metric"].update(np.asarray(predictions["codes"]))
 
 
 def _sid_collect_from_batch(self, batch: Batch) -> None:
