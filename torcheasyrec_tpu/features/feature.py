@@ -494,16 +494,37 @@ class BaseFeature(metaclass=_meta_cls):
             return list(expr)
         return []
 
+    def _is_sequence_input(self, side: str, col: str) -> bool:
+        """Whether an input column is sequence-typed (reference
+        feature.py:748-771): explicit sequence_fields wins; else
+        single-input features auto-mark (side != 'feature'); else
+        item-side default for multi-input features."""
+        if not self.is_sequence:
+            return False
+        sf = list(getattr(self.config, "sequence_fields", []))
+        if sf:
+            return col in sf
+        if len(self.expressions) <= 1:
+            return side != "feature"
+        return side == "item"
+
     @property
     def side_inputs(self) -> List[Tuple[str, str]]:
-        """[(side, column)] parsed from expressions 'side:column'."""
+        """[(side, column)] parsed from expressions 'side:column'.
+
+        Grouped-sequence sub-features prefix their sequence-typed
+        inputs with ``{sequence_name}__`` (reference feature.py:798-803)
+        so they read the flattened sequence column, not the same-named
+        plain item column."""
         out = []
         for e in self.expressions:
             if ":" in e:
                 side, col = e.split(":", 1)
-                out.append((side, col))
             else:
-                out.append(("", e))
+                side, col = "", e
+            if self.sequence_name and self._is_sequence_input(side, col):
+                col = f"{self.sequence_name}__{col}"
+            out.append((side, col))
         return out
 
     @property

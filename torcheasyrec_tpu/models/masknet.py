@@ -17,7 +17,10 @@ class MaskNet(RankModel):
         super().__init__(model_config, features, labels, sample_weights,
                          **kwargs)
         cfg = config_to_kwargs(self._model_config.mask_net_module)
-        feat_dim = self.embedding_group.group_total_dim("all")
+        # first feature group, whatever its name (reference
+        # masknet.py:45 uses group_names()[0])
+        self._group = self.embedding_group.group_names()[0]
+        feat_dim = self.embedding_group.group_total_dim(self._group)
         self.masknet = MaskNetModule(
             feature_dim=feat_dim,
             n_mask_blocks=int(cfg["n_mask_blocks"]),
@@ -36,6 +39,6 @@ class MaskNet(RankModel):
         }
 
     def predict(self, params, grouped, batch, ctx) -> Dict[str, jnp.ndarray]:
-        h = self.masknet(params["masknet"], grouped["all"], ctx)
+        h = self.masknet(params["masknet"], grouped[self._group], ctx)
         y = M.linear_apply(params["output"], h, ctx)
         return self._output_to_prediction(y)

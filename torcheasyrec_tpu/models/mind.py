@@ -57,15 +57,18 @@ class MIND(MatchModel):
             const_caps_num=bool(cc.get("const_caps_num", False)),
         )
         self._combine = ut.user_seq_combine  # 0 CONCAT | 1 SUM
+        if (
+            self._combine == 1
+            and self.user_mlp.output_dim() != self.capsule.high_dim
+        ):
+            # reference mind.py:177-182 always concatenates (the proto's
+            # SUM default is never read there); honor SUM only when the
+            # dims line up, else concat like the reference
+            self._combine = 0
         concat_in = self.capsule.high_dim + (
             self.user_mlp.output_dim()
             if self._combine == 0 else 0
         )
-        if self._combine == 1:
-            assert self.user_mlp.output_dim() == self.capsule.high_dim, (
-                "SUM combine requires user_mlp output == capsule high_dim"
-            )
-            concat_in = self.capsule.high_dim
         self.concat_mlp = mlp_from_config(
             concat_in, config_to_kwargs(ut.concat_mlp)
         )

@@ -23,7 +23,8 @@ class RocketLaunching(RankModel):
                  **kwargs) -> None:
         super().__init__(model_config, features, labels, sample_weights,
                          **kwargs)
-        in_dim = self.embedding_group.group_total_dim("all")
+        self._group = self.embedding_group.group_names()[0]
+        in_dim = self.embedding_group.group_total_dim(self._group)
         mc = self._model_config
         self.share_mlp = (
             mlp_from_config(in_dim, config_to_kwargs(mc.share_mlp))
@@ -52,7 +53,7 @@ class RocketLaunching(RankModel):
         return params
 
     def predict(self, params, grouped, batch, ctx) -> Dict[str, jnp.ndarray]:
-        x = grouped["all"]
+        x = grouped[self._group]
         if self.share_mlp is not None:
             x = self.share_mlp(params["share"], x, ctx, "share")
         hb = self.booster_mlp(params["booster"], x, ctx, "booster")
@@ -74,13 +75,24 @@ class RocketLaunching(RankModel):
     def loss(self, predictions, batch: Batch) -> Dict[str, jnp.ndarray]:
         label = batch.labels[self._label_name]
         losses = {}
+
+        def _ce(logits):
+            if logits.ndim == 2 and logits.shape[-1] > 1:
+                # num_class >= 2: softmax CE over class logits
+                logp = jax.nn.log_softmax(logits.astype(jnp.float32))
+                idx = label.astype(jnp.int32)
+                return -jnp.take_along_axis(
+                    logp, idx[:, None], axis=1
+                )[:, 0]
+            return binary_cross_entropy(logits, label)
+
         losses["bce_booster"] = self._reduce(
-            binary_cross_entropy(predictions["logits_booster"], label),
-            batch, self._sample_weight_name,
+            _ce(predictions["logits_booster"]), batch,
+            self._sample_weight_name,
         )
         losses["bce_light"] = self._reduce(
-            binary_cross_entropy(predictions["logits_light"], label),
-            batch, self._sample_weight_name,
+            _ce(predictions["logits_light"]), batch,
+            self._sample_weight_name,
         )
         # logit distillation (booster frozen)
         t = jax.lax.stop_gradient(predictions["logits_booster"])

@@ -200,8 +200,12 @@ class EmbeddingGroup(M.Module):
                 )
             if len(group.sequence_encoders) > 0:
                 dims = self.seq_group_dims()
+                default_input = (
+                    group.sequence_groups[0].group_name or gname
+                    if len(group.sequence_groups) == 1 else ""
+                )
                 self._group_encoders[gname] = [
-                    create_seq_encoder(c, dims)
+                    create_seq_encoder(c, dims, default_input)
                     for c in group.sequence_encoders
                 ]
 
@@ -379,6 +383,11 @@ class EmbeddingGroup(M.Module):
             out[f"{name}.query"] = sum(d for _, _, d in sg["query"])
             out[f"{name}.sequence"] = sum(d for _, _, d in sg["sequence"])
         return out
+
+    def group_names(self):
+        """Feature-group names in config order (reference
+        embedding.py group_names())."""
+        return list(self._group_slots.keys())
 
     def has_group(self, group_name: str) -> bool:
         return group_name in self._group_slots or group_name in self._seq_groups

@@ -156,7 +156,7 @@ class PoolingEncoder(SequenceEncoder):
     def output_dim(self) -> int:
         return self._sequence_dim
 
-    def __call__(self, params, group, ctx):
+    def __call__(self, params, group, ctx, path: str = ""):
         sequence = group[f"{self.input}.sequence"]
         lengths = group[f"{self.input}.sequence_length"]
         if self._max_seq_length > 0:
@@ -209,7 +209,7 @@ class SelfAttentionEncoder(SequenceEncoder):
             "o": M.linear_init(ks[3], a, a),
         }
 
-    def __call__(self, params, group, ctx):
+    def __call__(self, params, group, ctx, path: str = ""):
         sequence = group[f"{self.input}.sequence"]
         lengths = group[f"{self.input}.sequence_length"]
         if self._max_seq_length > 0:
@@ -308,7 +308,8 @@ class MultiWindowDINEncoder(SequenceEncoder):
 
 
 def create_seq_encoder(
-    seq_encoder_config, group_total_dims: Dict[str, int]
+    seq_encoder_config, group_total_dims: Dict[str, int],
+    default_input: str = "",
 ) -> SequenceEncoder:
     """Factory from SeqEncoderConfig proto (reference sequence.py registry).
 
@@ -320,7 +321,9 @@ def create_seq_encoder(
     cfg = getattr(seq_encoder_config, which)
     kwargs = config_to_kwargs(cfg)
     kwargs.pop("name", None)
-    input_name = kwargs.pop("input")
+    # `input` is optional when the feature group has exactly one
+    # sequence group (reference sequence configs omit it)
+    input_name = kwargs.pop("input", "") or default_input
     seq_dim = group_total_dims[f"{input_name}.sequence"]
     query_dim = group_total_dims.get(f"{input_name}.query", seq_dim)
     cls_name = {

@@ -41,11 +41,16 @@ def generate_mock_table(
         )
         if feat.is_sequence:
             max_len = feat.effective_sequence_length or 10
+            # honor the feature's configured step delimiter (grouped
+            # sequence_feature configs often use '|', not ';')
+            delim = feat.sequence_delim or getattr(
+                feat.config, "sequence_delim", ";"
+            ) or ";"
             lengths = rng.integers(1, max_len + 1, num_rows)
             if feat.is_sparse:
                 n = int(feat.num_embeddings)
                 vals = [
-                    ";".join(
+                    delim.join(
                         str(v)
                         for v in rng.integers(0, n, size=lengths[i])
                     )
@@ -54,7 +59,7 @@ def generate_mock_table(
                 cols[col_name] = pa.array(vals)
             else:
                 vals = [
-                    ";".join(
+                    delim.join(
                         f"{rng.normal():.4f}" for _ in range(lengths[i])
                     )
                     for i in range(num_rows)
