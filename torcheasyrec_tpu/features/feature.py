@@ -494,19 +494,35 @@ class BaseFeature(metaclass=_meta_cls):
             return list(expr)
         return []
 
+    # classes whose single input is sequence-typed inside a grouped
+    # sequence (reference feature.py SINGLE_INPUT_FEATURE_CLASSES)
+    _SINGLE_INPUT_SEQ_CLASSES = (
+        "IdFeature", "RawFeature", "TokenizeFeature", "CombineFeature",
+    )
+
     def _is_sequence_input(self, side: str, col: str) -> bool:
         """Whether an input column is sequence-typed (reference
         feature.py:748-771): explicit sequence_fields wins; else
-        single-input features auto-mark (side != 'feature'); else
-        item-side default for multi-input features."""
+        single-input feature CLASSES auto-mark (side != 'feature');
+        else item-side default."""
         if not self.is_sequence:
             return False
         sf = list(getattr(self.config, "sequence_fields", []))
         if sf:
             return col in sf
-        if len(self.expressions) <= 1:
+        if type(self).__name__ in self._SINGLE_INPUT_SEQ_CLASSES:
             return side != "feature"
         return side == "item"
+
+    @property
+    def effective_sequence_delim(self) -> str:
+        """Step delimiter: group-level wins, else per-feature config,
+        else ';' (single source of truth for parser AND mock data)."""
+        return (
+            self.sequence_delim
+            or getattr(self.config, "sequence_delim", ";")
+            or ";"
+        )
 
     @property
     def side_inputs(self) -> List[Tuple[str, str]]:
@@ -592,9 +608,7 @@ class BaseFeature(metaclass=_meta_cls):
         feat = self._input_column(input_data)
         default = self._fg_encoded_default()
         if self.is_sequence:
-            delim = self.sequence_delim or getattr(
-                self.config, "sequence_delim", ";"
-            )
+            delim = self.effective_sequence_delim
             if self.is_sparse:
                 return _parse_fg_encoded_sequence_sparse(
                     self.name, feat, delim, self._multival_sep, default

@@ -30,7 +30,7 @@ class IdFeature(BaseFeature):
         default = getattr(c, "default_value", "")
 
         if self.is_sequence:
-            delim = self.sequence_delim or getattr(c, "sequence_delim", ";")
+            delim = self.effective_sequence_delim
             feat = feat.cast(pa.string(), safe=False)
             is_empty = pc.equal(feat, pa.scalar(""))
             feat = pc.if_else(is_empty, pa.nulls(len(feat)), feat)

@@ -56,7 +56,7 @@ class RawFeature(BaseFeature):
             self.value_dim, 1
         )
         if self.is_sequence:
-            delim = self.sequence_delim or getattr(c, "sequence_delim", ";")
+            delim = self.effective_sequence_delim
             dd = _parse_fg_encoded_sequence_dense(
                 self.name, feat, delim, getattr(c, "separator", "\x1d"),
                 max(self.value_dim, 1), default,

@@ -10,7 +10,10 @@ import jax
 import jax.numpy as jnp
 
 from torcheasyrec_tpu.datasets.utils import Batch
-from torcheasyrec_tpu.losses import binary_cross_entropy
+from torcheasyrec_tpu.losses import (
+    binary_cross_entropy,
+    softmax_cross_entropy,
+)
 from torcheasyrec_tpu.models.rank_model import RankModel
 from torcheasyrec_tpu.modules import module as M
 from torcheasyrec_tpu.modules.mlp import mlp_from_config
@@ -79,11 +82,9 @@ class RocketLaunching(RankModel):
         def _ce(logits):
             if logits.ndim == 2 and logits.shape[-1] > 1:
                 # num_class >= 2: softmax CE over class logits
-                logp = jax.nn.log_softmax(logits.astype(jnp.float32))
-                idx = label.astype(jnp.int32)
-                return -jnp.take_along_axis(
-                    logp, idx[:, None], axis=1
-                )[:, 0]
+                return softmax_cross_entropy(logits, label)
+            if logits.ndim == 2:
+                logits = logits[:, 0]  # [B,1] -> [B] (bce broadcasts!)
             return binary_cross_entropy(logits, label)
 
         losses["bce_booster"] = self._reduce(

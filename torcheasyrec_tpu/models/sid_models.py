@@ -46,11 +46,12 @@ class UniqueRatio(Metric):
 
 class RelativeL1(Metric):
     """Mean symmetric relative-L1 reconstruction error
-    |t - p| / (max(|t|, |p|) + eps) (reference metrics/relative_l1.py:
-    bounded, 0 = exact; element-count-weighted mean)."""
+    |t - p| / (max(|t|, |p|) + epsilon) (reference
+    metrics/relative_l1.py: bounded, 0 = exact; element-count-weighted
+    mean; epsilon default 1e-4 matches the reference)."""
 
-    def __init__(self, eps: float = 1e-8, **kw):
-        self.eps = eps
+    def __init__(self, epsilon: float = 1e-4, **kw):
+        self.eps = epsilon
         self.reset()
 
     def reset(self):
@@ -68,7 +69,28 @@ class RelativeL1(Metric):
         return self._sum / max(self._n, 1)
 
 
-class SidRqvae(BaseModel):
+class _SidMetricsMixin:
+    """Shared SID metrics: code diversity + reconstruction error."""
+
+    def init_metrics(self):
+        return [
+            {"name": "unique_ratio", "metric": UniqueRatio(),
+             "config": {}},
+            {"name": "rel_loss", "metric": RelativeL1(), "config": {}},
+        ]
+
+    def update_metrics(self, metrics, predictions, batch: Batch) -> None:
+        for m in metrics:
+            if m["name"] == "rel_loss":
+                m["metric"].update(
+                    np.asarray(predictions["recon"]),
+                    np.asarray(predictions["__x"]),
+                )
+            else:
+                m["metric"].update(np.asarray(predictions["codes"]))
+
+
+class SidRqvae(_SidMetricsMixin, BaseModel):
     def __init__(self, model_config, features, labels, sample_weights=None,
                  **kwargs) -> None:
         super().__init__(model_config, features, labels, sample_weights,
@@ -192,23 +214,6 @@ class SidRqvae(BaseModel):
                 losses["contrastive_loss"] = jnp.mean(per)
         return losses
 
-    def init_metrics(self):
-        return [
-            {"name": "unique_ratio", "metric": UniqueRatio(),
-             "config": {}},
-            {"name": "rel_loss", "metric": RelativeL1(), "config": {}},
-        ]
-
-    def update_metrics(self, metrics, predictions, batch: Batch) -> None:
-        for m in metrics:
-            if m["name"] == "rel_loss":
-                m["metric"].update(
-                    np.asarray(predictions["recon"]),
-                    np.asarray(predictions["__x"]),
-                )
-            else:
-                m["metric"].update(np.asarray(predictions["codes"]))
-
 
 def _lloyd_kmeans(x: np.ndarray, k: int, iters: int = 20, seed: int = 0):
     try:
@@ -242,7 +247,7 @@ def _lloyd_kmeans(x: np.ndarray, k: int, iters: int = 20, seed: int = 0):
     return centroids
 
 
-class SidRqkmeans(BaseModel):
+class SidRqkmeans(_SidMetricsMixin, BaseModel):
     """Accumulates encoder-free item vectors during 'training'; fits
     per-level k-means codebooks at on_train_end."""
 

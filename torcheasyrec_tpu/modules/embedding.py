@@ -385,8 +385,9 @@ class EmbeddingGroup(M.Module):
         return out
 
     def group_names(self):
-        """Feature-group names in config order (reference
-        embedding.py group_names())."""
+        """NON-sequence feature-group names in config order. (Narrower
+        than the reference's group_names(), which also lists sequence
+        groups; callers here use it to resolve the main input group.)"""
         return list(self._group_slots.keys())
 
     def has_group(self, group_name: str) -> bool:

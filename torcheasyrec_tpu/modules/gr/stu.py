@@ -129,6 +129,7 @@ class STULayer(M.Module):
         cache: Dict[str, jnp.ndarray],
         ctx: M.Context,
         scaling_seqlen: int = -1,
+        num_targets=None,
     ):
         """Incremental decode: only the Ld new tokens' q/k/v are
         computed; keys/values are scattered into the cache at
@@ -158,6 +159,7 @@ class STULayer(M.Module):
             q, new_cache["k"].astype(q.dtype),
             new_cache["v"].astype(q.dtype), lengths,
             alpha=self.alpha,
+            num_targets=num_targets,
             max_attn_len=self.max_attn_len,
             contextual_seq_len=self.contextual_seq_len,
             scaling_seqlen=scaling_seqlen,
@@ -203,14 +205,14 @@ class STUStack(M.Module):
         ]
 
     def cached_forward(self, params, x_new, lengths, caches, ctx,
-                       scaling_seqlen: int = -1):
+                       scaling_seqlen: int = -1, num_targets=None):
         """Incremental decode through every layer, threading one KV
         cache per layer. Returns (y_new, new_caches)."""
         new_caches = []
         for i in range(self.num_layers):
             x_new, c = self.layer.cached_forward(
                 params[f"layer_{i}"], x_new, lengths, caches[i], ctx,
-                scaling_seqlen,
+                scaling_seqlen, num_targets=num_targets,
             )
             new_caches.append(c)
         return x_new, new_caches

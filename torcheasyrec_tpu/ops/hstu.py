@@ -32,8 +32,11 @@ def valid_attn_mask(
     min_full_attn_seq_len: int = 0,
     sla_k1: int = 0,
     sla_k2: int = 0,
+    row_pos: Optional[jnp.ndarray] = None,  # [B, R] row subset
 ) -> jnp.ndarray:
-    """[B, N, N] bool mask (reference pt_hstu_attention.py:23-75).
+    """[B, N, N] bool mask (reference pt_hstu_attention.py:23-75), or
+    [B, R, N] when ``row_pos`` selects a row subset (the cached/delta
+    path computes only its Ld rows instead of the full N x N mask).
 
     When sla_k1 or sla_k2 > 0, Semi-Local Attention REPLACES the
     standard causal mask (reference hstu_attention_utils.py
@@ -41,71 +44,59 @@ def valid_attn_mask(
     prefix [0, min(eff_k2, pos+1)) plus the local causal window
     [max(eff_k2, pos - k1 + 1), pos + 1) where
     eff_k2 = max(sla_k2, contextual_seq_len); target rows attend to
-    all history and no other targets.
+    all history only.
     """
     b = lengths.shape[0]
+    if row_pos is None:
+        rows = jnp.arange(n, dtype=jnp.int32)[None, :, None]  # [1, N, 1]
+    else:
+        rows = row_pos.astype(jnp.int32)[:, :, None]  # [B, R, 1]
+    cols = jnp.arange(n, dtype=jnp.int32)[None, None, :]  # [1, 1, N]
+    len_b = lengths.astype(jnp.int32).reshape(b, 1, 1)
+    col_valid = cols < len_b
+
     if sla_k1 > 0 or sla_k2 > 0:
         eff_k2 = max(sla_k2, contextual_seq_len)
-        r = jnp.arange(n, dtype=jnp.int32)[None, :, None]  # [1, N, 1]
-        c = jnp.arange(n, dtype=jnp.int32)[None, None, :]  # [1, 1, N]
         t = (
             num_targets.astype(jnp.int32).reshape(b, 1, 1)
             if num_targets is not None
             else jnp.zeros((b, 1, 1), jnp.int32)
         )
-        h_bound = jnp.maximum(lengths.astype(jnp.int32).reshape(b, 1, 1) - t, 0)
-        hist = (c < jnp.minimum(eff_k2, r + 1)) | (
-            (c >= jnp.maximum(eff_k2, r - sla_k1 + 1)) & (c <= r)
+        h_bound = jnp.maximum(len_b - t, 0)
+        hist = (cols < jnp.minimum(eff_k2, rows + 1)) | (
+            (cols >= jnp.maximum(eff_k2, rows - sla_k1 + 1))
+            & (cols <= rows)
         )
-        tgt = c < h_bound
-        mask = jnp.where(r < h_bound, hist, tgt)
-        col_valid = (
-            jnp.arange(n, dtype=jnp.int32)[None, None, :]
-            < lengths.astype(jnp.int32)[:, None, None]
-        )
-        return mask & col_valid
-    ids = jnp.arange(n, dtype=jnp.int32)[None, :]  # [1, N]
-    max_ids = lengths.astype(jnp.int32).reshape(b, 1, 1)
+        tgt = cols < h_bound
+        mask = jnp.where(rows < h_bound, hist, tgt)
+        return jnp.broadcast_to(mask & col_valid, (b, rows.shape[1], n))
+
+    ids_r, ids_c = rows, cols
+    max_ids = len_b
     if contextual_seq_len > 0:
-        ids = jnp.maximum(ids - contextual_seq_len + 1, 0)
+        ids_r = jnp.maximum(ids_r - contextual_seq_len + 1, 0)
+        ids_c = jnp.maximum(ids_c - contextual_seq_len + 1, 0)
         max_ids = max_ids - contextual_seq_len + 1
     if num_targets is not None:
         max_ids = max_ids - num_targets.astype(jnp.int32).reshape(b, 1, 1)
-        ids_b = jnp.broadcast_to(ids, (b, n))
-        ids_b = jnp.minimum(ids_b[:, :, None], max_ids)  # clamp per sample
-        row_ids = jnp.broadcast_to(ids_b, (b, n, n))
-        col_ids = jnp.broadcast_to(
-            jnp.swapaxes(ids_b, 1, 2), (b, n, n)
-        )
-    else:
-        base = jnp.broadcast_to(
-            jnp.arange(n, dtype=jnp.int32)[:, None], (n, n)
-        )
-        if contextual_seq_len > 0:
-            base = jnp.maximum(base - contextual_seq_len + 1, 0)
-        row_ids = base[None]
-        col_ids = jnp.swapaxes(base, 0, 1)[None]
-    row_col_dist = row_ids - col_ids
-    eye = jnp.eye(n, dtype=bool)[None]
+        ids_r = jnp.minimum(ids_r, max_ids)
+        ids_c = jnp.minimum(ids_c, max_ids)
+    dist = ids_r - ids_c
     if not causal:
-        row_col_dist = jnp.abs(row_col_dist)
-    mask = eye | (row_col_dist > 0)
+        dist = jnp.abs(dist)
+    mask = (rows == cols) | (dist > 0)
     if max_attn_len > 0:
         if min_full_attn_seq_len > 0:
             mask = mask & (
-                (row_col_dist <= max_attn_len)
-                | (row_ids >= max_ids - min_full_attn_seq_len)
+                (dist <= max_attn_len)
+                | (ids_r >= max_ids - min_full_attn_seq_len)
             )
         else:
-            mask = mask & (row_col_dist <= max_attn_len)
+            mask = mask & (dist <= max_attn_len)
     if contextual_seq_len > 0:
-        mask = mask | ((row_ids == 0) & (col_ids < max_ids))
-    # padding keys never contribute
-    col_valid = (
-        jnp.arange(n, dtype=jnp.int32)[None, None, :]
-        < lengths.astype(jnp.int32)[:, None, None]
-    )
-    return mask & col_valid
+        mask = mask | ((ids_r == 0) & (ids_c < max_ids))
+    mask = mask & col_valid
+    return jnp.broadcast_to(mask, (b, rows.shape[1], n))
 
 
 def hstu_mha(
@@ -208,17 +199,18 @@ def delta_hstu_mha(
         "bxhd,byhd->bhxy", delta_q, k, preferred_element_type=jnp.float32
     ) * alpha
     attn = jax.nn.silu(qk) / scaling_seqlen
-    # row position of delta token x = lengths - Ld + x
-    row_pos = (
+    # row position of delta token x = lengths - Ld + x; only these Ld
+    # mask rows are computed (O(Ld*N), not O(N^2) — matters for
+    # one-token serving decode)
+    row_pos = jnp.clip(
         lengths.astype(jnp.int32)[:, None] - ld
-        + jnp.arange(ld, dtype=jnp.int32)[None, :]
+        + jnp.arange(ld, dtype=jnp.int32)[None, :],
+        0, n - 1,
     )  # [B, Ld]
-    full = valid_attn_mask(
+    mask = valid_attn_mask(
         n, lengths, True, num_targets, max_attn_len, contextual_seq_len, 0,
-        sla_k1=sla_k1, sla_k2=sla_k2,
-    )  # [B, N, N]
-    rows = jnp.clip(row_pos, 0, n - 1)
-    mask = jnp.take_along_axis(full, rows[:, :, None], axis=1)  # [B, Ld, N]
+        sla_k1=sla_k1, sla_k2=sla_k2, row_pos=row_pos,
+    )  # [B, Ld, N]
     attn = attn * mask[:, None].astype(attn.dtype)
     out = jnp.einsum(
         "bhxy,byhv->bxhv", attn.astype(v.dtype), v,

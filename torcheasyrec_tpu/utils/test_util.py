@@ -43,10 +43,15 @@ def generate_mock_table(
             max_len = feat.effective_sequence_length or 10
             # honor the feature's configured step delimiter (grouped
             # sequence_feature configs often use '|', not ';')
-            delim = feat.sequence_delim or getattr(
-                feat.config, "sequence_delim", ";"
-            ) or ";"
-            lengths = rng.integers(1, max_len + 1, num_rows)
+            delim = feat.effective_sequence_delim
+            # sub-features of one grouped sequence must share step
+            # counts (the group's lengths come from the first one)
+            len_rng = np.random.default_rng(
+                zlib.crc32(
+                    f"len:{feat.sequence_name or feat.name}:{seed}".encode()
+                )
+            )
+            lengths = len_rng.integers(1, max_len + 1, num_rows)
             if feat.is_sparse:
                 n = int(feat.num_embeddings)
                 vals = [
