@@ -135,7 +135,20 @@ def _set_leaf(parent: Any, name: str, index, value_str: str) -> None:
     if isinstance(cur, bool):
         value = value_str.strip().lower() in ("true", "1", "yes")
     elif isinstance(cur, (int, float)):
-        value = type(cur)(value_str)
+        try:
+            value = type(cur)(value_str)
+        except ValueError:
+            # enum set by NAME (e.g. dataset_type: "ParquetDataset")
+            if name is not None and isinstance(parent, Message):
+                fd = parent.DESCRIPTOR.fields_by_name.get(name)
+                if fd is not None and fd.enum_type is not None:
+                    value = fd.enum_type.values_by_name[
+                        value_str.strip()
+                    ].number
+                else:
+                    raise
+            else:
+                raise
     elif isinstance(cur, str):
         value = value_str
     else:
