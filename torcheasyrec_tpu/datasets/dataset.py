@@ -22,6 +22,7 @@ from torcheasyrec_tpu.datasets.data_parser import DataParser
 from torcheasyrec_tpu.datasets.utils import (
     CKPT_ROW_IDX,
     CKPT_SOURCE_ID,
+    DATA_TIMESTAMP,
     Batch,
     BatchInfo,
 )
@@ -118,10 +119,13 @@ class BaseReader(metaclass=_reader_meta):
                     for i, name in enumerate(head.schema.names)
                 }
 
+        # resume positions apply only to the FIRST pass after restore;
+        # later epochs must replay the full source
+        resume, self._resume_state = self._resume_state, {}
         for source_id, start_row, rb in self._iter_record_batches(
             worker_id, num_workers
         ):
-            consumed = self._resume_state.get(source_id, -1)
+            consumed = resume.get(source_id, -1)
             if start_row + rb.num_rows <= consumed + 1:
                 continue
             if start_row <= consumed:
@@ -180,6 +184,7 @@ class BaseWriter(metaclass=_writer_meta):
 
 
 class BaseDataset(metaclass=_dataset_meta):
+    _reserved_columns: List[str] = []
     """Iterable over (Batch, BatchInfo)."""
 
     def __init__(
@@ -238,6 +243,14 @@ class BaseDataset(metaclass=_dataset_meta):
             ridx_np = ridx.to_numpy(zero_copy_only=False)
             for s in np.unique(sid_np):
                 info.checkpoint_info[int(s)] = int(ridx_np[sid_np == s].max())
+        if DATA_TIMESTAMP in columns:
+            ts = columns.pop(DATA_TIMESTAMP).to_numpy(zero_copy_only=False)
+            if len(ts):
+                # max consumed event time drives event-time ckpt triggers
+                info.data_timestamp = int(np.max(ts))
+        for col in self._reserved_columns:
+            if col in columns:
+                info.reserved[col] = columns[col]
         n_rows = len(next(iter(columns.values())))
         info.batch_size = n_rows
 
@@ -269,20 +282,44 @@ class PrefetchIterator:
         self._q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._done = object()
         self._err: Optional[BaseException] = None
+        self._stop = threading.Event()
 
         def _worker() -> None:
             try:
                 for item in iterable:
+                    if self._stop.is_set():
+                        return
                     if self._device_put_fn is not None:
                         item = (self._device_put_fn(item[0]), item[1])
-                    self._q.put(item)
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put(item, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
             except BaseException as e:  # noqa: BLE001
                 self._err = e
             finally:
-                self._q.put(self._done)
+                # the done sentinel must not be lost to a full queue
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(self._done, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
 
         self._t = threading.Thread(target=_worker, daemon=True)
         self._t.start()
+
+    def close(self) -> None:
+        """Stop the worker and drop queued batches (safe on an
+        abandoned iterator — the thread never blocks forever on put)."""
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
 
     def __iter__(self):
         return self
@@ -398,6 +435,7 @@ def create_dataloader(
     dataset = BaseDataset(
         data_config, features, input_path, reader, mode, sampler, debug_level
     )
+    dataset._reserved_columns = list(reserved_columns or [])
 
     def _make_iter(device_put_fn=None):
         return PrefetchIterator(

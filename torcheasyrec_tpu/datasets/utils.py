@@ -170,6 +170,8 @@ class BatchInfo:
     checkpoint_info: Dict[int, int] = dataclasses.field(default_factory=dict)
     data_timestamp: Optional[int] = None
     batch_size: int = 0
+    # reserved input columns (arrow arrays) carried to predict output
+    reserved: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
 
 # ---------------------------------------------------------------------------

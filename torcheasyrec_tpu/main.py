@@ -204,8 +204,6 @@ def make_train_step(model, tx, sparse_sched, dense_sched, compute_dtype,
             state["tables"], batch
         )
 
-        preds_out = [None]
-
         def loss_fn(dense_params, emb_out_in):
             ctx = M.Context(
                 training=True, rng=rng, compute_dtype=compute_dtype
@@ -214,13 +212,16 @@ def make_train_step(model, tx, sparse_sched, dense_sched, compute_dtype,
                 emb_out_in, batch, dense_params["embedding_group"], ctx
             )
             preds = model.predict(dense_params, grouped, batch, ctx)
-            preds_out[0] = {
+            # preds ride the has_aux channel — assigning them to a
+            # closure cell would leak linearize tracers out of
+            # value_and_grad and crash the jitted step
+            preds_small = {
                 k: v for k, v in preds.items()
                 if not isinstance(v, (list, tuple))
             }
             losses = model.loss(preds, batch)
             total = model.total_loss(losses)
-            return total, (losses, ctx.state_updates)
+            return total, (losses, ctx.state_updates, preds_small)
 
         if use_scaler:
             scale = state["scaler"]["scale"]
@@ -229,7 +230,7 @@ def make_train_step(model, tx, sparse_sched, dense_sched, compute_dtype,
                 total, aux = loss_fn(dense, emb)
                 return total * scale, (total, aux)
 
-            (_, (total, (losses, state_updates))), grads = (
+            (_, (total, (losses, state_updates, preds_small))), grads = (
                 jax.value_and_grad(
                     scaled_loss_fn, argnums=(0, 1), has_aux=True
                 )(state["dense"], emb_out)
@@ -237,9 +238,11 @@ def make_train_step(model, tx, sparse_sched, dense_sched, compute_dtype,
             inv = 1.0 / scale
             grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
         else:
-            (total, (losses, state_updates)), grads = jax.value_and_grad(
-                loss_fn, argnums=(0, 1), has_aux=True
-            )(state["dense"], emb_out)
+            (total, (losses, state_updates, preds_small)), grads = (
+                jax.value_and_grad(
+                    loss_fn, argnums=(0, 1), has_aux=True
+                )(state["dense"], emb_out)
+            )
         dgrads, emb_grads = grads
         grads_finite = jnp.bool_(True)
         if use_scaler:
@@ -277,6 +280,10 @@ def make_train_step(model, tx, sparse_sched, dense_sched, compute_dtype,
                 dgrads, state["dense_opt"], state["dense"]
             )
             mult = dense_sched["fn"](step) * apply_now.astype(jnp.float32)
+            if use_scaler:
+                # overflow microbatch: don't apply the window's update
+                mult = jnp.where(grads_finite, mult, 0.0)
+                apply_now = apply_now & grads_finite
             updates = jax.tree_util.tree_map(lambda u: u * mult, updates)
             dense = optax.apply_updates(state["dense"], updates)
             dense_opt = jax.tree_util.tree_map(
@@ -330,7 +337,7 @@ def make_train_step(model, tx, sparse_sched, dense_sched, compute_dtype,
             len(getattr(t, "train_metrics", []))
             for t in getattr(model, "_task_tower_cfgs", [])
         ):
-            metrics["__preds"] = preds_out[0]
+            metrics["__preds"] = preds_small
         return new_state, metrics, state_updates
 
     return train_step
@@ -424,6 +431,23 @@ def train_and_evaluate(
             train_config.save_checkpoints_timestamps
         ),
     )
+    grad_accum = int(train_config.gradient_accumulation_steps or 1)
+    scaler_cfg = (
+        train_config.grad_scaler
+        if train_config.HasField("grad_scaler") else None
+    )
+    # scaler / accumulation state must exist BEFORE restore or the
+    # checkpointed values are silently dropped by the graft
+    if grad_accum > 1:
+        state["accum_grads"] = jax.tree_util.tree_map(
+            jnp.zeros_like, state["dense"]
+        )
+    if scaler_cfg is not None and compute_dtype == jnp.float16:
+        state["scaler"] = {
+            "scale": jnp.float32(scaler_cfg.init_scale),
+            "good_steps": jnp.int32(0),
+        }
+
     dataloader_state: Dict[int, int] = {}
     latest = checkpoint_util.latest_checkpoint(model_dir)
     if continue_train and latest:
@@ -446,20 +470,6 @@ def train_and_evaluate(
         data_config, features, pipeline_config.eval_input_path, mode="eval"
     )
 
-    grad_accum = int(train_config.gradient_accumulation_steps or 1)
-    scaler_cfg = (
-        train_config.grad_scaler
-        if train_config.HasField("grad_scaler") else None
-    )
-    if grad_accum > 1:
-        state["accum_grads"] = jax.tree_util.tree_map(
-            jnp.zeros_like, state["dense"]
-        )
-    if scaler_cfg is not None and compute_dtype == jnp.float16:
-        state["scaler"] = {
-            "scale": jnp.float32(scaler_cfg.init_scale),
-            "good_steps": jnp.int32(0),
-        }
     train_step = jax.jit(
         make_train_step(
             model, tx, sparse_sched, dense_sched, compute_dtype,
@@ -519,6 +529,10 @@ def train_and_evaluate(
     for epoch in range(num_epochs):
         if stop:
             break
+        if epoch > 0:
+            # positions are per-pass: a checkpoint taken in epoch N
+            # must not skip epoch N's rows on resume
+            dataloader_state.clear()
         train_iter = iter(train_dl(device_put_fn=_to_device))
         while True:
             try:
@@ -602,6 +616,8 @@ def train_and_evaluate(
             if num_steps and step >= num_steps:
                 stop = True
                 break
+        if hasattr(train_iter, "close"):
+            train_iter.close()  # stop the prefetch thread on early exit
         if not stop:
             # epoch completed
             if train_config.save_checkpoints_epochs and (
@@ -673,7 +689,7 @@ def _run_eval(
     result = model.compute_metrics(metrics)
     for k, v in loss_sums.items():
         result[f"loss_{k}"] = v / max(loss_count, 1)
-    if model_dir:
+    if model_dir and jax.process_index() == 0:
         line = json.dumps(
             {"global_step": step, **{k: _jsonable(v) for k, v in
                                      result.items()}}
@@ -985,6 +1001,9 @@ def predict_checkpoint(
     for batch, info in dl():
         preds = jax.device_get(eval_step(state, batch))
         out: Dict[str, pa.Array] = {}
+        # reserved input columns first so predictions stay joinable
+        for k, col in info.reserved.items():
+            out[k] = col
         for k, v in preds.items():
             if k.startswith("__") or (out_cols and k not in out_cols):
                 continue
@@ -1068,6 +1087,8 @@ def predict(
     for batch, info in dl():
         preds = jax.device_get(eval_step(state, batch))
         out: Dict[str, pa.Array] = {}
+        for k, col in info.reserved.items():
+            out[k] = col
         for k, v in preds.items():
             if k.startswith("__") or (out_cols and k not in out_cols):
                 continue

@@ -54,11 +54,13 @@ def save_model(
 ) -> None:
     """Save a train-state pytree (+ dataloader sidecar)."""
     ckpt_dir = os.path.abspath(ckpt_dir)
-    if os.path.exists(ckpt_dir):
+    is_lead = jax.process_index() == 0
+    if is_lead and os.path.exists(ckpt_dir):
         shutil.rmtree(ckpt_dir)
+    # orbax handles multihost coordination for sharded arrays itself
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(os.path.join(ckpt_dir, "state"), state)
-    if dataloader_state is not None:
+    if dataloader_state is not None and is_lead:
         with open(os.path.join(ckpt_dir, "dataloader_state.json"), "w") as f:
             json.dump({str(k): int(v) for k, v in dataloader_state.items()}, f)
     logger.info(f"saved checkpoint to {ckpt_dir}")
@@ -80,32 +82,7 @@ def restore_model(
     with ocp.PyTreeCheckpointer() as ckptr:
         raw = ckptr.restore(os.path.join(ckpt_dir, "state"))
 
-    def _graft(target, source):
-        if isinstance(target, dict):
-            if not isinstance(source, dict):
-                return target
-            return {
-                k: _graft(v, source[k]) if k in source else v
-                for k, v in target.items()
-            }
-        if isinstance(target, (list, tuple)):
-            if not isinstance(source, (list, tuple)):
-                return target
-            out = [
-                _graft(t, s) for t, s in zip(target, source)
-            ] + list(target[len(source):])
-            return type(target)(out) if isinstance(target, tuple) else out
-        if source is None:
-            return target
-        if hasattr(target, "sharding") and getattr(
-            target.sharding, "mesh", None
-        ) is not None:
-            return jax.device_put(np.asarray(source), target.sharding)
-        if hasattr(target, "dtype"):
-            return jnp_asarray_like(source, target)
-        return source
-
-    restored = _graft(state, raw)
+    restored = _graft_tree(state, raw)
     logger.info(f"restored checkpoint from {ckpt_dir}")
     return restored
 
@@ -214,30 +191,15 @@ def state_for_save(model, state: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
-def state_after_restore(model, restored: Dict[str, Any],
-                        state: Dict[str, Any]) -> Dict[str, Any]:
-    engine = model.embedding_group.engine
-    canon = restored.pop("canonical_tables", None)
-    out = dict(state)
-    for k, v in restored.items():
-        if k in out or k in ("dense", "zch", "step", "dense_opt"):
-            out[k] = v
-    if canon:
-        tables, sparse_opt = engine.from_canonical(
-            canon, state["tables"], state.get("sparse_opt")
-        )
-        out["tables"] = tables
-        if state.get("sparse_opt") is not None and sparse_opt:
-            out["sparse_opt"] = sparse_opt
-    elif "tables" in restored:  # legacy fused-layout checkpoint
-        out["tables"] = restored["tables"]
-        if "sparse_opt" in restored:
-            out["sparse_opt"] = restored["sparse_opt"]
-    return out
-
-
 def save_train_state(ckpt_dir: str, model, state: Dict[str, Any],
                      dataloader_state=None) -> None:
+    if jax.process_count() > 1:
+        # multihost: device_get / per-table canonicalization can't read
+        # non-addressable shards — save the sharded arrays directly
+        # (orbax distributed save); restore reshards via orbax. Layout
+        # portability across plans uses single-host canonical saves.
+        save_model(ckpt_dir, state, dataloader_state)
+        return
     save_model(ckpt_dir, state_for_save(model, jax.device_get(state)),
                dataloader_state)
 
@@ -276,7 +238,27 @@ def restore_train_state(ckpt_dir: str, model,
 
 
 def _graft_tree(target, source):
+    """Graft checkpoint values onto a target pytree by structure.
+
+    Handles orbax raw-restore shapes: optax namedtuple states come back
+    as dicts (by field name) or lists — both are matched onto
+    namedtuple targets field-wise so optimizer state survives resume.
+    """
+
     def _graft(t, s):
+        if isinstance(t, tuple) and hasattr(t, "_fields"):  # namedtuple
+            if isinstance(s, dict):
+                vals = [
+                    _graft(getattr(t, f), s[f]) if f in s
+                    else getattr(t, f)
+                    for f in t._fields
+                ]
+                return type(t)(*vals)
+            if isinstance(s, (list, tuple)):
+                vals = [_graft(a, b) for a, b in zip(t, s)]
+                vals += list(t[len(s):])
+                return type(t)(*vals)
+            return t
         if isinstance(t, dict):
             if not isinstance(s, dict):
                 return t
