@@ -57,3 +57,49 @@ def test_split_hash_arrow_matches_python_path():
     # values match the pure-python FNV path
     expected = fg.hash_strings_mod(["a", "b", "c", "solo", "x", "y"], 100000)
     np.testing.assert_array_equal(data.values, expected)
+
+
+def test_seq_split_hash_matches_python():
+    """Native two-level sequence split+hash must match the python path
+    (tokens, per-step counts, per-row step counts) including empty
+    rows, trailing delimiters, and multi-value steps."""
+    import pyarrow as pa
+    from google.protobuf import text_format
+
+    from torcheasyrec_tpu import fg as fg_native
+    from torcheasyrec_tpu.features import create_features
+    from torcheasyrec_tpu.protos import feature_pb2
+    from torcheasyrec_tpu.protos.data_pb2 import FgMode
+
+    if not fg_native.available():
+        import pytest
+
+        pytest.skip("native fg unavailable")
+
+    cfg = text_format.Parse(
+        """sequence_id_feature { feature_name: 'clicks'
+           expression: 'item:clicks' hash_bucket_size: 1000
+           embedding_dim: 8 sequence_length: 8 }""",
+        feature_pb2.FeatureConfig(),
+    )
+    (feat,) = create_features([cfg], fg_mode=FgMode.FG_NORMAL)
+    data = {"clicks": pa.array([
+        "a;b;c",
+        "",                  # empty row -> 0 steps
+        "x\x1dy;z",          # multi-value step
+        "solo",
+        "p;q;",              # trailing delim -> empty last step
+    ])}
+    got = feat.parse(data, False)
+
+    # python reference path: force the fallback by disabling native
+    lib = fg_native._LIB
+    fg_native._LIB = None
+    fg_native._TRIED = True
+    try:
+        ref = feat.parse(data, False)
+    finally:
+        fg_native._LIB = lib
+    np.testing.assert_array_equal(got.seq_lengths, ref.seq_lengths)
+    np.testing.assert_array_equal(got.lengths, ref.lengths)
+    np.testing.assert_array_equal(got.values, ref.values)

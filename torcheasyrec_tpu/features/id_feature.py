@@ -36,6 +36,24 @@ class IdFeature(BaseFeature):
             feat = pc.if_else(is_empty, pa.nulls(len(feat)), feat)
             if default:
                 feat = feat.fill_null(default)
+            # native two-level split+hash fast path (pyfg sequence hot
+            # loop); empty rows -> 0 steps, matching the null handling
+            if (
+                getattr(c, "hash_bucket_size", 0)
+                and not self.is_weighted
+                and len(delim) == 1 and len(sep) == 1
+            ):
+                from torcheasyrec_tpu import fg as fg_native
+
+                fast = fg_native.seq_split_hash_arrow(
+                    feat.fill_null(""), delim, sep,
+                    int(c.hash_bucket_size),
+                )
+                if fast is not None:
+                    vals, tok_lengths, seq_lengths = fast
+                    return SequenceSparseData(
+                        self.name, vals, tok_lengths, seq_lengths
+                    )
             nulls = feat.is_null().to_numpy(zero_copy_only=False)
             steps = pc.split_pattern(feat.fill_null(""), delim)
             toks = pc.split_pattern(steps.values, sep)

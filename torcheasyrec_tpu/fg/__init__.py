@@ -189,3 +189,61 @@ def split_hash_arrow(str_array, sep: str, num_buckets: int):
             out_lengths = np.where(nulls, 0, out_lengths).astype(np.int32)
             return vals, out_lengths
     return out_vals[:total], out_lengths
+
+
+def seq_split_hash_arrow(str_array, seq_delim: str, sep: str,
+                         num_buckets: int):
+    """Two-level split (steps on seq_delim, tokens on sep) + FNV hash of
+    each token mod num_buckets, in C++ (the sequence-feature hot path).
+    Returns (values int64 [n_tokens], tok_lengths int32 [n_steps],
+    seq_lengths int32 [n]) or None when unsupported. Rows must be
+    pre-filled (no nulls); empty rows -> 0 steps; empty steps between
+    delimiters contribute 0 tokens."""
+    lib = _load()
+    if lib is None or len(seq_delim) != 1 or len(sep) != 1:
+        return None
+    import pyarrow as pa
+
+    if isinstance(str_array, pa.ChunkedArray):
+        str_array = str_array.combine_chunks()
+    if not pa.types.is_string(str_array.type) or str_array.null_count:
+        return None
+    if not hasattr(lib, "_seq_configured"):
+        lib.fg_seq_split_hash.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_char_p,
+            ctypes.c_int64, ctypes.c_char, ctypes.c_char,
+            ctypes.c_uint64, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.fg_seq_split_hash.restype = ctypes.c_int64
+        lib._seq_configured = True
+    buffers = str_array.buffers()
+    if buffers[1] is None:
+        return None
+    n = len(str_array)
+    arr_off = str_array.offset
+    offsets = np.ascontiguousarray(np.frombuffer(
+        buffers[1], dtype=np.int32, count=n + 1 + arr_off
+    )[arr_off:])
+    data = bytes(buffers[2]) if buffers[2] is not None else b""
+    cap = max(int(offsets[-1] - offsets[0]), 1)
+    out_vals = np.empty(cap, np.int64)
+    out_lengths = np.zeros(cap, np.int32)
+    out_seq_lengths = np.zeros(n, np.int32)
+    total = lib.fg_seq_split_hash(
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        data, ctypes.c_int64(n),
+        ctypes.c_char(seq_delim.encode("latin-1")),
+        ctypes.c_char(sep.encode("latin-1")),
+        ctypes.c_uint64(num_buckets),
+        out_vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(cap),
+        out_lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(cap),
+        out_seq_lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if total < 0:
+        return None
+    n_steps = int(out_seq_lengths.sum())
+    return out_vals[:total], out_lengths[:n_steps], out_seq_lengths

@@ -352,3 +352,61 @@ int fg_run_dag(FgTask* tasks, int64_t n_tasks, int threads) {
 }
 
 }  // extern "C"
+
+// Sequence id pipeline: split rows on `seq_delim` into steps, each step
+// on `sep` into tokens, FNV-hash each token mod num_buckets.
+// Outputs: token ids (out_vals), tokens-per-step (out_lengths, capacity
+// max_steps), steps-per-row (out_seq_lengths[n]). Returns total tokens,
+// -1 on capacity overflow (python fallback), -2 on step overflow.
+extern "C" int64_t fg_seq_split_hash(
+    const int32_t* offsets, const char* data, int64_t n, char seq_delim,
+    char sep, uint64_t num_buckets, int64_t* out_vals, int64_t max_tokens,
+    int32_t* out_lengths, int64_t max_steps, int32_t* out_seq_lengths) {
+  int64_t total = 0;
+  int64_t step_total = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const char* begin = data + offsets[i];
+    const char* end = data + offsets[i + 1];
+    int32_t steps = 0;
+    if (begin == end) {
+      out_seq_lengths[i] = 0;
+      continue;
+    }
+    const char* step_start = begin;
+    for (const char* p = begin; p <= end; ++p) {
+      if (p == end || *p == seq_delim) {
+        // one step: split tokens on sep
+        if (step_total >= max_steps) return -2;
+        int32_t count = 0;
+        const char* tok = step_start;
+        for (const char* q = step_start; q <= p; ++q) {
+          if (q == p || *q == sep) {
+            if (q > tok) {
+              if (total >= max_tokens) return -1;
+              uint64_t h = fnv1a(tok, q - tok);
+              out_vals[total++] =
+                  num_buckets ? static_cast<int64_t>(h % num_buckets)
+                              : static_cast<int64_t>(h);
+              ++count;
+            }
+            tok = q + 1;
+          }
+        }
+        if (count == 0) {
+          // python's split yields [''] for an empty step: hash it
+          if (total >= max_tokens) return -1;
+          uint64_t h = fnv1a(step_start, 0);
+          out_vals[total++] =
+              num_buckets ? static_cast<int64_t>(h % num_buckets)
+                          : static_cast<int64_t>(h);
+          count = 1;
+        }
+        out_lengths[step_total++] = count;
+        ++steps;
+        step_start = p + 1;
+      }
+    }
+    out_seq_lengths[i] = steps;
+  }
+  return total;
+}
