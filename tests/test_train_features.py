@@ -89,5 +89,5 @@ def test_dynamicemb_maps_to_zch(tmp_path):
     )
     eg = EmbeddingGroup(feats, list(mc.feature_groups))
     assert eg.has_zch
-    assert eg._zch_cfgs["dyn"].policy == "lfu"
-    assert eg._zch_cfgs["dyn"].size == 256
+    assert eg._zch_cfgs["dyn_emb"].policy == "lfu"  # keyed by table
+    assert eg._zch_cfgs["dyn_emb"].size == 256

@@ -180,3 +180,44 @@ def test_zch_threshold_filtering_func():
     slots, state = zch.lookup_insert(state, cfg, ids, jnp.int32(1), True)
     keys = np.asarray(state["keys"])
     assert 5 in keys and 6 not in keys
+
+
+def test_zch_shared_embedding_one_mapping():
+    """Features sharing an embedding_name share ONE collision mapping:
+    the same raw id must land on the same slot from either feature."""
+    from google.protobuf import text_format
+
+    from torcheasyrec_tpu.datasets.utils import Batch, SparseField
+    from torcheasyrec_tpu.features import create_features
+    from torcheasyrec_tpu.modules.embedding import EmbeddingGroup
+    from torcheasyrec_tpu.protos import feature_pb2, model_pb2
+
+    fcs = [
+        text_format.Parse(t, feature_pb2.FeatureConfig()) for t in [
+            """id_feature { feature_name: 'item' embedding_dim: 8
+               embedding_name: 'item_emb' zch { zch_size: 64 lfu {} } }""",
+            """id_feature { feature_name: 'click_item' embedding_dim: 8
+               embedding_name: 'item_emb' zch { zch_size: 64 lfu {} } }""",
+        ]
+    ]
+    feats = create_features(fcs)
+    mc = text_format.Parse(
+        """feature_groups { group_name: "g"
+             feature_names: ["item", "click_item"] group_type: DEEP }""",
+        model_pb2.ModelConfig(),
+    )
+    eg = EmbeddingGroup(feats, list(mc.feature_groups))
+    states = eg.init_zch_states()
+    assert set(states) == {"item_emb"}
+    batch = Batch(
+        sparse_features={
+            "item": SparseField(values=jnp.asarray([[42], [7]])),
+            "click_item": SparseField(values=jnp.asarray([[42], [99]])),
+        },
+    )
+    new_batch, _ = eg.remap_zch(batch, states, jnp.int32(1), True)
+    s_item = np.asarray(new_batch.sparse_features["item"].values)
+    s_click = np.asarray(new_batch.sparse_features["click_item"].values)
+    # raw id 42 -> same slot via both features
+    assert s_item[0, 0] == s_click[0, 0]
+    assert s_item[1, 0] != s_click[1, 0]

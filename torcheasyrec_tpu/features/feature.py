@@ -434,7 +434,9 @@ class BaseFeature(metaclass=_meta_cls):
             # id 0 reserved for default, 1 for oov (reference vocab offset)
             return len(c.vocab_list) + 2
         if len(getattr(c, "vocab_dict", {})):
-            return max(c.vocab_dict.values()) + 1
+            # +1 row for the OOV slot (default_bucketize_value, def. 1)
+            dbv = int(getattr(c, "default_bucketize_value", 0) or 1)
+            return max(max(c.vocab_dict.values()), dbv) + 1
         if getattr(c, "vocab_file", ""):
             return self._vocab_file_size()
         if len(getattr(c, "boundaries", [])):
@@ -449,8 +451,15 @@ class BaseFeature(metaclass=_meta_cls):
         raise ValueError(f"feature {self.name}: cannot infer id space size")
 
     def _vocab_file_size(self) -> int:
-        with open(self.config.vocab_file) as f:
-            return sum(1 for _ in f) + 2
+        """Max index + 1 over the parsed file (reference
+        vocab_file_size), covering the OOV slot too."""
+        table = self._load_vocab_file()
+        dbv = int(
+            getattr(self.config, "default_bucketize_value", 0) or 1
+        )
+        if not table:
+            return dbv + 1
+        return max(max(table.values()), dbv) + 1
 
     @property
     def embedding_name(self) -> str:
@@ -556,7 +565,11 @@ class BaseFeature(metaclass=_meta_cls):
 
     @property
     def is_user_side(self) -> bool:
-        return any(s == "user" for s, _ in self.side_inputs)
+        """ALL inputs must be user-side (reference feature.py:508-517) —
+        a mixed user+item feature varies per row and must not be
+        deduplicated under INPUT_TILE."""
+        sides = [s for s, _ in self.side_inputs]
+        return bool(sides) and all(s == "user" for s in sides)
 
     @property
     def is_item_side(self) -> bool:
@@ -645,20 +658,36 @@ class BaseFeature(metaclass=_meta_cls):
                 table = {t: i for i, t in enumerate(c.vocab_list)}
                 oov = default_bkt
             else:
+                # reference vocab_list property: effective vocab =
+                # [default_value, '<OOV>'] + vocab_list, so the
+                # configured default maps to 0, OOV to 1, tokens to i+2
                 table = {t: i + 2 for i, t in enumerate(c.vocab_list)}
+                dv = str(getattr(c, "default_value", "") or "")
+                if dv:
+                    table.setdefault(dv, 0)
                 oov = 1
             return np.array(
                 [table.get(str(t), oov) for t in tokens], dtype=np.int64
             )
         if len(getattr(c, "vocab_dict", {})):
             table = dict(c.vocab_dict)
-            oov = default_bkt
+            if not has_dbv:
+                # reference vocab_dict property: default_value -> 0,
+                # OOV -> default_bucketize_value (which defaults to 1)
+                dv = str(getattr(c, "default_value", "") or "")
+                if dv:
+                    table[dv] = 0
+                oov = 1
+            else:
+                oov = default_bkt
             return np.array(
                 [table.get(str(t), oov) for t in tokens], dtype=np.int64
             )
         if getattr(c, "vocab_file", ""):
             table = self._load_vocab_file()
-            oov = 1 if not default_bkt else default_bkt
+            # reference requires default_bucketize_value for vocab_file
+            # and uses raw file indices; OOV -> dbv (default 1)
+            oov = default_bkt if has_dbv else 1
             return np.array(
                 [table.get(str(t), oov) for t in tokens], dtype=np.int64
             )
@@ -679,11 +708,21 @@ class BaseFeature(metaclass=_meta_cls):
     _vocab_cache: Optional[Dict[str, int]] = None
 
     def _load_vocab_file(self) -> Dict[str, int]:
+        """'token' lines map to their 0-based position; 'token index'
+        lines to the explicit index (reference vocab_file_size,
+        feature.py:1127-1143 — raw indices, no offset)."""
         if self._vocab_cache is None:
+            table: Dict[str, int] = {}
             with open(self.config.vocab_file) as f:
-                self._vocab_cache = {
-                    line.strip(): i + 2 for i, line in enumerate(f)
-                }
+                for i, line in enumerate(f):
+                    parts = line.strip().split(maxsplit=1)
+                    if not parts or not parts[0]:
+                        continue
+                    if len(parts) > 1:
+                        table[parts[0]] = int(parts[1])
+                    else:
+                        table[parts[0]] = i
+            self._vocab_cache = table
         return self._vocab_cache
 
     def _bucketize(self, vals: np.ndarray) -> np.ndarray:
@@ -714,6 +753,12 @@ class BaseFeature(metaclass=_meta_cls):
             )
             if self.effective_sequence_length:
                 out["sequence_length"] = self.effective_sequence_length
+        if self.is_sequence and not getattr(
+            self.config, "default_value", ""
+        ):
+            # pyfg asserts a non-empty default for sequence features
+            # (reference feature.py:997-1011)
+            out["default_value"] = "0"
         exprs = self.expressions
         if len(exprs) == 1:
             out["expression"] = exprs[0]
@@ -806,6 +851,10 @@ def create_fg_json(features: List[BaseFeature]) -> Dict[str, Any]:
                     "sequence_name": f.sequence_name,
                     "sequence_length": f.sequence_length,
                     "sequence_delim": f.sequence_delim,
+                    **(
+                        {"sequence_pk": f.sequence_pk}
+                        if getattr(f, "sequence_pk", None) else {}
+                    ),
                     "features": [],
                 },
             )

@@ -128,6 +128,11 @@ class EmbeddingGroup(M.Module):
             return key, tables[table_name].dim
 
         def _build_seq_group(seq_name: str, feature_names, suffix="") -> None:
+            if seq_name in self._seq_groups:
+                raise ValueError(
+                    f"duplicate sequence group name {seq_name!r}: "
+                    "encoders would consume a different group's layout"
+                )
             q_slots, s_slots = [], []
             length_feature = None
             for fname in feature_names:
@@ -178,6 +183,11 @@ class EmbeddingGroup(M.Module):
                         f"sequence feature {fname} must be in a SEQUENCE "
                         f"group or sequence_groups (group {gname})"
                     )
+                if is_wide and not feat.is_sparse:
+                    raise ValueError(
+                        f"dense feature {fname} should not be configured "
+                        f"in wide group {gname}"
+                    )
                 if feat.is_sparse:
                     if is_wide:
                         wd = wide_embedding_dim or 4
@@ -219,7 +229,12 @@ class EmbeddingGroup(M.Module):
         # zero-collision-hash managers (reference feature.py:693-736)
         from torcheasyrec_tpu.parallel import zch as zch_mod
 
+        # keyed by embedding table: features sharing an embedding_name
+        # MUST share one collision mapping (reference _add_mc_module,
+        # embedding.py:603-622) or the same raw id would read different
+        # rows of the shared table
         self._zch_cfgs: Dict[str, zch_mod.ZchConfig] = {}
+        self._zch_features: Dict[str, str] = {}  # feature -> table key
         for f in features:
             zc = getattr(f.config, "zch", None)
             if zc is not None and f.config.HasField("zch"):
@@ -231,7 +246,9 @@ class EmbeddingGroup(M.Module):
                 decay = 1.0
                 if which in ("lru", "distance_lfu"):
                     decay = float(getattr(zc, which).decay_exponent)
-                self._zch_cfgs[f.name] = zch_mod.ZchConfig(
+                self._zch_features[f.name] = f.embedding_name
+                self._zch_cfgs.setdefault(
+                    f.embedding_name, zch_mod.ZchConfig(
                     size=int(zc.zch_size), policy=policy,
                     decay_exponent=decay,
                     eviction_interval=int(
@@ -242,7 +259,7 @@ class EmbeddingGroup(M.Module):
                         if getattr(zc, "threshold_filtering_func", "")
                         else None
                     ),
-                )
+                ))
                 continue
             # DynamicEmbedding maps onto the same zero-collision table
             # (reference dynamicemb HKV hash table, feature.proto
@@ -265,10 +282,13 @@ class EmbeddingGroup(M.Module):
                     counter_size = int(
                         fas.counter_capacity or 4 * de.max_capacity
                     )
-                self._zch_cfgs[f.name] = zch_mod.ZchConfig(
-                    size=int(de.max_capacity), policy=policy,
-                    admit_threshold=admit_threshold,
-                    counter_size=counter_size,
+                self._zch_features[f.name] = f.embedding_name
+                self._zch_cfgs.setdefault(
+                    f.embedding_name, zch_mod.ZchConfig(
+                        size=int(de.max_capacity), policy=policy,
+                        admit_threshold=admit_threshold,
+                        counter_size=counter_size,
+                    ),
                 )
 
     @property
@@ -300,15 +320,17 @@ class EmbeddingGroup(M.Module):
         new_states = dict(zch_states)
         sparse = dict(batch.sparse_features)
         seq_sparse = dict(batch.sequence_sparse_features)
-        for name, cfg in self._zch_cfgs.items():
+        for fname, table_key in self._zch_features.items():
+            cfg = self._zch_cfgs[table_key]
             for container in (sparse, seq_sparse):
-                if name in container:
-                    field = container[name]
+                if fname in container:
+                    field = container[fname]
                     slots, ns = zch_mod.lookup_insert(
-                        new_states[name], cfg, field.values, step, training
+                        new_states[table_key], cfg, field.values, step,
+                        training,
                     )
-                    new_states[name] = ns
-                    container[name] = SparseField(
+                    new_states[table_key] = ns
+                    container[fname] = SparseField(
                         values=slots, lengths=field.lengths,
                         weights=field.weights,
                     )
