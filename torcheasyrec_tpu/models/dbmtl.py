@@ -20,7 +20,7 @@ class DBMTL(MultiTaskRank):
                  **kwargs) -> None:
         super().__init__(model_config, features, labels, sample_weights,
                          **kwargs)
-        in_dim = self.embedding_group.group_total_dim("all")
+        in_dim = self.embedding_group.group_total_dim(self._main_group())
         mc = self._model_config
         self.masknet = None
         self.bottom_mlp = None
@@ -103,7 +103,7 @@ class DBMTL(MultiTaskRank):
         return params
 
     def predict(self, params, grouped, batch, ctx) -> Dict[str, jnp.ndarray]:
-        x = grouped["all"]
+        x = grouped[self._main_group()]
         if self.masknet is not None:
             x = self.masknet(params["masknet"], x, ctx)
         if self.bottom_mlp is not None:

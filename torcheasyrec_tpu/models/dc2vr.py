@@ -22,7 +22,7 @@ class DC2VR(MultiTaskRank):
         super().__init__(model_config, features, labels, sample_weights,
                          **kwargs)
         mc = self._model_config
-        in_dim = self.embedding_group.group_total_dim("all")
+        in_dim = self.embedding_group.group_total_dim(self._main_group())
         self.bottom_mlp = (
             mlp_from_config(in_dim, config_to_kwargs(mc.bottom_mlp))
             if mc.HasField("bottom_mlp") else None
@@ -84,7 +84,7 @@ class DC2VR(MultiTaskRank):
         return params
 
     def predict(self, params, grouped, batch, ctx) -> Dict[str, jnp.ndarray]:
-        x = grouped["all"]
+        x = grouped[self._main_group()]
         if self.bottom_mlp is not None:
             x = self.bottom_mlp(params["bottom"], x, ctx, "bottom")
         task_inputs = (

@@ -19,7 +19,7 @@ class DCNV1(RankModel):
                  **kwargs) -> None:
         super().__init__(model_config, features, labels, sample_weights,
                          **kwargs)
-        in_dim = self.embedding_group.group_total_dim("all")
+        in_dim = self.embedding_group.group_total_dim(self._main_group())
         self.cross = Cross(in_dim, int(self._model_config.cross.cross_num))
         self.deep = mlp_from_config(
             in_dim, config_to_kwargs(self._model_config.deep)
@@ -41,7 +41,7 @@ class DCNV1(RankModel):
         }
 
     def predict(self, params, grouped, batch, ctx) -> Dict[str, jnp.ndarray]:
-        x = grouped["all"]
+        x = grouped[self._main_group()]
         xc = self.cross(params["cross"], x, ctx)
         xd = self.deep(params["deep"], x, ctx, "deep")
         h = self.final(
@@ -58,7 +58,7 @@ class DCNV2(RankModel):
                  **kwargs) -> None:
         super().__init__(model_config, features, labels, sample_weights,
                          **kwargs)
-        in_dim = self.embedding_group.group_total_dim("all")
+        in_dim = self.embedding_group.group_total_dim(self._main_group())
         self.backbone = None
         if self._model_config.HasField("backbone"):
             self.backbone = mlp_from_config(
@@ -94,7 +94,7 @@ class DCNV2(RankModel):
         return params
 
     def predict(self, params, grouped, batch, ctx) -> Dict[str, jnp.ndarray]:
-        x = grouped["all"]
+        x = grouped[self._main_group()]
         if self.backbone is not None:
             x = self.backbone(params["backbone"], x, ctx, "backbone")
         x = self.cross(params["cross"], x, ctx)

@@ -17,7 +17,7 @@ class MMoE(MultiTaskRank):
                  **kwargs) -> None:
         super().__init__(model_config, features, labels, sample_weights,
                          **kwargs)
-        in_dim = self.embedding_group.group_total_dim("all")
+        in_dim = self.embedding_group.group_total_dim(self._main_group())
         self.mmoe = MMoEModule(
             in_features=in_dim,
             expert_mlp=config_to_kwargs(self._model_config.expert_mlp),
@@ -47,7 +47,7 @@ class MMoE(MultiTaskRank):
         return params
 
     def predict(self, params, grouped, batch, ctx) -> Dict[str, jnp.ndarray]:
-        task_inputs = self.mmoe(params["mmoe"], grouped["all"], ctx)
+        task_inputs = self.mmoe(params["mmoe"], grouped[self._main_group()], ctx)
         preds = {}
         for i, (t, mlp) in enumerate(zip(self._task_tower_cfgs, self.towers)):
             h = task_inputs[i]

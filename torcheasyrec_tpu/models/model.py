@@ -74,6 +74,14 @@ class BaseModel(metaclass=_meta):
             plan=self._plan,
         )
 
+    def _main_group(self) -> str:
+        """The model's primary feature group: "all" when configured,
+        else the first group (reference group_names()[0])."""
+        names = self.embedding_group.group_names()
+        if "all" in names or not names:
+            return "all"
+        return names[0]
+
     def group_dim(self, name: str) -> int:
         return self.embedding_group.group_total_dim(name)
 

@@ -155,7 +155,7 @@ class SimpleMultiTask(MultiTaskRank):
                  **kwargs) -> None:
         super().__init__(model_config, features, labels, sample_weights,
                          **kwargs)
-        in_dim = self.embedding_group.group_total_dim("all")
+        in_dim = self.embedding_group.group_total_dim(self._main_group())
         self.towers = []
         for t in self._task_tower_cfgs:
             mlp = (
@@ -166,7 +166,7 @@ class SimpleMultiTask(MultiTaskRank):
 
     def init_dense(self, key: jax.Array) -> M.Params:
         params = {"towers": [], "outputs": []}
-        in_dim = self.embedding_group.group_total_dim("all")
+        in_dim = self.embedding_group.group_total_dim(self._main_group())
         for t, mlp in zip(self._task_tower_cfgs, self.towers):
             key, k1, k2 = jax.random.split(key, 3)
             params["towers"].append(mlp.init(k1) if mlp else {})
@@ -177,7 +177,7 @@ class SimpleMultiTask(MultiTaskRank):
         return params
 
     def predict(self, params, grouped, batch, ctx) -> Dict[str, jnp.ndarray]:
-        x = grouped["all"]
+        x = grouped[self._main_group()]
         preds = {}
         for i, (t, mlp) in enumerate(zip(self._task_tower_cfgs, self.towers)):
             h = mlp(params["towers"][i], x, ctx, f"towers.{i}") if mlp else x

@@ -18,7 +18,7 @@ class PLE(MultiTaskRank):
                  **kwargs) -> None:
         super().__init__(model_config, features, labels, sample_weights,
                          **kwargs)
-        in_dim = self.embedding_group.group_total_dim("all")
+        in_dim = self.embedding_group.group_total_dim(self._main_group())
         num_task = len(self._task_tower_cfgs)
         self.extraction_nets = []
         task_dims = [in_dim] * num_task
@@ -63,7 +63,7 @@ class PLE(MultiTaskRank):
         return params
 
     def predict(self, params, grouped, batch, ctx) -> Dict[str, jnp.ndarray]:
-        x = grouped["all"]
+        x = grouped[self._main_group()]
         task_inputs = [x] * len(self._task_tower_cfgs)
         share = x
         for i, net in enumerate(self.extraction_nets):

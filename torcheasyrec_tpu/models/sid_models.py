@@ -97,7 +97,7 @@ class SidRqvae(_SidMetricsMixin, BaseModel):
                          **kwargs)
         self._build_embedding_group()
         mc = self._model_config
-        in_dim = self.embedding_group.group_total_dim("all")
+        in_dim = self.embedding_group.group_total_dim(self._main_group())
         self.embed_dim = int(mc.embed_dim or 64)
         hidden = list(mc.hidden_dims) or [max(in_dim // 2, self.embed_dim)]
         self.encoder = MLP(in_dim, hidden + [self.embed_dim],
@@ -147,7 +147,7 @@ class SidRqvae(_SidMetricsMixin, BaseModel):
         }
 
     def predict(self, params, grouped, batch, ctx) -> Dict[str, jnp.ndarray]:
-        x = grouped["all"].astype(jnp.float32)
+        x = grouped[self._main_group()].astype(jnp.float32)
         z = self.encoder(params["encoder"], x, ctx, "encoder")
         zq, codes, levels = self.rq(params["rq"], z, ctx)
         recon = self.decoder(params["decoder"], zq, ctx, "decoder")
@@ -262,7 +262,7 @@ class SidRqkmeans(_SidMetricsMixin, BaseModel):
         self._sample_cap = int(mc.train_sample_size or 0) or 200_000
         self._buffer: List[np.ndarray] = []
         self._buffered = 0
-        self._dim = self.embedding_group.group_total_dim("all")
+        self._dim = self.embedding_group.group_total_dim(self._main_group())
         self.rq = ResidualQuantizer(
             self._dim, self._codebooks,
             normalize_residuals=self._normalize,
@@ -272,7 +272,7 @@ class SidRqkmeans(_SidMetricsMixin, BaseModel):
         return {"rq": self.rq.init(key)}
 
     def predict(self, params, grouped, batch, ctx) -> Dict[str, jnp.ndarray]:
-        x = grouped["all"].astype(jnp.float32)
+        x = grouped[self._main_group()].astype(jnp.float32)
         zq, codes, levels = self.rq(params["rq"], x, ctx)
         if ctx.training and self._buffered < self._sample_cap:
             pass  # buffering happens host-side in collect()
