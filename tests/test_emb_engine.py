@@ -332,3 +332,76 @@ def test_table_row_wise_matches_single_device():
             multi.extract_table(nt2, name),
             rtol=1e-5, atol=1e-6,
         )
+
+
+def _varied_batch(step, b=16, skew=False):
+    """Per-step batches with fresh ids; skew concentrates every id in
+    one shard's row range to force a2a bucket overflow."""
+    rng = np.random.default_rng(1000 + step)
+    hi_a = 13 if skew else 100   # all ids -> shard 0 of the 100-row table
+    lengths = rng.integers(0, 3, size=b).astype(np.int32)
+    n = int(lengths.sum())
+    vals = np.zeros(24, np.int64)
+    vals[:n] = rng.integers(0, hi_a, size=n)
+    sparse = {
+        "f_a": SparseField(values=jnp.asarray(vals),
+                           lengths=jnp.asarray(lengths)),
+        "f_b": SparseField(values=jnp.asarray(
+            rng.integers(0, 7 if skew else 50, size=(b, 2)))),
+        "f_c": SparseField(values=jnp.asarray(
+            rng.integers(0, 4 if skew else 30, size=(b, 1)))),
+    }
+    seq = {
+        "f_s": SparseField(
+            values=jnp.asarray(rng.integers(0, hi_a, size=(b, 4))),
+            lengths=jnp.asarray(rng.integers(0, 5, size=b).astype(np.int32)),
+        )
+    }
+    return sparse, seq
+
+
+@pytest.mark.parametrize("mode,capacity,skew", [
+    ("allgather", "2.0", False),
+    ("a2a", "8.0", False),        # capacity clamps to N -> never drops
+    ("auto", "2.0", False),       # a2a fast path
+    ("auto", "0.01", False),      # every bucket overflows -> dense fallback
+    ("auto", "2.0", True),        # id skew -> runtime overflow fallback
+])
+@pytest.mark.parametrize("sharding", [ROW_WISE, TABLE_WISE,
+                                      "table_row_wise"])
+def test_exchange_modes_multi_step(monkeypatch, mode, capacity, skew,
+                                   sharding):
+    """3 training steps with DIFFERENT ids each step: every exchange
+    mode must match the single-device oracle for lookups AND updated
+    tables (incl. sequence lookups and jagged pooled features)."""
+    monkeypatch.setenv("TZREC_EMB_EXCHANGE", mode)
+    monkeypatch.setenv("TZREC_EMB_A2A_CAPACITY", capacity)
+    mesh = create_mesh()
+    opt = SparseOptimizer("rowwise_adagrad", {"lr": 0.05})
+    single = _mk_engine(optimizer=opt, sharding=sharding)
+    multi = _mk_engine(mesh=mesh, optimizer=opt, sharding=sharding)
+    assert multi._exchange_mode == mode
+
+    t1 = single.init(jax.random.key(42))
+    t2 = multi.init(jax.random.key(42))
+    s1 = single.init_opt_state()
+    s2 = multi.init_opt_state()
+    look2 = jax.jit(lambda t, s, q: multi.lookup(t, s, q))
+    upd2 = jax.jit(lambda t, s, r, g: multi.update(t, s, r, g,
+                                                   jnp.float32(1.0)))
+    for step in range(3):
+        sparse, seq = _varied_batch(step, skew=skew)
+        o1, r1 = single.lookup(t1, sparse, seq)
+        o2, r2 = look2(t2, sparse, seq)
+        for k in o1:
+            np.testing.assert_allclose(o1[k], o2[k], rtol=1e-5,
+                                       atol=1e-6, err_msg=f"step{step}:{k}")
+        grads = {k: (jnp.ones_like(v) * (0.3 + 0.1 * step)) for k, v in
+                 o1.items()}
+        t1, s1 = single.update(t1, s1, r1, grads, jnp.float32(1.0))
+        t2, s2 = upd2(t2, s2, r2, grads)
+    for name in ("t_a", "t_b", "t_c"):
+        np.testing.assert_allclose(
+            single.extract_table(t1, name), multi.extract_table(t2, name),
+            rtol=1e-5, atol=1e-6, err_msg=name,
+        )

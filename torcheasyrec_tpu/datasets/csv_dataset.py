@@ -88,8 +88,12 @@ class CsvReader(BaseReader):
     def _iter_record_batches(
         self, worker_id: int, num_workers: int
     ) -> Iterator[Tuple[int, int, pa.RecordBatch]]:
+        # whole-file shards when possible, else interleaved record
+        # batches (parse cost is duplicated but rows stay disjoint)
+        by_file = num_workers <= 1 or len(self._paths) >= num_workers
+        rb_counter = 0
         for source_id, path in enumerate(self._paths):
-            if source_id % num_workers != worker_id:
+            if by_file and source_id % num_workers != worker_id:
                 continue
             ro, po, co = self._read_opts()
             row = 0
@@ -99,6 +103,12 @@ class CsvReader(BaseReader):
                 for rb in reader:
                     if rb.num_rows == 0:
                         continue
+                    if not by_file:
+                        take = rb_counter % num_workers == worker_id
+                        rb_counter += 1
+                        if not take:
+                            row += rb.num_rows
+                            continue
                     yield source_id, row, rb
                     row += rb.num_rows
 

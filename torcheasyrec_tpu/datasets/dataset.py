@@ -196,6 +196,8 @@ class BaseDataset(metaclass=_dataset_meta):
         mode: str = "train",
         sampler: Optional[Any] = None,
         debug_level: int = 0,
+        worker_id: int = 0,
+        num_workers: int = 1,
     ) -> None:
         self._data_config = data_config
         self._features = features
@@ -203,6 +205,11 @@ class BaseDataset(metaclass=_dataset_meta):
         self._reader = reader
         self._mode = mode
         self._sampler = sampler
+        # process-level input shard (reference slices per rank/worker,
+        # tzrec/datasets/dataset.py:799-814): each jax process reads a
+        # disjoint slice so multi-host training never duplicates rows
+        self._worker_id = worker_id
+        self._num_workers = num_workers
         import os as _os
 
         self._parser = DataParser(
@@ -228,7 +235,9 @@ class BaseDataset(metaclass=_dataset_meta):
     def __iter__(self) -> Iterator[Tuple[Batch, BatchInfo]]:
         if self._sampler is not None:
             self._sampler.init()
-        for columns in self._reader.to_batches():
+        for columns in self._reader.to_batches(
+            worker_id=self._worker_id, num_workers=self._num_workers
+        ):
             yield self._build_batch(columns)
 
     def _build_batch(
@@ -382,6 +391,8 @@ def create_dataloader(
     debug_level: int = 0,
     resume_state: Optional[Dict[int, int]] = None,
     prefetch: int = 4,
+    worker_id: Optional[int] = None,
+    num_workers: Optional[int] = None,
 ):
     """Build the (prefetching) dataset iterator factory.
 
@@ -432,8 +443,17 @@ def create_dataloader(
     if resume_state:
         reader.load_state(resume_state)
 
+    # default input shard = this jax process (multi-host: disjoint rows
+    # per host; single-process: whole input)
+    if worker_id is None or num_workers is None:
+        import jax
+
+        worker_id = jax.process_index()
+        num_workers = jax.process_count()
+
     dataset = BaseDataset(
-        data_config, features, input_path, reader, mode, sampler, debug_level
+        data_config, features, input_path, reader, mode, sampler, debug_level,
+        worker_id=worker_id, num_workers=num_workers,
     )
     dataset._reserved_columns = list(reserved_columns or [])
 

@@ -60,8 +60,14 @@ class ParquetReader(BaseReader):
         cols = None
         if self._selected_cols:
             cols = [c for c in self._selected_cols if c in schema_names]
+        # shard granularity (reference tzrec/datasets/utils.py:726-914
+        # slices per rank at file OR row level): whole files when there
+        # are enough of them, else interleaved row groups so every
+        # worker still gets a disjoint non-empty slice
+        by_file = num_workers <= 1 or len(self._paths) >= num_workers
+        rg_counter = 0
         for source_id, path in enumerate(self._paths):
-            if source_id % num_workers != worker_id:
+            if by_file and source_id % num_workers != worker_id:
                 continue
             pf = pq.ParquetFile(path)
             # row-group-aware resume seek (reference parquet_dataset.py:58-72)
@@ -69,6 +75,12 @@ class ParquetReader(BaseReader):
             row = 0
             for rg in range(pf.num_row_groups):
                 rg_rows = pf.metadata.row_group(rg).num_rows
+                if not by_file:
+                    take = rg_counter % num_workers == worker_id
+                    rg_counter += 1
+                    if not take:
+                        row += rg_rows
+                        continue
                 if row + rg_rows <= consumed + 1:
                     row += rg_rows
                     continue

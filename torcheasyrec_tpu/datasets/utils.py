@@ -51,11 +51,15 @@ class SparseField:
     values: int64/int32 ids; [B, L] when fixed-length, [N_pad] when jagged.
     lengths: None (fixed) or int32 [B] with true per-row counts.
     weights: optional float32, same shape as values.
+    segments: optional precomputed int32 segment ids [N_pad] for jagged
+        values (multi-host batches, where per-host padding gaps make
+        cumulative-length recovery wrong — utils/multihost.py).
     """
 
     values: Any
     lengths: Optional[Any] = None
     weights: Optional[Any] = None
+    segments: Optional[Any] = None
 
     @property
     def is_fixed(self) -> bool:
@@ -68,7 +72,7 @@ class SparseField:
         return self.lengths.shape[0]
 
     def tree_flatten(self):
-        return (self.values, self.lengths, self.weights), None
+        return (self.values, self.lengths, self.weights, self.segments), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):

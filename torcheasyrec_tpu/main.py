@@ -524,7 +524,17 @@ def train_and_evaluate(
             return _shard_batch(b, mesh)
         return jax.device_put(b)
 
-    equalize_data = jax.process_count() > 1
+    # multi-process SPMD: batches stay host-side in the prefetch thread;
+    # the main loop runs ONE dim-sync collective per step (shape
+    # equalization + stop-together + event-time quorum) and assembles
+    # the global batch. Single-process keeps the fully overlapped path.
+    multi_process = jax.process_count() > 1
+    if multi_process and delta_dumper is not None:
+        logger.warning(
+            "delta embedding dump is disabled under multi-host (sharded "
+            "tables are not host-addressable); use single-host dumps"
+        )
+        delta_dumper = None
 
     for epoch in range(num_epochs):
         if stop:
@@ -533,20 +543,37 @@ def train_and_evaluate(
             # positions are per-pass: a checkpoint taken in epoch N
             # must not skip epoch N's rows on resume
             dataloader_state.clear()
-        train_iter = iter(train_dl(device_put_fn=_to_device))
+        train_iter = iter(train_dl(
+            device_put_fn=None if multi_process else _to_device
+        ))
         while True:
             try:
                 batch, info = next(train_iter)
                 have = True
             except StopIteration:
                 batch, info, have = None, None, False
-            if equalize_data:
-                from torcheasyrec_tpu.utils.dist_util import (
-                    all_workers_have_data,
-                )
+            host_batch = batch
+            if multi_process:
+                from torcheasyrec_tpu.utils import multihost as mh
 
-                if not all_workers_have_data(have):
+                all_have, _, _, min_ts, target = mh.sync_batch_dims(
+                    mh.batch_dims_vector(
+                        batch, have,
+                        info.data_timestamp if info else None,
+                    )
+                )
+                if not all_have:
+                    # stop together on uneven shards (reference
+                    # check_all_workers_data_status)
                     break
+                info.data_timestamp = min_ts  # global event-time quorum
+                padded = mh.pad_batch_to(
+                    batch, target, round_dim0_to=jax.local_device_count()
+                )
+                padded = mh.attach_global_segments(
+                    padded, jax.process_index(), jax.process_count()
+                )
+                batch = mh.make_global_batch(padded, mesh)
             elif not have:
                 break
             step_rng = jax.random.fold_in(rng, step)
@@ -560,7 +587,9 @@ def train_and_evaluate(
             step += 1
             examples += info.batch_size
             if hasattr(model, "collect_from_batch"):
-                model.collect_from_batch(batch)
+                model.collect_from_batch(
+                    host_batch if multi_process else batch
+                )
             if delta_dumper is not None:
                 delta_dumper.observe(batch)
                 delta_dumper.maybe_dump(step, state["tables"])
@@ -571,10 +600,24 @@ def train_and_evaluate(
 
             preds_for_metrics = metrics.pop("__preds", None)
             if train_metrics and preds_for_metrics is not None:
-                model.update_metrics(
-                    train_metrics, jax.device_get(preds_for_metrics),
-                    jax.device_get(batch),
-                )
+                if multi_process:
+                    from torcheasyrec_tpu.utils import multihost as mh
+
+                    # this host's true rows only; the metric sync at
+                    # compute() merges hosts
+                    local_preds = jax.tree_util.tree_map(
+                        lambda x: mh.local_rows(x, info.batch_size)
+                        if getattr(x, "ndim", 0) >= 1 else np.asarray(x),
+                        preds_for_metrics,
+                    )
+                    model.update_metrics(
+                        train_metrics, local_preds, host_batch
+                    )
+                else:
+                    model.update_metrics(
+                        train_metrics, jax.device_get(preds_for_metrics),
+                        jax.device_get(batch),
+                    )
             if step % log_every == 0:
                 m = jax.device_get(metrics)
                 lr_mult = float(
@@ -602,12 +645,9 @@ def train_and_evaluate(
             if ckpt_manager.should_save(
                 step, data_timestamp=info.data_timestamp
             ):
-                ckpt_manager.save(
-                    step,
-                    checkpoint_util.state_for_save(
-                        model, jax.device_get(state)
-                    ),
-                    dataloader_state,
+                _save_train_ckpt(
+                    ckpt_manager, step, model, state, dataloader_state,
+                    multi_process,
                 )
                 eval_result = _run_eval(
                     model, eval_step, state, eval_dl, mesh,
@@ -623,12 +663,9 @@ def train_and_evaluate(
             if train_config.save_checkpoints_epochs and (
                 (epoch + 1) % train_config.save_checkpoints_epochs == 0
             ):
-                ckpt_manager.save(
-                    step,
-                    checkpoint_util.state_for_save(
-                        model, jax.device_get(state)
-                    ),
-                    dataloader_state,
+                _save_train_ckpt(
+                    ckpt_manager, step, model, state, dataloader_state,
+                    multi_process,
                 )
                 eval_result = _run_eval(
                     model, eval_step, state, eval_dl, mesh,
@@ -646,10 +683,8 @@ def train_and_evaluate(
         state["dense"] = model.on_train_end(jax.device_get(state["dense"]))
 
     # final save + eval
-    ckpt_manager.save(
-        step,
-        checkpoint_util.state_for_save(model, jax.device_get(state)),
-        dataloader_state,
+    _save_train_ckpt(
+        ckpt_manager, step, model, state, dataloader_state, multi_process
     )
     eval_result = _run_eval(
         model, eval_step, state, eval_dl, mesh, pipeline_config, step,
@@ -660,6 +695,96 @@ def train_and_evaluate(
         tb.close()
     logger.info(f"training done at step {step}: {eval_result}")
     return eval_result
+
+
+def _save_train_ckpt(ckpt_manager, step, model, state, dataloader_state,
+                     multi_process: bool) -> None:
+    """Checkpoint save: canonical per-table layout single-host; raw
+    sharded orbax save multi-host (collective — every process calls at
+    the same step via the train-loop quorum)."""
+    if multi_process:
+        ckpt_manager.save(step, state, dataloader_state)
+    else:
+        ckpt_manager.save(
+            step,
+            checkpoint_util.state_for_save(model, jax.device_get(state)),
+            dataloader_state,
+        )
+
+
+def _sync_metrics(metrics) -> None:
+    """Collective cross-process metric-state merge before compute().
+
+    The reference reduces every torchmetrics state with dist_reduce_fx
+    (/root/reference/tzrec/metrics/recall_at_k.py:36-41); here each
+    Metric.sync() gathers/sums its host-local numpy state. Must run the
+    same number of times on every process, in the same metric order —
+    guaranteed because init_metrics() is config-driven."""
+    for m in metrics:
+        metric = m.get("metric") if isinstance(m, dict) else None
+        if metric is not None and hasattr(metric, "sync"):
+            metric.sync()
+
+
+def _run_eval_multiprocess(
+    model, eval_step, state, eval_dl, mesh, metrics, loss_sums, num_steps,
+) -> int:
+    """Multi-host SPMD eval loop.
+
+    One jitted eval step spans every host's devices, so all processes
+    must step TOGETHER. A host that runs out of rows keeps feeding its
+    last batch as a dummy (the reference's dummy-batch anti-hang,
+    /root/reference/tzrec/utils/dist_util.py:285-340) and stops updating
+    metrics; eval ends when no host has fresh rows or the step cap hits.
+    Each host updates metrics with its OWN true rows only; the caller
+    merges states via _sync_metrics. Losses from eval_step are computed
+    over the global batch (replicated scalars), so every host
+    accumulates them every step — no cross-host reduction needed.
+    Returns the number of global steps executed (== loss count)."""
+    from torcheasyrec_tpu.utils import multihost as mh
+
+    it = iter(eval_dl(device_put_fn=None))
+    last: Optional[Tuple[Any, Any]] = None
+    n_global = 0
+    while True:
+        try:
+            batch, info = next(it)
+            have = True
+        except StopIteration:
+            batch, info, have = None, None, False
+        feed = batch if have else (last[0] if last is not None else None)
+        _, any_have, all_cont, _, target = mh.sync_batch_dims(
+            mh.batch_dims_vector(
+                feed, have, None, can_continue=feed is not None
+            )
+        )
+        if not any_have or not all_cont:
+            break
+        if have:
+            last = (batch, info)
+        else:
+            batch, info = last
+        padded = mh.pad_batch_to(
+            batch, target, round_dim0_to=jax.local_device_count()
+        )
+        padded = mh.attach_global_segments(
+            padded, jax.process_index(), jax.process_count()
+        )
+        gbatch = mh.make_global_batch(padded, mesh)
+        preds, losses = eval_step(state, gbatch)
+        n_global += 1
+        for k, v in jax.device_get(losses).items():
+            loss_sums[k] = loss_sums.get(k, 0.0) + float(v)
+        if have:
+            local_preds = jax.tree_util.tree_map(
+                lambda x: mh.local_rows(x, info.batch_size)
+                if getattr(x, "ndim", 0) >= 1 else np.asarray(x),
+                preds,
+            )
+            model.update_metrics(metrics, local_preds, batch)
+        if num_steps and n_global >= num_steps:
+            break
+    return n_global
 
 
 def _run_eval(
@@ -676,16 +801,25 @@ def _run_eval(
     def _put(b):
         return _shard_batch(b, mesh) if mesh is not None else jax.device_put(b)
 
-    for batch, info in eval_dl(device_put_fn=_put):
-        preds, losses = eval_step(state, batch)
-        preds = jax.device_get(preds)
-        model.update_metrics(metrics, preds, jax.device_get(batch))
-        for k, v in jax.device_get(losses).items():
-            loss_sums[k] = loss_sums.get(k, 0.0) + float(v)
-        loss_count += 1
-        n += 1
-        if num_steps and n >= num_steps:
-            break
+    multi_process = jax.process_count() > 1
+    if multi_process:
+        n = _run_eval_multiprocess(
+            model, eval_step, state, eval_dl, mesh, metrics, loss_sums,
+            num_steps,
+        )
+        loss_count = max(n, 1)
+        _sync_metrics(metrics)
+    else:
+        for batch, info in eval_dl(device_put_fn=_put):
+            preds, losses = eval_step(state, batch)
+            preds = jax.device_get(preds)
+            model.update_metrics(metrics, preds, jax.device_get(batch))
+            for k, v in jax.device_get(losses).items():
+                loss_sums[k] = loss_sums.get(k, 0.0) + float(v)
+            loss_count += 1
+            n += 1
+            if num_steps and n >= num_steps:
+                break
     result = model.compute_metrics(metrics)
     for k, v in loss_sums.items():
         result[f"loss_{k}"] = v / max(loss_count, 1)

@@ -7,14 +7,28 @@ metrics (TrainMetricWrapper).
 
 Implementation: host-side exact accumulation (predictions are tiny
 relative to training compute; the eval loop device->host copies batch
-outputs once). Multi-host eval gathers per-host states via
-jax.experimental.multihost_utils before compute (single-process runtime
-gathers trivially).
+outputs once). Multi-host eval calls ``sync()`` before ``compute()``:
+each metric gathers (or sum-reduces) its host-local state across
+processes via multihost_utils — the counterpart of the reference's
+``dist_reduce_fx`` on every torchmetrics state
+(/root/reference/tzrec/metrics/recall_at_k.py:36-41). Single-process
+sync is a no-op.
 """
 
 from typing import Any, Dict, List, Optional
 
 import numpy as np
+
+
+def _gather_cat(arr_list: List[np.ndarray]) -> List[np.ndarray]:
+    """Concat local chunks, gather across hosts; [] stays []-safe."""
+    from torcheasyrec_tpu.utils.dist_util import gather_host_array
+
+    local = (
+        np.concatenate(arr_list) if arr_list
+        else np.zeros((0,), np.float32)
+    )
+    return [gather_host_array(local)]
 
 
 class Metric:
@@ -26,6 +40,15 @@ class Metric:
 
     def reset(self) -> None:
         raise NotImplementedError
+
+    def sync(self) -> None:
+        """Merge state across processes (no-op single-host). Collective:
+        must be called on every process at the same point, and AT MOST
+        ONCE per accumulation window — a second sync would re-gather the
+        already-global state. reset() restores the unsynced-empty
+        state. Train-metric logging therefore stays host-local; only
+        eval compute() is preceded by a sync (main._sync_metrics)."""
+        return None
 
 
 def _auc(preds: np.ndarray, labels: np.ndarray) -> float:
@@ -64,6 +87,10 @@ class AUC(Metric):
         self._preds.append(np.asarray(preds).reshape(-1))
         self._labels.append(np.asarray(labels).reshape(-1))
 
+    def sync(self) -> None:
+        self._preds = _gather_cat(self._preds)
+        self._labels = _gather_cat(self._labels)
+
     def compute(self) -> float:
         return _auc(np.concatenate(self._preds), np.concatenate(self._labels))
 
@@ -81,6 +108,14 @@ class MulticlassAUC(Metric):
     def update(self, preds, labels, **kw) -> None:
         self._preds.append(np.asarray(preds))
         self._labels.append(np.asarray(labels).reshape(-1))
+
+    def sync(self) -> None:
+        from torcheasyrec_tpu.utils.dist_util import gather_host_array
+
+        local = (np.concatenate(self._preds) if self._preds
+                 else np.zeros((0, 1), np.float32))
+        self._preds = [gather_host_array(local)]
+        self._labels = _gather_cat(self._labels)
 
     def compute(self) -> float:
         p = np.concatenate(self._preds)  # [N, C]
@@ -114,6 +149,11 @@ class GroupedAUC(Metric):
         self._labels.append(np.asarray(labels).reshape(-1))
         self._keys.append(np.asarray(grouping_key).reshape(-1))
 
+    def sync(self) -> None:
+        self._preds = _gather_cat(self._preds)
+        self._labels = _gather_cat(self._labels)
+        self._keys = _gather_cat(self._keys)
+
     def compute(self) -> float:
         p = np.concatenate(self._preds)
         y = np.concatenate(self._labels)
@@ -143,6 +183,10 @@ class XAUC(Metric):
     def update(self, preds, labels, **kw) -> None:
         self._preds.append(np.asarray(preds).reshape(-1))
         self._labels.append(np.asarray(labels).reshape(-1))
+
+    def sync(self) -> None:
+        self._preds = _gather_cat(self._preds)
+        self._labels = _gather_cat(self._labels)
 
     def compute(self) -> float:
         p = np.concatenate(self._preds)
@@ -175,6 +219,11 @@ class GroupedXAUC(Metric):
         self._preds.append(np.asarray(preds).reshape(-1))
         self._labels.append(np.asarray(labels).reshape(-1))
         self._keys.append(np.asarray(grouping_key).reshape(-1))
+
+    def sync(self) -> None:
+        self._preds = _gather_cat(self._preds)
+        self._labels = _gather_cat(self._labels)
+        self._keys = _gather_cat(self._keys)
 
     def compute(self) -> float:
         p = np.concatenate(self._preds)
@@ -217,6 +266,14 @@ class NormalizedEntropy(Metric):
         self._pos += float(y.sum())
         self._n += len(y)
 
+    def sync(self) -> None:
+        from torcheasyrec_tpu.utils.dist_util import gather_host_sum
+
+        self._ce_sum, self._pos, n = gather_host_sum(
+            self._ce_sum, self._pos, float(self._n)
+        )
+        self._n = int(n)
+
     def compute(self) -> float:
         if self._n == 0:
             return float("nan")
@@ -246,6 +303,12 @@ class RecallAtK(Metric):
         self._hit += float((rank < self.top_k).sum())
         self._n += p.shape[0]
 
+    def sync(self) -> None:
+        from torcheasyrec_tpu.utils.dist_util import gather_host_sum
+
+        self._hit, n = gather_host_sum(self._hit, float(self._n))
+        self._n = int(n)
+
     def compute(self) -> float:
         return float(self._hit / max(self._n, 1))
 
@@ -272,6 +335,12 @@ class Accuracy(Metric):
             )
         self._n += len(y)
 
+    def sync(self) -> None:
+        from torcheasyrec_tpu.utils.dist_util import gather_host_sum
+
+        self._correct, n = gather_host_sum(self._correct, float(self._n))
+        self._n = int(n)
+
     def compute(self) -> float:
         return float(self._correct / max(self._n, 1))
 
@@ -290,6 +359,12 @@ class MeanAbsoluteError(Metric):
                    np.asarray(labels).reshape(-1)).sum()
         )
         self._n += np.asarray(preds).reshape(-1).shape[0]
+
+    def sync(self) -> None:
+        from torcheasyrec_tpu.utils.dist_util import gather_host_sum
+
+        self._sum, n = gather_host_sum(self._sum, float(self._n))
+        self._n = int(n)
 
     def compute(self) -> float:
         return float(self._sum / max(self._n, 1))

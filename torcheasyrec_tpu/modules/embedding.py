@@ -332,7 +332,7 @@ class EmbeddingGroup(M.Module):
                     new_states[table_key] = ns
                     container[fname] = SparseField(
                         values=slots, lengths=field.lengths,
-                        weights=field.weights,
+                        weights=field.weights, segments=field.segments,
                     )
         new_batch = Batch(
             dense_features=batch.dense_features,

@@ -150,6 +150,16 @@ class EmbeddingEngine:
             g -= 1
         self.shards_per_host = max(g, 1)
         self.optimizer = optimizer or SparseOptimizer("adagrad", {"lr": 0.001})
+        import os as _os
+
+        # row-sharded exchange algorithm: "auto" = owner-bucketed
+        # all_to_all with an exact allgather fallback when any bucket
+        # overflows; "allgather" = always-dense path; "a2a" = pure a2a
+        # (overflow ids dropped — benchmarking only)
+        self._exchange_mode = _os.environ.get("TZREC_EMB_EXCHANGE", "auto")
+        self._a2a_capacity_factor = float(
+            _os.environ.get("TZREC_EMB_A2A_CAPACITY", "2.0")
+        )
         self._specs = {t.name: t for t in tables}
         self.lookups = list(lookups)
 
@@ -394,7 +404,13 @@ class EmbeddingEngine:
                 else:
                     n = field.values.shape[0]
                     b = field.lengths.shape[0]
-                    seg = segment_ids_from_lengths(field.lengths, n)
+                    if field.segments is not None:
+                        # multi-host: per-host packed streams carry
+                        # mid-stream padding, so the host precomputes
+                        # global segment ids (utils/multihost.py)
+                        seg = field.segments.astype(jnp.int32)
+                    else:
+                        seg = segment_ids_from_lengths(field.lengths, n)
                     v = field.values.astype(jnp.int32)
                     # guard BOTH padding (seg==b) and in-row -1 markers so
                     # the megatable offset can't alias a foreign table
@@ -480,7 +496,8 @@ class EmbeddingEngine:
 
         rows_per_shard = g.padded_rows // self.num_shards
 
-        def _shard_fn(w_loc, ids_loc):
+        def _dense_fn(w_loc, ids_loc):
+            # O(D)-redundant but skew-proof: every shard serves ALL ids
             # w_loc: [rows/D, dim]; ids_loc: [N_loc]
             my = jax.lax.axis_index(DATA_AXIS)
             all_ids = jax.lax.all_gather(ids_loc, DATA_AXIS)  # [D, N_loc]
@@ -495,12 +512,106 @@ class EmbeddingEngine:
                 r, DATA_AXIS, scatter_dimension=0, tiled=False
             )
 
+        def _a2a_fn(w_loc, ids_loc):
+            # owner-bucketed exchange (TorchRec KJT input_dist /
+            # pooled-emb output_dist, reference dist_util.py:335-376):
+            # route ids to owners, gather locally, route rows back.
+            # Per-shard bytes ~ 2*(D-1)*C*dim vs (D-1)*N_loc*dim for
+            # _dense_fn — a D/(2*alpha) reduction.
+            D = self.num_shards
+            my = jax.lax.axis_index(DATA_AXIS)
+            cap = self._a2a_capacity(ids_loc.shape[0])
+            route = self._a2a_route(ids_loc, rows_per_shard, cap)
+            order, fits, flat_idx, send_ids = route
+            recv = jax.lax.all_to_all(
+                send_ids, DATA_AXIS, split_axis=0, concat_axis=0
+            )  # [D, C]: recv[s] = ids src s routed to me
+            ok = recv >= 0
+            lrow = jnp.where(ok, recv - my * rows_per_shard, 0)
+            rows = jnp.where(ok[..., None], w_loc[lrow],
+                             jnp.zeros((), w_loc.dtype))
+            back = jax.lax.all_to_all(
+                rows, DATA_AXIS, split_axis=0, concat_axis=0
+            )  # [D, C, dim]: back[d] = rows for my ids routed to d
+            got = back.reshape(D * cap, -1)[
+                jnp.clip(flat_idx, 0, D * cap - 1)
+            ]
+            got = jnp.where(fits[:, None], got, jnp.zeros((), w_loc.dtype))
+            return (
+                jnp.zeros((ids_loc.shape[0], w_loc.shape[1]), w_loc.dtype)
+                .at[order].set(got)
+            )
+
+        mode = self._exchange_mode
+        if mode == "allgather":
+            fn = _dense_fn
+        elif mode == "a2a":
+            fn = _a2a_fn
+        else:  # auto: a2a fast path, exact dense fallback on overflow
+            def fn(w_loc, ids_loc):
+                over = self._a2a_overflow(
+                    ids_loc, rows_per_shard,
+                    self._a2a_capacity(ids_loc.shape[0]),
+                )
+                return jax.lax.cond(over, _dense_fn, _a2a_fn,
+                                    w_loc, ids_loc)
+
         return jax.shard_map(
-            _shard_fn,
+            fn,
             mesh=self.mesh,
             in_specs=(P(DATA_AXIS, None), P(DATA_AXIS)),
             out_specs=P(DATA_AXIS, None),
         )(weight, flat_ids)
+
+    # -- owner-bucketed all-to-all helpers ------------------------------
+
+    def _a2a_capacity(self, n_local: int) -> int:
+        """Static per-(src,dst) bucket capacity for n_local ids."""
+        D = self.num_shards
+        c = int(np.ceil(self._a2a_capacity_factor * n_local / D))
+        return max(1, min(c, n_local))
+
+    def _a2a_route(self, ids_loc, rows_per_shard, cap):
+        """Bucketize local ids by owning shard.
+
+        Returns (order, fits, flat_idx, send_ids[D, C]): a stable
+        owner-sort, whether each sorted id fit its bucket, its slot in
+        the flattened send buffer (OOB = dropped), and the buffer with
+        empty slots = -1.
+        """
+        D = self.num_shards
+        n = ids_loc.shape[0]
+        valid = ids_loc >= 0
+        owner = jnp.where(valid, ids_loc // rows_per_shard, D)
+        order = jnp.argsort(owner, stable=True)
+        so = owner[order]
+        sids = ids_loc[order]
+        seg_start = jnp.searchsorted(so, jnp.arange(D, dtype=so.dtype))
+        rank = (
+            jnp.arange(n, dtype=jnp.int32)
+            - seg_start[jnp.clip(so, 0, D - 1)].astype(jnp.int32)
+        )
+        fits = (rank < cap) & (so < D)
+        flat_idx = jnp.where(fits, so.astype(jnp.int32) * cap + rank,
+                             D * cap)
+        send_ids = (
+            jnp.full((D * cap,), -1, jnp.int32)
+            .at[flat_idx].set(sids.astype(jnp.int32), mode="drop")
+            .reshape(D, cap)
+        )
+        return order, fits, flat_idx, send_ids
+
+    def _a2a_overflow(self, ids_loc, rows_per_shard, cap):
+        """Uniform (psum'd) predicate: does ANY shard's bucket overflow?"""
+        D = self.num_shards
+        valid = ids_loc >= 0
+        owner = jnp.where(valid, ids_loc // rows_per_shard, 0)
+        counts = (
+            jnp.zeros((D,), jnp.int32)
+            .at[owner].add(valid.astype(jnp.int32), mode="drop")
+        )
+        over = (counts > cap).any().astype(jnp.int32)
+        return jax.lax.psum(over, DATA_AXIS) > 0
 
     # ------------------------------------------------------------------
     # backward + fused optimizer update
@@ -646,7 +757,7 @@ class EmbeddingEngine:
                 check_vma=False,
             )(weight, state, flat_ids, grads, lr)
 
-        def _rw_fn(w_loc, st_loc, ids_loc, g_loc, lr_):
+        def _rw_dense_fn(w_loc, st_loc, ids_loc, g_loc, lr_):
             my = jax.lax.axis_index(DATA_AXIS)
             all_ids = jax.lax.all_gather(ids_loc, DATA_AXIS, tiled=True)
             all_g = jax.lax.all_gather(g_loc, DATA_AXIS, tiled=True)
@@ -656,6 +767,54 @@ class EmbeddingEngine:
             return self._dedup_apply(
                 w_loc, st_loc, local, all_g, rows_per_shard, lr_
             )
+
+        def _rw_a2a_fn(w_loc, st_loc, ids_loc, g_loc, lr_):
+            # route (id, row-grad) pairs to owners: one ids a2a + one
+            # grads a2a instead of all-gathering every shard's grads
+            D = self.num_shards
+            my = jax.lax.axis_index(DATA_AXIS)
+            cap = self._a2a_capacity(ids_loc.shape[0])
+            order, fits, flat_idx, send_ids = self._a2a_route(
+                ids_loc, rows_per_shard, cap
+            )
+            dim = g_loc.shape[1]
+            sg = g_loc[order]
+            send_g = (
+                jnp.zeros((D * cap, dim), g_loc.dtype)
+                .at[flat_idx].set(
+                    jnp.where(fits[:, None], sg, 0.0), mode="drop"
+                )
+                .reshape(D, cap, dim)
+            )
+            recv_ids = jax.lax.all_to_all(
+                send_ids, DATA_AXIS, split_axis=0, concat_axis=0
+            )
+            recv_g = jax.lax.all_to_all(
+                send_g, DATA_AXIS, split_axis=0, concat_axis=0
+            )
+            local = jnp.where(
+                recv_ids >= 0, recv_ids - my * rows_per_shard, -1
+            ).reshape(-1)
+            return self._dedup_apply(
+                w_loc, st_loc, local, recv_g.reshape(-1, dim),
+                rows_per_shard, lr_,
+            )
+
+        mode = self._exchange_mode
+        if mode == "allgather":
+            _rw_fn = _rw_dense_fn
+        elif mode == "a2a":
+            _rw_fn = _rw_a2a_fn
+        else:
+            def _rw_fn(w_loc, st_loc, ids_loc, g_loc, lr_):
+                over = self._a2a_overflow(
+                    ids_loc, rows_per_shard,
+                    self._a2a_capacity(ids_loc.shape[0]),
+                )
+                return jax.lax.cond(
+                    over, _rw_dense_fn, _rw_a2a_fn,
+                    w_loc, st_loc, ids_loc, g_loc, lr_,
+                )
 
         st_specs = jax.tree_util.tree_map(
             lambda x: P(DATA_AXIS, None)

@@ -57,6 +57,12 @@ def save_model(
     is_lead = jax.process_index() == 0
     if is_lead and os.path.exists(ckpt_dir):
         shutil.rmtree(ckpt_dir)
+    if jax.process_count() > 1:
+        # barrier: no process may enter the orbax save while the lead
+        # is still clearing a stale directory
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("ckpt_cleanup:" + ckpt_dir)
     # orbax handles multihost coordination for sharded arrays itself
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(os.path.join(ckpt_dir, "state"), state)
@@ -164,6 +170,9 @@ class CheckpointManager:
 
     def _prune(self) -> None:
         if not self._keep_max:
+            return
+        if jax.process_index() != 0:
+            # lead-only: concurrent rmtree across processes races
             return
         steps = list_checkpoints(self.model_dir)
         while len(steps) > self._keep_max:

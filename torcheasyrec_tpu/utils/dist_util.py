@@ -75,6 +75,52 @@ def broadcast_host_data(data, name: str = "bcast"):
     return multihost_utils.broadcast_one_to_all(data)
 
 
+def gather_host_array(arr) -> "np.ndarray":
+    """Concatenate a per-host numpy array across processes (dim0).
+
+    Hosts may hold different dim0 sizes (metric states): sizes are
+    gathered first, arrays pad to the max, and the result trims back —
+    the reference's ``dist_reduce_fx="cat"`` metric sync
+    (/root/reference/tzrec/metrics/recall_at_k.py:36-41) for host-side
+    state.
+    """
+    import numpy as np
+
+    if jax.process_count() <= 1:
+        return np.asarray(arr)
+    from jax.experimental import multihost_utils
+
+    a = np.asarray(arr)
+    if a.ndim == 0:
+        a = a.reshape(1)
+    ns = np.asarray(
+        multihost_utils.process_allgather(
+            np.asarray([a.shape[0]], np.int64)
+        )
+    ).reshape(-1)
+    m = int(ns.max())
+    pad = np.zeros((m,) + a.shape[1:], dtype=a.dtype)
+    pad[: a.shape[0]] = a
+    g = np.asarray(multihost_utils.process_allgather(pad))  # [P, m, ...]
+    return np.concatenate([g[p, : int(ns[p])] for p in range(len(ns))])
+
+
+def gather_host_sum(*vals):
+    """Sum small per-host scalars across processes; returns a tuple."""
+    import numpy as np
+
+    if jax.process_count() <= 1:
+        return vals
+    from jax.experimental import multihost_utils
+
+    g = np.asarray(
+        multihost_utils.process_allgather(
+            np.asarray(vals, np.float64)
+        )
+    )
+    return tuple(g.sum(axis=0).tolist())
+
+
 def all_workers_have_data(has_data: bool) -> bool:
     """Cross-process has-batch check so ranks stop together on uneven
     data (reference dist_util.py:285-299 check_all_workers_data_status).
