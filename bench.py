@@ -137,10 +137,14 @@ def main() -> None:
         )
     for i, n in enumerate(CRITEO_BUCKETS):
         cols[f"cat_{i}"] = pa.array(rng.integers(0, n, BATCH_SIZE))
+    from torcheasyrec_tpu.datasets.pack import pack_and_put
+
     batch = parser.parse_to_batch(cols)
-    batch = _shard_batch(batch, mesh)
     if mesh is None:
-        batch = jax.device_put(batch)
+        # coalesced two-buffer transfer (the production single-chip path)
+        batch = pack_and_put(batch)
+    else:
+        batch = _shard_batch(batch, mesh)
 
     dense_params, tables, sparse_opt_state = _init_state(model, cfg)
     tx, dense_sched = create_dense_optimizer(
@@ -191,36 +195,40 @@ def main() -> None:
     import queue as _queue
     import threading as _threading
 
+    from torcheasyrec_tpu.datasets.pack import pack_batch
+
     n_pipe = 24
-    n_producers = 2
     all_cols = [_gen_cols(i) for i in range(n_pipe)]  # pregenerated (a
     # real reader's decode cost is measured by the parse step below)
-    q: "_queue.Queue" = _queue.Queue(maxsize=6)
 
-    def _producer(worker: int):
-        for i in range(worker, n_pipe, n_producers):
-            b = parser.parse_to_batch(all_cols[i])
-            q.put(jax.device_put(b))
-
-    threads = [
-        _threading.Thread(target=_producer, args=(w,), daemon=True)
-        for w in range(n_producers)
-    ]
+    # stage-split pipeline: ONE parse+pack thread (more threads contend
+    # on the GIL and the device-client lock and run ~3x slower), H2D +
+    # step dispatch on the main thread. Steady state = max(parse, put).
     def _pipe_round():
         nonlocal state  # thread the live state: inputs are donated
-        th = [
-            _threading.Thread(target=_producer, args=(w,), daemon=True)
-            for w in range(n_producers)
-        ]
+        q: "_queue.Queue" = _queue.Queue(maxsize=8)
+
+        def _producer():
+            for i in range(n_pipe):
+                b = parser.parse_to_batch(all_cols[i])
+                q.put(pack_batch(b) if mesh is None else b)
+
+        th = _threading.Thread(target=_producer, daemon=True)
         t0 = time.perf_counter()
-        for t in th:
-            t.start()
+        th.start()
         for _ in range(n_pipe):
-            state, m, _ = train_step(state, q.get(), step_rng)
+            p = q.get()
+            if mesh is None:
+                from torcheasyrec_tpu.datasets.pack import PackedBatch
+
+                ints, floats = jax.device_put((p.ints, p.floats))
+                b = PackedBatch(ints, floats, p.spec)
+            else:
+                b = _shard_batch(p, mesh)
+            state, m, _ = train_step(state, b, step_rng)
         jax.block_until_ready(m["total_loss"])
         return time.perf_counter() - t0
 
-    del threads
     pipe_dt = min(_pipe_round() for _ in range(2))
     pipeline_eps = BATCH_SIZE * n_pipe / pipe_dt
 

@@ -41,10 +41,11 @@ def test_parse_to_batch():
         "label": pa.array([1, 0, 1]),
     })
     assert isinstance(batch, Batch)
+    # single-valued id features ride the fixed [B, 1] fast path (no
+    # lengths array to ship H2D)
     sf = batch.sparse_features["cat_a"]
-    assert sf.values.shape[0] == bucketize_size(3)
-    np.testing.assert_array_equal(sf.values[:3], [1, 2, 3])
-    np.testing.assert_array_equal(sf.lengths, [1, 1, 1])
+    assert sf.is_fixed
+    np.testing.assert_array_equal(sf.values, [[1], [2], [3]])
 
     tf = batch.sparse_features["tags"]
     np.testing.assert_array_equal(tf.lengths, [2, 0, 1])
@@ -86,7 +87,7 @@ def test_parquet_dataloader_roundtrip(tmp_path):
     # 3 full batches + remainder of 4
     assert [info.batch_size for _, info in batches] == [32, 32, 32, 4]
     batch0, info0 = batches[0]
-    assert batch0.sparse_features["cat_a"].lengths.shape == (32,)
+    assert batch0.sparse_features["cat_a"].values.shape == (32, 1)
     # ckpt info tracks max row consumed
     assert info0.checkpoint_info == {0: 31}
     assert batches[-1][1].checkpoint_info == {0: 99}
@@ -113,7 +114,8 @@ def test_parquet_resume(tmp_path):
     batches = list(dl())
     first, _ = batches[0]
     np.testing.assert_array_equal(
-        first.sparse_features["cat_a"].values[:16], np.arange(32, 48)
+        first.sparse_features["cat_a"].values.reshape(-1)[:16],
+        np.arange(32, 48),
     )
 
 

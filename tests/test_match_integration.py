@@ -161,5 +161,5 @@ def test_sampler_appends_negatives(tmp_path):
     dl = create_dataloader(cfg.data_config, features, train, mode="train")
     batch, info = next(iter(dl()))
     # user features at B, item features at B + num_sample
-    assert batch.sparse_features["user_id"].lengths.shape[0] == 64
-    assert batch.sparse_features["item_id"].lengths.shape[0] == 64 + 32
+    assert batch.sparse_features["user_id"].batch_size == 64
+    assert batch.sparse_features["item_id"].batch_size == 64 + 32

@@ -16,6 +16,7 @@ Baseline file format (mirrors base_eval_metric.json):
 
 import argparse
 import json
+import os
 from typing import Dict
 
 from torcheasyrec_tpu.utils.logging_util import logger
@@ -37,6 +38,9 @@ def run_benchmark(
     baseline_path: str,
     edit_config_json: str = None,
 ) -> Dict[str, Dict[str, str]]:
+    import shutil
+    import tempfile
+
     from torcheasyrec_tpu import main as tzrec_main
 
     with open(baseline_path) as f:
@@ -44,11 +48,28 @@ def run_benchmark(
     report: Dict[str, Dict[str, str]] = {}
     for config_path, spec in baselines.items():
         run_cnt = int(spec.get("run_cnt", 1))
+        if spec.get("synthetic_criteo"):
+            # materialize the pinned-seed synthetic dataset the configs
+            # point at (benchmark/synthetic.py)
+            from torcheasyrec_tpu.benchmark import synthetic
+
+            synthetic.ensure_dataset(
+                os.environ.get("TZREC_BENCH_DATA", "/tmp/tzrec_bench_data")
+            )
         agg: Dict[str, float] = {}
         for i in range(run_cnt):
-            result = tzrec_main.train_and_evaluate(
-                config_path, edit_config_json=edit_config_json
-            )
+            # fresh model_dir per run: pinned labels assume
+            # from-scratch training
+            run_dir = tempfile.mkdtemp(prefix="tzrec_bench_")
+            edits = dict(json.loads(edit_config_json)
+                         if edit_config_json else {})
+            edits["model_dir"] = run_dir
+            try:
+                result = tzrec_main.train_and_evaluate(
+                    config_path, edit_config_json=json.dumps(edits)
+                )
+            finally:
+                shutil.rmtree(run_dir, ignore_errors=True)
             for k, v in result.items():
                 try:
                     agg[k] = agg.get(k, 0.0) + float(v)

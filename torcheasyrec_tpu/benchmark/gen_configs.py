@@ -1,0 +1,186 @@
+"""Emit the criteo_synth benchmark configs.
+
+Counterpart of the reference's hand-written benchmark configs
+(/root/reference/tzrec/benchmark/configs/criteo/*.config): same model
+families over the synthetic Criteo-statistics dataset
+(benchmark/synthetic.py). Run as a module to (re)generate:
+
+    python -m torcheasyrec_tpu.benchmark.gen_configs
+"""
+
+import os
+
+from torcheasyrec_tpu.benchmark.synthetic import CRITEO_BUCKETS, N_DENSE
+
+DATA_ROOT = "/tmp/tzrec_bench_data"
+TRAIN = f"{DATA_ROOT}/criteo_synth_train_262144.parquet"
+EVAL = f"{DATA_ROOT}/criteo_synth_eval_65536.parquet"
+
+CATS = [f"cat_{j}" for j in range(len(CRITEO_BUCKETS))]
+INTS = [f"int_{i}" for i in range(N_DENSE)]
+
+
+def _names(names):
+    return "".join(f'    feature_names: "{n}"\n' for n in names)
+
+
+def _header(model_name: str, labels) -> str:
+    label_lines = "".join(f'  label_fields: "{la}"\n' for la in labels)
+    feats = []
+    for j, b in enumerate(CRITEO_BUCKETS):
+        feats.append(
+            f'feature_configs {{ id_feature {{ feature_name: "cat_{j}" '
+            f"num_buckets: {b} embedding_dim: 16 }} }}"
+        )
+    for i in range(N_DENSE):
+        feats.append(
+            f'feature_configs {{ raw_feature {{ feature_name: "int_{i}" }} }}'
+        )
+    return (
+        f'train_input_path: "{TRAIN}"\n'
+        f'eval_input_path: "{EVAL}"\n'
+        f'model_dir: "/tmp/tzrec_bench_model/{model_name}"\n'
+        "train_config {\n"
+        "  sparse_optimizer { rowwise_adagrad_optimizer { lr: 0.01 }"
+        " constant_learning_rate {} }\n"
+        "  dense_optimizer { adam_optimizer { lr: 0.001 }"
+        " constant_learning_rate {} }\n"
+        "  num_epochs: 1\n"
+        "  save_checkpoints_steps: 100000\n"
+        "  log_step_count_steps: 20\n"
+        '  mixed_precision: "BF16"\n'
+        "}\n"
+        "eval_config {}\n"
+        "data_config {\n"
+        "  batch_size: 4096\n"
+        "  dataset_type: ParquetDataset\n"
+        "  fg_mode: FG_NONE\n"
+        f"{label_lines}"
+        "}\n" + "\n".join(feats) + "\n"
+    )
+
+
+_RANK_GROUPS = (
+    "  feature_groups {\n"
+    '    group_name: "wide"\n' + _names(CATS) + "    group_type: WIDE\n  }\n"
+    "  feature_groups {\n"
+    '    group_name: "fm"\n' + _names(CATS) + "    group_type: DEEP\n  }\n"
+    "  feature_groups {\n"
+    '    group_name: "deep"\n' + _names(CATS + INTS)
+    + "    group_type: DEEP\n  }\n"
+)
+
+_DLRM_GROUPS = (
+    "  feature_groups {\n"
+    '    group_name: "sparse"\n' + _names(CATS)
+    + "    group_type: DEEP\n  }\n"
+    "  feature_groups {\n"
+    '    group_name: "dense"\n' + _names(INTS) + "    group_type: DEEP\n  }\n"
+)
+
+_DEEP_GROUP = (
+    "  feature_groups {\n"
+    '    group_name: "all"\n' + _names(CATS + INTS)
+    + "    group_type: DEEP\n  }\n"
+)
+
+_TAIL_RANK = (
+    "  num_class: 1\n"
+    "  losses { binary_cross_entropy {} }\n"
+    "  metrics { auc {} }\n"
+    "  metrics { grouped_auc { grouping_key: \"cat_10\" } }\n"
+)
+
+_TASKS = """  task_towers { tower_name: "ctr" label_name: "label"
+    mlp { hidden_units: [128, 64] }
+    losses { binary_cross_entropy {} } metrics { auc {} } }
+  task_towers { tower_name: "cvr" label_name: "conversion"
+    mlp { hidden_units: [128, 64] }
+    losses { binary_cross_entropy {} } metrics { auc {} } }
+"""
+
+MODELS = {
+    "deepfm": (
+        ["label"],
+        _RANK_GROUPS
+        + "  deepfm {\n    deep { hidden_units: [512, 256, 128] }\n"
+        "    final { hidden_units: [128, 64] }\n"
+        "    wide_embedding_dim: 4\n  }\n" + _TAIL_RANK,
+    ),
+    "wide_and_deep": (
+        ["label"],
+        _RANK_GROUPS
+        + "  wide_and_deep {\n    deep { hidden_units: [512, 256, 128] }\n"
+        "    final { hidden_units: [128, 64] }\n"
+        "    wide_embedding_dim: 4\n  }\n" + _TAIL_RANK,
+    ),
+    "dlrm": (
+        ["label"],
+        _DLRM_GROUPS
+        + "  dlrm {\n    dense_mlp { hidden_units: [256, 64, 16] }\n"
+        "    final { hidden_units: [256, 128, 64] }\n  }\n" + _TAIL_RANK,
+    ),
+    "dcn_v2": (
+        ["label"],
+        _DEEP_GROUP
+        + "  dcn_v2 {\n    cross { cross_num: 3 low_rank: 64 }\n"
+        "    deep { hidden_units: [512, 256] }\n"
+        "    final { hidden_units: [128, 64] }\n  }\n" + _TAIL_RANK,
+    ),
+    "masknet": (
+        ["label"],
+        _DEEP_GROUP
+        + "  mask_net {\n    mask_net_module {\n"
+        "      n_mask_blocks: 3\n"
+        "      mask_block { hidden_dim: 256 aggregation_dim: 64 }\n"
+        "      top_mlp { hidden_units: [256, 128, 64] }\n    }\n  }\n"
+        + _TAIL_RANK,
+    ),
+    "mmoe": (
+        ["label", "conversion"],
+        _DEEP_GROUP
+        + "  mmoe {\n    expert_mlp { hidden_units: [256, 128] }\n"
+        "    num_expert: 4\n" + _TASKS + "  }\n",
+    ),
+    "ple": (
+        ["label", "conversion"],
+        _DEEP_GROUP
+        + "  ple {\n"
+        '    extraction_networks { network_name: "l1"\n'
+        "      expert_num_per_task: 2 share_num: 2\n"
+        "      task_expert_net { hidden_units: [256, 128] }\n"
+        "      share_expert_net { hidden_units: [256, 128] } }\n"
+        + _TASKS + "  }\n",
+    ),
+    "dbmtl": (
+        ["label", "conversion"],
+        _DEEP_GROUP
+        + "  dbmtl {\n    bottom_mlp { hidden_units: [512] }\n"
+        "    expert_mlp { hidden_units: [256, 128] }\n    num_expert: 4\n"
+        + _TASKS.replace(
+            'tower_name: "cvr" label_name: "conversion"',
+            'tower_name: "cvr" label_name: "conversion"\n'
+            '    relation_tower_names: "ctr"\n'
+            "    relation_mlp { hidden_units: [64] }",
+        )
+        + "  }\n",
+    ),
+}
+
+
+def main() -> None:
+    out_dir = os.path.join(os.path.dirname(__file__), "configs",
+                           "criteo_synth")
+    os.makedirs(out_dir, exist_ok=True)
+    for name, (labels, model_body) in MODELS.items():
+        txt = (
+            _header(name, labels)
+            + "model_config {\n" + model_body + "}\n"
+        )
+        with open(os.path.join(out_dir, f"{name}.config"), "w") as f:
+            f.write(txt)
+        print(f"wrote {name}.config")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,140 @@
+"""Criteo-statistics synthetic dataset with planted learnable structure.
+
+The reference's weekly benchmark trains on real ODPS-hosted datasets
+(Criteo/Taobao/KuaiRand) and compares eval metrics against pinned labels
+(/root/reference/tzrec/benchmark/benchmark.py:30-57,
+benchmark/configs/base_eval_metric.json). Those datasets are not
+reachable here, so this module generates a dataset with Criteo's SHAPE
+(26 categorical + 13 dense features) and a planted nonlinear labeling
+function, making model-quality regressions detectable: every model
+family has a pinned achievable AUC under a fixed seed.
+
+Label structure (deterministic given seed):
+- every categorical value carries a latent effect, drawn from N(0, s_j)
+  via a counter-based hash (no giant tables materialized);
+- dense features contribute linear + quadratic terms;
+- planted interactions: cat0 x cat1 cross, cat2 x dense0 modulation —
+  models that learn feature interactions (FM/cross nets) beat plain
+  linear models by a margin, which the pinned labels encode;
+- a second head ("conversion") with different coefficients is emitted
+  for multi-task models, observed only when clicked (CVR-style).
+"""
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# Criteo-Terabyte cardinalities (reference deepfm_criteo.config), capped
+# so the synthetic id space is dense enough to learn from 256k rows
+_CAP = 100_000
+CRITEO_BUCKETS: List[int] = [min(n, _CAP) for n in [
+    40000000, 39060, 17295, 7424, 20265, 3, 7122, 1543, 63, 40000000,
+    3067956, 405282, 10, 2209, 11938, 155, 4, 976, 14, 40000000, 40000000,
+    40000000, 590152, 12973, 108, 36,
+]]
+N_DENSE = 13
+
+
+def _latent(values: np.ndarray, feat_idx: int, scale: float,
+            salt: int = 0) -> np.ndarray:
+    """Deterministic per-value latent effect ~ N(0, scale) via a
+    counter-based hash (splitmix64), no table materialization."""
+    x = values.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    x ^= np.uint64(feat_idx * 2654435761 + salt * 40503 + 1)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    # two 32-bit halves -> Box-Muller normal
+    u1 = ((x >> np.uint64(32)).astype(np.float64) + 1.0) / 4294967297.0
+    u2 = (x & np.uint64(0xFFFFFFFF)).astype(np.float64) / 4294967296.0
+    return (
+        np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2) * scale
+    ).astype(np.float32)
+
+
+def generate(
+    path: str,
+    num_rows: int,
+    seed: int = 0,
+    buckets: Optional[List[int]] = None,
+    rows_per_file: int = 0,
+) -> List[str]:
+    """Write the synthetic dataset as parquet; returns file paths."""
+    buckets = buckets or CRITEO_BUCKETS
+    rng = np.random.default_rng(seed)
+    n = num_rows
+
+    cats = [
+        # zipf-ish popularity (Criteo ids are heavy-tailed): squaring a
+        # uniform concentrates mass on small ids
+        np.minimum(
+            (rng.random(n) ** 2.2 * b).astype(np.int64), b - 1
+        )
+        for b in buckets
+    ]
+    dense = [rng.normal(size=n).astype(np.float32) for _ in range(N_DENSE)]
+
+    # planted logit: per-feature scales decay so early features matter
+    logit = np.zeros(n, np.float32)
+    for j, c in enumerate(cats):
+        logit += _latent(c, j, 0.55 / (1.0 + 0.35 * j))
+    for i, x in enumerate(dense):
+        w = 0.35 / (1.0 + 0.3 * i)
+        logit += w * x + 0.12 * w * (x * x - 1.0)
+    # interactions only nonlinear models can fully exploit
+    logit += 0.8 * _latent(
+        cats[1] * np.int64(1315423911) + cats[2], 101, 1.0
+    )
+    logit += 0.6 * _latent(cats[3], 102, 1.0) * np.tanh(dense[0])
+    logit += 0.5 * np.tanh(dense[1] * dense[2])
+
+    z = (logit - logit.mean()) / max(logit.std(), 1e-6) * 1.6 - 1.1
+    p_click = 1.0 / (1.0 + np.exp(-z))
+    click = (rng.random(n) < p_click).astype(np.float32)
+
+    logit2 = np.zeros(n, np.float32)
+    for j, c in enumerate(cats[:8]):
+        logit2 += _latent(c, j, 0.5 / (1.0 + 0.3 * j), salt=7)
+    logit2 += 0.5 * np.tanh(dense[3]) + 0.4 * dense[4]
+    logit2 += 0.7 * _latent(cats[0], 103, 1.0, salt=7) * np.tanh(dense[5])
+    z2 = (logit2 - logit2.mean()) / max(logit2.std(), 1e-6) * 1.5 - 1.6
+    p_conv = 1.0 / (1.0 + np.exp(-z2))
+    conversion = click * (rng.random(n) < p_conv).astype(np.float32)
+
+    cols: Dict[str, pa.Array] = {}
+    for i, x in enumerate(dense):
+        cols[f"int_{i}"] = pa.array(x)
+    for j, c in enumerate(cats):
+        cols[f"cat_{j}"] = pa.array(c)
+    cols["label"] = pa.array(click)
+    cols["conversion"] = pa.array(conversion)
+    # grouping key for grouped metrics: user-ish id
+    cols["group_id"] = pa.array(cats[10])
+    table = pa.table(cols)
+
+    if rows_per_file and num_rows > rows_per_file:
+        os.makedirs(path, exist_ok=True)
+        paths = []
+        for k in range(0, num_rows, rows_per_file):
+            p = os.path.join(path, f"part-{k // rows_per_file:05d}.parquet")
+            pq.write_table(table.slice(k, rows_per_file), p)
+            paths.append(p)
+        return paths
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    pq.write_table(table, path)
+    return [path]
+
+
+def ensure_dataset(root: str, train_rows: int = 262144,
+                   eval_rows: int = 65536) -> Dict[str, str]:
+    """Idempotently materialize train/eval shards under ``root``."""
+    train = os.path.join(root, f"criteo_synth_train_{train_rows}.parquet")
+    evalp = os.path.join(root, f"criteo_synth_eval_{eval_rows}.parquet")
+    if not os.path.exists(train):
+        generate(train, train_rows, seed=1)
+    if not os.path.exists(evalp):
+        generate(evalp, eval_rows, seed=2)
+    return {"train": train, "eval": evalp}

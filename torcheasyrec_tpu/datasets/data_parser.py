@@ -62,6 +62,10 @@ class DataParser:
         # features are constant within a request batch; parse row 0 only
         # and tile on device after embedding
         self._input_tile = input_tile
+        # features that produced a multi-valued row at least once: their
+        # batches stay jagged forever so the traced representation is
+        # stable (flip-flopping fixed<->jagged would retrace every jit)
+        self._force_jagged: set = set()
 
     def parse(self, input_data: Dict[str, pa.Array]) -> Dict[str, Any]:
         """Run every feature's parse; returns name -> ParsedData."""
@@ -115,15 +119,24 @@ class DataParser:
                 continue
             name = feature.name
             if isinstance(data, SparseData):
-                batch.sparse_features[name] = pad_jagged_np(
-                    data.values,
-                    data.lengths,
-                    bucket=bucketize_size(len(data.values)),
-                    weights=data.weights,
-                )
+                if (
+                    name not in self._force_jagged
+                    and (data.lengths <= 1).all()
+                ):
+                    # single-valued rows: fixed [B, 1] (missing -> -1)
+                    # — no lengths array to ship, no jagged bucketing
+                    batch.sparse_features[name] = _fixed_single(data)
+                else:
+                    self._force_jagged.add(name)
+                    batch.sparse_features[name] = pad_jagged_np(
+                        data.values,
+                        data.lengths,
+                        bucket=bucketize_size(len(data.values)),
+                        weights=data.weights,
+                    )
             elif isinstance(data, DenseData):
                 batch.dense_features[name] = DenseField(
-                    values=data.values.astype(np.float32)
+                    values=data.values.astype(np.float32, copy=False)
                 )
             elif isinstance(data, SequenceSparseData):
                 batch.sequence_sparse_features[name] = _pad_sequence_sparse(
@@ -156,6 +169,27 @@ class DataParser:
         self, input_data: Dict[str, pa.Array], info: Optional[BatchInfo] = None
     ) -> Batch:
         return self.to_batch(self.parse(input_data), info)
+
+
+def _fixed_single(data: SparseData) -> SparseField:
+    """All-rows-single-valued SparseData -> fixed [B, 1] SparseField."""
+    b = int(data.lengths.shape[0])
+    if data.values.shape[0] == b:
+        # no missing rows: one int32 downcast, no scatter
+        vals = data.values.astype(np.int32, copy=False).reshape(b, 1)
+        w = (
+            data.weights.astype(np.float32, copy=False).reshape(b, 1)
+            if data.weights is not None else None
+        )
+        return SparseField(values=vals, weights=w)
+    vals = np.full((b, 1), -1, np.int32)
+    rows = np.nonzero(data.lengths)[0]
+    vals[rows, 0] = data.values.astype(np.int32, copy=False)
+    w = None
+    if data.weights is not None:
+        w = np.zeros((b, 1), np.float32)
+        w[rows, 0] = data.weights
+    return SparseField(values=vals, weights=w)
 
 
 def _pad_sequence_sparse(

@@ -279,10 +279,12 @@ class BaseDataset(metaclass=_dataset_meta):
 class PrefetchIterator:
     """Background-thread prefetch of (Batch, BatchInfo) items.
 
-    When ``device_put_fn`` is set, batches are transferred to device in
-    the prefetch thread so H2D overlaps the previous step's compute
-    (replacing the reference pipeline's copy-on-side-stream,
-    dist_util.py:266-272).
+    When ``device_put_fn`` is set, batches are transferred to device at
+    ``__next__`` on the CONSUMER thread (async dispatch — the copy still
+    overlaps the previous step's compute, replacing the reference
+    pipeline's copy-on-side-stream, dist_util.py:266-272). Running it in
+    the prefetch thread instead serializes H2D dispatch behind parsing
+    under the GIL and costs ~25%% pipeline throughput.
     """
 
     def __init__(self, iterable, prefetch: int = 4,
@@ -298,8 +300,6 @@ class PrefetchIterator:
                 for item in iterable:
                     if self._stop.is_set():
                         return
-                    if self._device_put_fn is not None:
-                        item = (self._device_put_fn(item[0]), item[1])
                     while not self._stop.is_set():
                         try:
                             self._q.put(item, timeout=0.2)
@@ -342,6 +342,8 @@ class PrefetchIterator:
             if self._err is not None:
                 raise self._err
             raise StopIteration
+        if self._device_put_fn is not None:
+            item = (self._device_put_fn(item[0]), item[1])
         return item
 
 

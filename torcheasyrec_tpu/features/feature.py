@@ -114,7 +114,11 @@ def _parse_fg_encoded_sparse(
         if weight is not None:
             weight_values = weight.values.to_numpy(zero_copy_only=False)
     elif pa.types.is_integer(feat.type):
-        if default_value is not None:
+        if feat.null_count == 0:
+            # hot path (plain non-null id column): zero-copy view
+            feat_values = feat.to_numpy(zero_copy_only=True)
+            feat_lengths = np.ones((len(feat),), np.int32)
+        elif default_value is not None:
             feat = feat.cast(pa.int64()).fill_null(default_value[0])
             feat_values = feat.to_numpy(zero_copy_only=False)
             feat_lengths = np.ones_like(feat_values, np.int32)
@@ -129,7 +133,10 @@ def _parse_fg_encoded_sparse(
         raise ValueError(
             f"{name}: unsupported fg-encoded sparse dtype {feat.type}"
         )
-    return SparseData(name, feat_values.astype(np.int64), feat_lengths, weight_values)
+    return SparseData(
+        name, feat_values.astype(np.int64, copy=False), feat_lengths,
+        weight_values,
+    )
 
 
 def _parse_fg_encoded_dense(

@@ -194,6 +194,9 @@ def make_train_step(model, tx, sparse_sched, dense_sched, compute_dtype,
     use_scaler = grad_scaler_cfg is not None and compute_dtype == jnp.float16
 
     def train_step(state, batch: Batch, rng):
+        from torcheasyrec_tpu.datasets.pack import maybe_unpack
+
+        batch = maybe_unpack(batch)
         step = state["step"]
         new_zch = state.get("zch", {})
         if model.embedding_group.has_zch:
@@ -345,6 +348,9 @@ def make_train_step(model, tx, sparse_sched, dense_sched, compute_dtype,
 
 def make_eval_step(model, compute_dtype, with_loss: bool = True):
     def eval_step(state, batch: Batch):
+        from torcheasyrec_tpu.datasets.pack import maybe_unpack
+
+        batch = maybe_unpack(batch)
         ctx = M.Context(training=False, compute_dtype=compute_dtype)
         if model.embedding_group.has_zch:
             batch, _ = model.embedding_group.remap_zch(
@@ -522,7 +528,11 @@ def train_and_evaluate(
     def _to_device(b):
         if mesh is not None:
             return _shard_batch(b, mesh)
-        return jax.device_put(b)
+        # single device: coalesce the whole pytree into two buffers —
+        # two H2D calls instead of one per leaf (datasets/pack.py)
+        from torcheasyrec_tpu.datasets.pack import pack_and_put
+
+        return pack_and_put(b)
 
     # multi-process SPMD: batches stay host-side in the prefetch thread;
     # the main loop runs ONE dim-sync collective per step (shape
@@ -553,6 +563,8 @@ def train_and_evaluate(
             except StopIteration:
                 batch, info, have = None, None, False
             host_batch = batch
+            if batch is not None and hasattr(batch, "host_batch"):
+                host_batch = batch.host_batch
             if multi_process:
                 from torcheasyrec_tpu.utils import multihost as mh
 
@@ -587,11 +599,9 @@ def train_and_evaluate(
             step += 1
             examples += info.batch_size
             if hasattr(model, "collect_from_batch"):
-                model.collect_from_batch(
-                    host_batch if multi_process else batch
-                )
+                model.collect_from_batch(host_batch)
             if delta_dumper is not None:
-                delta_dumper.observe(batch)
+                delta_dumper.observe(host_batch)
                 delta_dumper.maybe_dump(step, state["tables"])
             for sid, row in info.checkpoint_info.items():
                 dataloader_state[sid] = max(
@@ -616,7 +626,8 @@ def train_and_evaluate(
                 else:
                     model.update_metrics(
                         train_metrics, jax.device_get(preds_for_metrics),
-                        jax.device_get(batch),
+                        host_batch if host_batch is not batch
+                        else jax.device_get(batch),
                     )
             if step % log_every == 0:
                 m = jax.device_get(metrics)
@@ -799,7 +810,11 @@ def _run_eval(
     loss_count = 0
 
     def _put(b):
-        return _shard_batch(b, mesh) if mesh is not None else jax.device_put(b)
+        if mesh is not None:
+            return _shard_batch(b, mesh)
+        from torcheasyrec_tpu.datasets.pack import pack_and_put
+
+        return pack_and_put(b)
 
     multi_process = jax.process_count() > 1
     if multi_process:
@@ -813,7 +828,11 @@ def _run_eval(
         for batch, info in eval_dl(device_put_fn=_put):
             preds, losses = eval_step(state, batch)
             preds = jax.device_get(preds)
-            model.update_metrics(metrics, preds, jax.device_get(batch))
+            model.update_metrics(
+                metrics, preds,
+                batch.host_batch if hasattr(batch, "host_batch")
+                else jax.device_get(batch),
+            )
             for k, v in jax.device_get(losses).items():
                 loss_sums[k] = loss_sums.get(k, 0.0) + float(v)
             loss_count += 1
