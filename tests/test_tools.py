@@ -138,41 +138,7 @@ def test_tdm_sampler_with_generated_tree(tmp_path):
     assert len(users) == len(items_out) == len(labels)
 
 
-def test_tdm_retrieval_end_to_end(tmp_path):
-    """tdm_retrieval: tree gen -> model scoring -> layered beam search ->
-    recall. With recall_num >= n_items every item must be retrieved
-    (recall 1.0); a narrow beam exercises the child-expansion loop."""
-    from google.protobuf import text_format
-
-    from torcheasyrec_tpu.protos import pipeline_pb2
-    from torcheasyrec_tpu.tools.tdm.gen_tree import init_tree
-    from torcheasyrec_tpu.tools.tdm.retrieval import tdm_retrieval
-
-    tmp_path = str(tmp_path)
-    n_items = 32
-    tbl = pa.table({
-        "id": pa.array(np.arange(n_items, dtype=np.int64)),
-        "weight": pa.array(np.ones(n_items)),
-        "attrs": pa.array([str(i) for i in range(n_items)]),
-    })
-    items = os.path.join(tmp_path, "items.parquet")
-    pq.write_table(tbl, items)
-    tree_dir = os.path.join(tmp_path, "tree")
-    init_tree(items, tree_dir, branching=2)
-
-    rng = np.random.default_rng(0)
-    n_users = 24
-    pq.write_table(pa.table({
-        "user_id": pa.array(rng.integers(0, 16, n_users)),
-        "item_id": pa.array(rng.integers(0, n_items, n_users)),
-        "clicks": pa.array([
-            ";".join(str(x) for x in rng.integers(0, n_items, 4))
-            for _ in range(n_users)
-        ]),
-        "label": pa.array(np.ones(n_users, np.float32)),
-    }), os.path.join(tmp_path, "eval.parquet"))
-
-    cfg_text = f"""
+TDM_CONFIG = """
     train_input_path: "{tmp_path}/eval.parquet"
     eval_input_path: "{tmp_path}/eval.parquet"
     model_dir: "{tmp_path}/model"
@@ -225,6 +191,43 @@ def test_tdm_retrieval_end_to_end(tmp_path):
         losses {{ binary_cross_entropy {{}} }}
     }}
     """
+
+
+def test_tdm_retrieval_end_to_end(tmp_path):
+    """tdm_retrieval: tree gen -> model scoring -> layered beam search ->
+    recall. With recall_num >= n_items every item must be retrieved
+    (recall 1.0); a narrow beam exercises the child-expansion loop."""
+    from google.protobuf import text_format
+
+    from torcheasyrec_tpu.protos import pipeline_pb2
+    from torcheasyrec_tpu.tools.tdm.gen_tree import init_tree
+    from torcheasyrec_tpu.tools.tdm.retrieval import tdm_retrieval
+
+    tmp_path = str(tmp_path)
+    n_items = 32
+    tbl = pa.table({
+        "id": pa.array(np.arange(n_items, dtype=np.int64)),
+        "weight": pa.array(np.ones(n_items)),
+        "attrs": pa.array([str(i) for i in range(n_items)]),
+    })
+    items = os.path.join(tmp_path, "items.parquet")
+    pq.write_table(tbl, items)
+    tree_dir = os.path.join(tmp_path, "tree")
+    init_tree(items, tree_dir, branching=2)
+
+    rng = np.random.default_rng(0)
+    n_users = 24
+    pq.write_table(pa.table({
+        "user_id": pa.array(rng.integers(0, 16, n_users)),
+        "item_id": pa.array(rng.integers(0, n_items, n_users)),
+        "clicks": pa.array([
+            ";".join(str(x) for x in rng.integers(0, n_items, 4))
+            for _ in range(n_users)
+        ]),
+        "label": pa.array(np.ones(n_users, np.float32)),
+    }), os.path.join(tmp_path, "eval.parquet"))
+
+    cfg_text = TDM_CONFIG.format(tmp_path=tmp_path, tree_dir=tree_dir)
     cfg_path = os.path.join(tmp_path, "pipeline.config")
     text_format.Parse(cfg_text, pipeline_pb2.EasyRecConfig())
     with open(cfg_path, "w") as f:

@@ -924,9 +924,8 @@ def export(
 ) -> None:
     """Export = restored weights + pipeline.config + fg.json
     (reference export_util.py:126; serving loads them into the jitted
-    predict function — saved-model/StableHLO export lands with acc/)."""
-    from torcheasyrec_tpu.features.feature import create_fg_json
-
+    predict function). Match models export per-tower subdirectories;
+    TDM exports an embedding/model split."""
     pipeline_config = config_util.load_pipeline_config(pipeline_config_path)
     model_dir = pipeline_config.model_dir
     mesh = None  # export is single-host
@@ -946,6 +945,46 @@ def export(
         sub["zch"] = model.embedding_group.init_zch_states()
     if ckpt:
         sub = checkpoint_util.restore_train_state(ckpt, model, sub)
+
+    from torcheasyrec_tpu.models.match_model import MatchModel
+    from torcheasyrec_tpu.models.tdm import TDM
+
+    if isinstance(model, MatchModel):
+        # per-tower artifacts: item tower feeds the ANN index build,
+        # user tower serves online (reference main.py:1032-1056); the
+        # root keeps a whole-model artifact for pair scoring/predict
+        for tower, spec in model.tower_specs().items():
+            _export_tower(
+                pipeline_config, model, features, sub,
+                os.path.join(export_dir, tower), tower, spec,
+            )
+        _export_artifact(pipeline_config, model, features, sub, export_dir)
+        logger.info(
+            f"exported match towers "
+            f"{sorted(model.tower_specs())} to {export_dir}"
+        )
+        return
+    if isinstance(model, TDM):
+        # embedding/model split (reference main.py:1053-1070): the
+        # embedding artifact maps candidate/tree-node features to their
+        # embedding for tree building; model/ scores (user, node) pairs
+        _export_tdm_embedding(
+            pipeline_config, model, features, sub,
+            os.path.join(export_dir, "embedding"),
+        )
+        _export_artifact(
+            pipeline_config, model, features, sub,
+            os.path.join(export_dir, "model"),
+        )
+        return
+    _export_artifact(pipeline_config, model, features, sub, export_dir)
+
+
+def _export_artifact(pipeline_config, model, features, sub,
+                     export_dir: str) -> None:
+    """Whole-model export artifact: weights + pipeline.config + fg.json
+    + StableHLO (reference export_util.py:126 export_model)."""
+    from torcheasyrec_tpu.features.feature import create_fg_json
 
     os.makedirs(export_dir, exist_ok=True)
     # optional embedding quantization (reference export_util.py:264-289,
@@ -995,13 +1034,130 @@ def export(
     )
 
 
-def _export_stablehlo(pipeline_config, model, features, state, export_dir):
-    """Serialize the jitted predict function as StableHLO
-    (jax.export) — the TPU-native analogue of the reference's
-    jit.script/AOTI artifact (export_util.py:199-370): a serving runtime
-    can execute it without the python model code. Input shapes follow a
-    mock batch at the configured (eval_)batch_size. Best effort: skipped
-    with a warning on failure."""
+def _tower_weights(model, sub, table_names) -> Dict[str, Any]:
+    """Serving weight tree: full dense params + canonical per-table
+    embeddings pruned to the tower's tables (from_canonical leaves
+    absent tables at init; the tower fn never reads them)."""
+    engine = model.embedding_group.engine
+    canon = engine.to_canonical(jax.device_get(sub["tables"]), None)
+    out: Dict[str, Any] = {
+        "dense": jax.device_get(sub["dense"]),
+        "canonical_tables": {
+            k: v for k, v in canon.items() if k in table_names
+        },
+    }
+    if "zch" in sub:
+        out["zch"] = jax.device_get(sub["zch"])
+    return out
+
+
+def _export_tower(pipeline_config, model, features, sub, tower_dir: str,
+                  tower: str, spec: Dict[str, Any]) -> None:
+    """One tower's serving artifact: pruned weights + fg.json subset +
+    tower.json marker + StableHLO of the tower function."""
+    from torcheasyrec_tpu.features.feature import create_fg_json
+
+    eg = model.embedding_group
+    groups = eg.groups_closure(spec["groups"])
+    feat_names = eg.features_for_groups(groups)
+    table_names = eg.tables_for_groups(groups)
+    os.makedirs(tower_dir, exist_ok=True)
+    checkpoint_util.save_model(
+        os.path.join(tower_dir, "model"),
+        _tower_weights(model, sub, table_names),
+    )
+    config_util.save_message(
+        pipeline_config, os.path.join(tower_dir, "pipeline.config")
+    )
+    tower_features = [f for f in features if f.name in set(feat_names)]
+    with open(os.path.join(tower_dir, "fg.json"), "w") as f:
+        json.dump(create_fg_json(tower_features), f, indent=2)
+    with open(os.path.join(tower_dir, "tower.json"), "w") as f:
+        json.dump(
+            {
+                "tower": tower,
+                "groups": groups,
+                "output": spec["output"],
+                "features": feat_names,
+            },
+            f, indent=2,
+        )
+    ctx_dtype = _compute_dtype(pipeline_config.train_config)
+
+    def tower_fn(dense, tables, batch):
+        ctx = M.Context(training=False, compute_dtype=ctx_dtype)
+        grouped, _ = model.embedding_group.forward(
+            tables, batch, dense["embedding_group"], ctx, groups=groups,
+        )
+        emb = model.predict_tower(dense, grouped, batch, ctx, tower)
+        return {spec["output"]: emb.astype(jnp.float32)}
+
+    _serialize_stablehlo(
+        pipeline_config, tower_features, tower_fn,
+        (sub["dense"], sub["tables"]), tower_dir, "tower_fn.stablehlo",
+    )
+    logger.info(f"exported {tower} tower to {tower_dir}")
+
+
+def _export_tdm_embedding(pipeline_config, model, features, sub,
+                          emb_dir: str) -> None:
+    """TDM embedding artifact: candidate/tree-node features -> node
+    embedding (the seq group's query slots; reference tdm.py:101
+    TDMEmbedding)."""
+    from torcheasyrec_tpu.features.feature import create_fg_json
+
+    eg = model.embedding_group
+    seq_group = model._seq_group
+    sg = eg._seq_groups[seq_group]
+    feat_names = [
+        key.split(":")[1] if kind == "emb" else key
+        for kind, key, _ in sg["query"]
+    ]
+    table_names = eg.engine.tables_for_features(set(feat_names))
+    os.makedirs(emb_dir, exist_ok=True)
+    checkpoint_util.save_model(
+        os.path.join(emb_dir, "model"),
+        _tower_weights(model, sub, table_names),
+    )
+    config_util.save_message(
+        pipeline_config, os.path.join(emb_dir, "pipeline.config")
+    )
+    node_features = [f for f in features if f.name in set(feat_names)]
+    with open(os.path.join(emb_dir, "fg.json"), "w") as f:
+        json.dump(create_fg_json(node_features), f, indent=2)
+    with open(os.path.join(emb_dir, "tower.json"), "w") as f:
+        json.dump(
+            {
+                "tower": "embedding",
+                "seq_group": seq_group,
+                "output": "item_emb",
+                "features": feat_names,
+            },
+            f, indent=2,
+        )
+    ctx_dtype = _compute_dtype(pipeline_config.train_config)
+
+    def emb_fn(dense, tables, batch):
+        ctx = M.Context(training=False, compute_dtype=ctx_dtype)
+        emb = model.embedding_group.node_embedding(
+            tables, batch, dense["embedding_group"], ctx, seq_group,
+        )
+        return {"item_emb": emb.astype(jnp.float32)}
+
+    _serialize_stablehlo(
+        pipeline_config, node_features, emb_fn,
+        (sub["dense"], sub["tables"]), emb_dir, "tower_fn.stablehlo",
+    )
+    logger.info(f"exported TDM embedding artifact to {emb_dir}")
+
+
+def _serialize_stablehlo(pipeline_config, features, serve_fn, weights,
+                         export_dir: str, filename: str) -> None:
+    """Trace serve_fn(dense, tables, batch) over a mock batch of the
+    given features and serialize it (jax.export). Raises on failure —
+    an export artifact must not silently ship without its serving
+    program (set TZREC_EXPORT_BEST_EFFORT=1 to downgrade to a
+    warning)."""
     try:
         from jax import export as jax_export
 
@@ -1010,32 +1166,19 @@ def _export_stablehlo(pipeline_config, model, features, state, export_dir):
 
         dc = pipeline_config.data_config
         bs = int(dc.eval_batch_size or dc.batch_size)
-        tbl = generate_mock_table(
-            features, bs, list(dc.label_fields), seed=0
-        )
+        tbl = generate_mock_table(features, bs, [], seed=0)
         parser = DataParser(features, labels=[])
         batch = parser.parse_to_batch(
             {name: tbl.column(i)
              for i, name in enumerate(tbl.schema.names)}
         )
-        ctx_dtype = _compute_dtype(pipeline_config.train_config)
-
-        def serve_fn(dense, tables, batch):
-            ctx = M.Context(training=False, compute_dtype=ctx_dtype)
-            preds = model.forward(dense, tables, batch, ctx)
-            return {
-                k: v for k, v in preds.items() if not k.startswith("__")
-                and not isinstance(v, (list, tuple))
-            }
-
-        args = (state["dense"], state["tables"], batch)
+        dense, tables = weights
+        args = (dense, tables, batch)
         leaves, treedef = jax.tree_util.tree_flatten(args)
 
         def serve_flat(*flat):
-            dense, tables, batch_in = jax.tree_util.tree_unflatten(
-                treedef, flat
-            )
-            return serve_fn(dense, tables, batch_in)
+            d, t, b = jax.tree_util.tree_unflatten(treedef, flat)
+            return serve_fn(d, t, b)
 
         shapes = [
             jax.ShapeDtypeStruct(
@@ -1044,8 +1187,7 @@ def _export_stablehlo(pipeline_config, model, features, state, export_dir):
             for x in leaves
         ]
         exp = jax_export.export(jax.jit(serve_flat))(*shapes)
-        with open(os.path.join(export_dir, "predict_fn.stablehlo"),
-                  "wb") as f:
+        with open(os.path.join(export_dir, filename), "wb") as f:
             f.write(exp.serialize())
         with open(os.path.join(export_dir, "serving_spec.json"), "w") as f:
             json.dump(
@@ -1057,9 +1199,37 @@ def _export_stablehlo(pipeline_config, model, features, state, export_dir):
                 },
                 f,
             )
-        logger.info("wrote predict_fn.stablehlo")
+        logger.info(f"wrote {filename}")
     except Exception as e:  # noqa: BLE001
-        logger.warning(f"stablehlo export skipped: {e}")
+        if os.environ.get("TZREC_EXPORT_BEST_EFFORT") == "1":
+            logger.warning(f"stablehlo export skipped: {e}")
+            return
+        raise RuntimeError(
+            f"stablehlo serialization failed for {export_dir}: {e}"
+        ) from e
+
+
+def _export_stablehlo(pipeline_config, model, features, state, export_dir):
+    """Serialize the jitted predict function as StableHLO
+    (jax.export) — the TPU-native analogue of the reference's
+    jit.script/AOTI artifact (export_util.py:199-370): a serving runtime
+    can execute it without the python model code. Raises on failure
+    (the reference's export errors out too)."""
+    ctx_dtype = _compute_dtype(pipeline_config.train_config)
+
+    def serve_fn(dense, tables, batch):
+        ctx = M.Context(training=False, compute_dtype=ctx_dtype)
+        preds = model.forward(dense, tables, batch, ctx)
+        return {
+            k: v for k, v in preds.items() if not k.startswith("__")
+            and not isinstance(v, (list, tuple))
+        }
+
+    _serialize_stablehlo(
+        pipeline_config, features, serve_fn,
+        (state["dense"], state["tables"]), export_dir,
+        "predict_fn.stablehlo",
+    )
 
 
 def _best_checkpoint(pipeline_config, model_dir) -> Optional[str]:
@@ -1168,6 +1338,88 @@ def predict_checkpoint(
     logger.info(f"predicted {n} examples -> {predict_output_path}")
 
 
+def _predict_tower_artifact(
+    pipeline_config,
+    tower_dir: str,
+    tower_meta: Dict[str, Any],
+    predict_input_path: str,
+    predict_output_path: str,
+    compute_dtype,
+    reserved_columns: Optional[str],
+) -> None:
+    """Batch inference from a per-tower export artifact: the input holds
+    only that tower's side (e.g. an item table -> item embeddings for
+    the ANN index; user requests -> query embeddings)."""
+    import pyarrow as pa
+
+    from torcheasyrec_tpu.datasets.dataset import create_writer
+
+    model, features, _ = _build_model_and_optim(pipeline_config, None)
+    dense_params, tables, _ = _init_state(model, pipeline_config)
+    sub = {"dense": dense_params, "tables": tables}
+    if model.embedding_group.has_zch:
+        sub["zch"] = model.embedding_group.init_zch_states()
+    state = checkpoint_util.restore_train_state(
+        os.path.join(tower_dir, "model"), model, sub
+    )
+    tower = tower_meta["tower"]
+    out_key = tower_meta["output"]
+    feat_set = set(tower_meta["features"])
+    tower_features = [f for f in features if f.name in feat_set]
+
+    def _tower_fn(st, batch):
+        from torcheasyrec_tpu.datasets.pack import maybe_unpack
+
+        batch = maybe_unpack(batch)
+        ctx = M.Context(training=False, compute_dtype=compute_dtype)
+        if model.embedding_group.has_zch:
+            batch, _ = model.embedding_group.remap_zch(
+                batch, st["zch"], jnp.zeros((), jnp.int32), False
+            )
+        if tower == "embedding":
+            emb = model.embedding_group.node_embedding(
+                st["tables"], batch, st["dense"]["embedding_group"], ctx,
+                tower_meta["seq_group"],
+            )
+        else:
+            grouped, _ = model.embedding_group.forward(
+                st["tables"], batch, st["dense"]["embedding_group"], ctx,
+                groups=tower_meta["groups"],
+            )
+            emb = model.predict_tower(
+                st["dense"], grouped, batch, ctx, tower
+            )
+        return emb.astype(jnp.float32)
+
+    tower_step = jax.jit(_tower_fn)
+    reserved = [c.strip() for c in (reserved_columns or "").split(",")
+                if c.strip()]
+    dl = create_dataloader(
+        pipeline_config.data_config, tower_features, predict_input_path,
+        mode="predict", reserved_columns=reserved,
+    )
+    writer = create_writer(
+        predict_output_path,
+        "ParquetWriter"
+        if not predict_output_path.endswith(".csv") else "CsvWriter",
+    )
+    n = 0
+    for batch, info in dl():
+        emb = np.asarray(jax.device_get(tower_step(state, batch)))
+        if emb.ndim == 3:  # multi-interest [B, K, D] -> [B, K*D]
+            emb = emb.reshape(emb.shape[0], -1)
+        out: Dict[str, pa.Array] = {}
+        for k, col in info.reserved.items():
+            out[k] = col
+        out[out_key] = pa.array(list(emb[: info.batch_size]))
+        writer.write(out)
+        n += info.batch_size
+    writer.close()
+    logger.info(
+        f"predicted {n} {tower}-tower embeddings -> {predict_output_path}"
+    )
+
+
 def predict(
     predict_input_path: str,
     predict_output_path: str,
@@ -1189,6 +1441,16 @@ def predict(
         pipeline_config.data_config.batch_size = batch_size
     mesh = None
     compute_dtype = _compute_dtype(pipeline_config.train_config)
+    tower_meta_path = os.path.join(scripted_model_path, "tower.json")
+    if os.path.exists(tower_meta_path):
+        with open(tower_meta_path) as f:
+            tower_meta = json.load(f)
+        _predict_tower_artifact(
+            pipeline_config, scripted_model_path, tower_meta,
+            predict_input_path, predict_output_path, compute_dtype,
+            reserved_columns,
+        )
+        return
     model, features, _ = _build_model_and_optim(pipeline_config, mesh)
     dense_params, tables, _ = _init_state(model, pipeline_config)
     base_state = {"dense": dense_params, "tables": tables}

@@ -47,12 +47,30 @@ class DAT(MatchModel):
             "item_tower": self.item_tower.init(k2),
         }
 
+    def tower_specs(self) -> Dict[str, Dict]:
+        ug, uag, ig, iag = self._groups
+        return {
+            "user": {"groups": [ug, uag], "output": "user_tower_emb"},
+            "item": {"groups": [ig, iag], "output": "item_tower_emb"},
+        }
+
+    def predict_tower(self, params, grouped, batch, ctx,
+                      tower: str) -> jnp.ndarray:
+        ug, uag, ig, iag = self._groups
+        if tower == "user":
+            user_in = jnp.concatenate([grouped[ug], grouped[uag]], axis=-1)
+            return self.user_tower(
+                params["user_tower"], user_in, ctx, "user_tower"
+            )
+        item_in = jnp.concatenate([grouped[ig], grouped[iag]], axis=-1)
+        return self.item_tower(
+            params["item_tower"], item_in, ctx, "item_tower"
+        )
+
     def predict(self, params, grouped, batch, ctx) -> Dict[str, jnp.ndarray]:
         ug, uag, ig, iag = self._groups
-        user_in = jnp.concatenate([grouped[ug], grouped[uag]], axis=-1)
-        item_in = jnp.concatenate([grouped[ig], grouped[iag]], axis=-1)
-        user_emb = self.user_tower(params["user_tower"], user_in, ctx, "user_tower")
-        item_emb = self.item_tower(params["item_tower"], item_in, ctx, "item_tower")
+        user_emb = self.predict_tower(params, grouped, batch, ctx, "user")
+        item_emb = self.predict_tower(params, grouped, batch, ctx, "item")
         preds = self._sim_to_prediction(self._sim(user_emb, item_emb))
         preds["user_tower_emb"] = user_emb
         preds["item_tower_emb"] = item_emb

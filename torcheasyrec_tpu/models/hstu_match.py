@@ -66,7 +66,13 @@ class HSTUMatch(MatchModel):
             )
         return params
 
-    def predict(self, params, grouped, batch, ctx) -> Dict[str, jnp.ndarray]:
+    def predict_tower(self, params, grouped, batch, ctx,
+                      tower: str) -> jnp.ndarray:
+        if tower == "item":
+            return self.item_tower(
+                params["item_tower"], grouped[self._item_group], ctx,
+                "item_tower",
+            )
         seq = grouped[f"{self._seq_group}.sequence"]
         lengths = grouped[f"{self._seq_group}.sequence_length"]
         if self.in_proj_needed:
@@ -89,7 +95,11 @@ class HSTUMatch(MatchModel):
                 jnp.sum(jnp.square(user_emb.astype(jnp.float32)), -1,
                         keepdims=True) + 1e-12
             ).astype(user_emb.dtype)
-        item_emb = self.item_tower(params["item_tower"], grouped[self._item_group], ctx, "item_tower")
+        return user_emb
+
+    def predict(self, params, grouped, batch, ctx) -> Dict[str, jnp.ndarray]:
+        user_emb = self.predict_tower(params, grouped, batch, ctx, "user")
+        item_emb = self.predict_tower(params, grouped, batch, ctx, "item")
         preds = self._sim_to_prediction(self._sim(user_emb, item_emb))
         preds["user_tower_emb"] = user_emb
         preds["item_tower_emb"] = item_emb

@@ -78,6 +78,37 @@ class MatchModel(BaseModel):
             self._sample_weights[0] if self._sample_weights else None
         )
 
+    # -- per-tower serving (reference main.py:1032-1056 exports each
+    # MatchTower separately: item tower feeds the ANN index build, user
+    # tower serves online) -------------------------------------------------
+
+    def tower_specs(self) -> Dict[str, Dict]:
+        """tower name -> {groups, output}: the feature groups the tower
+        consumes and the prediction key carrying its embedding."""
+        mc = self._model_config
+        return {
+            "user": {"groups": [mc.user_tower.input],
+                     "output": "user_tower_emb"},
+            "item": {"groups": [mc.item_tower.input],
+                     "output": "item_tower_emb"},
+        }
+
+    def predict_tower(self, params, grouped, batch, ctx,
+                      tower: str) -> jnp.ndarray:
+        """One tower's embedding from a grouped-subset forward."""
+        mc = self._model_config
+        if tower == "user":
+            return self.user_tower(
+                params["user_tower"], grouped[mc.user_tower.input], ctx,
+                "user_tower",
+            )
+        if tower == "item":
+            return self.item_tower(
+                params["item_tower"], grouped[mc.item_tower.input], ctx,
+                "item_tower",
+            )
+        raise ValueError(f"unknown tower {tower!r}")
+
     def _sim(
         self, user_emb: jnp.ndarray, item_emb: jnp.ndarray
     ) -> jnp.ndarray:

@@ -123,6 +123,25 @@ class MIND(MatchModel):
             ).astype(out.dtype)
         return out, cap_mask
 
+    def tower_specs(self) -> Dict[str, Dict]:
+        return {
+            "user": {"groups": [self._user_group, self._hist_group],
+                     "output": "user_interests"},
+            "item": {"groups": [self._item_group],
+                     "output": "item_tower_emb"},
+        }
+
+    def predict_tower(self, params, grouped, batch, ctx,
+                      tower: str) -> jnp.ndarray:
+        if tower == "user":
+            # [B, K, D] multi-interest embeddings; serving retrieves
+            # per-interest and unions the candidates
+            return self._interests(params, grouped, ctx)[0]
+        return self.item_tower(
+            params["item_tower"], grouped[self._item_group], ctx,
+            "item_tower",
+        )
+
     def predict(self, params, grouped, batch, ctx) -> Dict[str, jnp.ndarray]:
         interests, cap_mask = self._interests(params, grouped, ctx)
         item_emb = self.item_tower(params["item_tower"], grouped[self._item_group], ctx, "item_tower")

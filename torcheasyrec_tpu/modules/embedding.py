@@ -448,14 +448,61 @@ class EmbeddingGroup(M.Module):
             tables, batch.sparse_features, batch.sequence_sparse_features
         )
 
+    # -- per-tower export/serving subsets ----------------------------------
+
+    def groups_closure(self, group_names) -> List[str]:
+        """Group names + the sequence groups their encoders consume
+        (a tower artifact must assemble those too)."""
+        out = list(dict.fromkeys(group_names))
+        for g in group_names:
+            for enc in self._group_encoders.get(g, []):
+                if enc.input not in out:
+                    out.append(enc.input)
+        return out
+
+    def features_for_groups(self, group_names) -> List[str]:
+        """Feature names a subset of groups reads (tower fg.json /
+        dataloader projection for per-tower serving)."""
+        names: List[str] = []
+
+        def _add_slot(slot):
+            kind, key, _ = slot
+            f = key.split(":")[1] if kind == "emb" else key
+            if f not in names:
+                names.append(f)
+
+        for g in group_names:
+            sg = self._seq_groups.get(g)
+            if sg is not None:
+                for s in sg["query"]:
+                    _add_slot(s)
+                for s in sg["sequence"]:
+                    _add_slot(s)
+                if sg["length_feature"] not in names:
+                    names.append(sg["length_feature"])
+            for s in self._group_slots.get(g, []):
+                _add_slot(s)
+        return names
+
+    def tables_for_groups(self, group_names) -> set:
+        return self.engine.tables_for_features(
+            set(self.features_for_groups(group_names))
+        )
+
     def assemble(
         self,
         emb_out: Dict[str, jnp.ndarray],
         batch: Batch,
         params: M.Params,
         ctx: M.Context,
+        groups: Optional[List[str]] = None,
     ) -> Dict[str, jnp.ndarray]:
-        """Pure function of emb_out: group concat + seq encoders."""
+        """Pure function of emb_out: group concat + seq encoders.
+
+        ``groups`` restricts assembly to the named (closure of) groups —
+        the per-tower serving path (reference exports each MatchTower
+        with only its side's features, main.py:1032-1056)."""
+        gset = None if groups is None else set(groups)
         result: Dict[str, jnp.ndarray] = {}
 
         tile_size = batch.tile_size
@@ -492,6 +539,8 @@ class EmbeddingGroup(M.Module):
 
         # sequence groups first (encoders read them)
         for name, sg in self._seq_groups.items():
+            if gset is not None and name not in gset:
+                continue
             qs = [_slot_value(s) for s in sg["query"]]
             ss = [_slot_value(s, seq=True) for s in sg["sequence"]]
             lf = sg["length_feature"]
@@ -506,6 +555,8 @@ class EmbeddingGroup(M.Module):
             result[f"{name}.sequence_length"] = lengths
 
         for gname, slots in self._group_slots.items():
+            if gset is not None and gname not in gset:
+                continue
             vals = [_slot_value(s) for s in slots]
             encs = self._group_encoders.get(gname, [])
             for i, enc in enumerate(encs):
@@ -524,10 +575,58 @@ class EmbeddingGroup(M.Module):
         batch: Batch,
         params: M.Params,
         ctx: M.Context,
+        groups: Optional[List[str]] = None,
     ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, Any]]:
-        """lookup + assemble in one call (eval/predict path)."""
-        emb_out, residuals = self.lookup(tables, batch)
-        return self.assemble(emb_out, batch, params, ctx), residuals
+        """lookup + assemble in one call (eval/predict path). ``groups``
+        restricts both to a tower's group closure."""
+        if groups is None:
+            emb_out, residuals = self.lookup(tables, batch)
+        else:
+            emb_out, residuals = self.engine.lookup(
+                tables, batch.sparse_features,
+                batch.sequence_sparse_features,
+                feature_filter=set(self.features_for_groups(groups)),
+            )
+        return (
+            self.assemble(emb_out, batch, params, ctx, groups=groups),
+            residuals,
+        )
+
+    def node_embedding(
+        self,
+        tables: Dict[str, jnp.ndarray],
+        batch: Batch,
+        params: M.Params,
+        ctx: M.Context,
+        seq_group: str,
+    ) -> jnp.ndarray:
+        """Per-candidate (tree-node/item) embedding: concat of the
+        sequence group's QUERY slots only — the TDM embedding-split
+        artifact (reference tdm.py:101 TDMEmbedding strips the sequence
+        features and keeps the candidate-side ones)."""
+        sg = self._seq_groups[seq_group]
+        feats = {
+            key.split(":")[1] if kind == "emb" else key
+            for kind, key, _ in sg["query"]
+        }
+        emb_out, _ = self.engine.lookup(
+            tables, batch.sparse_features, batch.sequence_sparse_features,
+            feature_filter=feats,
+        )
+        vals = []
+        for kind, key, _dim in sg["query"]:
+            if kind == "emb":
+                vals.append(emb_out[key].astype(ctx.compute_dtype))
+                continue
+            v = batch.dense_features[key].values.astype(ctx.compute_dtype)
+            if kind in ("autodis", "mlpemb"):
+                v = self._dense_emb_modules[key](
+                    params["dense_emb"][key], v, ctx
+                )
+            vals.append(v)
+        return (
+            jnp.concatenate(vals, axis=-1) if len(vals) > 1 else vals[0]
+        )
 
 
 class AutoDisEmbedding(M.Module):

@@ -343,16 +343,26 @@ class EmbeddingEngine:
         tables: Dict[str, jnp.ndarray],
         sparse: Dict[str, SparseField],
         sequence_sparse: Optional[Dict[str, SparseField]] = None,
+        feature_filter: Optional[set] = None,
     ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, Any]]:
         """Returns (outputs, residuals).
 
         outputs[key]: [B, dim] pooled, or [B, L, dim] for sequence lookups.
         residuals: per-group routing info for update().
+        feature_filter restricts the lookup to the named features (the
+        per-tower export/serving path feeds batches that only contain one
+        tower's features); fused groups with no surviving lookup are
+        skipped entirely.
         """
         sequence_sparse = sequence_sparse or {}
         outputs: Dict[str, jnp.ndarray] = {}
         residuals: Dict[str, Any] = {}
         for gk, lks in self._lookups_by_group.items():
+            if feature_filter is not None:
+                lks = [lk for lk in lks
+                       if lk.feature_name in feature_filter]
+                if not lks:
+                    continue
             g = self.groups[gk]
             flat_ids, plan = self._flatten_group_ids(g, lks, sparse, sequence_sparse)
             rows = self._dist_gather(tables[gk], flat_ids, g)
@@ -472,6 +482,17 @@ class EmbeddingEngine:
         """
         if self.mesh is None or g.sharding == DATA_PARALLEL:
             return weight.at[flat_ids].get(mode="fill", fill_value=0.0)
+
+        # shard_map splits flat_ids over the mesh axis: pad to a
+        # multiple of num_shards with invalid ids (fixed-shape [B,1]
+        # fields make the flat count arbitrary), slice the rows back
+        n = flat_ids.shape[0]
+        pad = (-n) % self.num_shards
+        if pad:
+            flat_ids = jnp.concatenate(
+                [flat_ids, jnp.full((pad,), -1, flat_ids.dtype)]
+            )
+            return self._dist_gather(weight, flat_ids, g)[:n]
 
         if g.sharding == COLUMN_WISE:
             # each shard gathers its dim-slice for EVERY shard's ids,
@@ -708,6 +729,17 @@ class EmbeddingEngine:
                 weight, state, flat_ids, grads, g.padded_rows, lr
             )
 
+        # every sharded path splits (ids, grads) over the mesh axis:
+        # pad to a multiple of num_shards (invalid id -1, zero grad)
+        pad = (-flat_ids.shape[0]) % self.num_shards
+        if pad:
+            flat_ids = jnp.concatenate(
+                [flat_ids, jnp.full((pad,), -1, flat_ids.dtype)]
+            )
+            grads = jnp.concatenate(
+                [grads, jnp.zeros((pad, grads.shape[1]), grads.dtype)]
+            )
+
         if g.sharding == COLUMN_WISE:
             def _cw_upd(w_loc, st_loc, ids_loc, g_loc, lr_):
                 all_ids = jax.lax.all_gather(
@@ -834,6 +866,17 @@ class EmbeddingEngine:
     # ------------------------------------------------------------------
     # introspection / export helpers
     # ------------------------------------------------------------------
+
+    def tables_for_features(self, feature_names) -> set:
+        """Table names (TableSpec.name) looked up by the given features —
+        the prune set for per-tower export artifacts."""
+        names = set(feature_names)
+        used = set()
+        for lks in self._lookups_by_group.values():
+            for lk in lks:
+                if lk.feature_name in names:
+                    used.add(lk.table_name)
+        return used
 
     def to_canonical(self, tables, opt_state) -> Dict[str, Any]:
         """Fused group arrays -> per-table dict (layout-independent
