@@ -214,6 +214,9 @@ def make_train_step(model, tx, sparse_sched, dense_sched, compute_dtype,
             grouped = model.embedding_group.assemble(
                 emb_out_in, batch, dense_params["embedding_group"], ctx
             )
+            grouped, vd_losses = model.build_input(
+                dense_params, grouped, batch, ctx
+            )
             preds = model.predict(dense_params, grouped, batch, ctx)
             # preds ride the has_aux channel — assigning them to a
             # closure cell would leak linearize tracers out of
@@ -223,6 +226,7 @@ def make_train_step(model, tx, sparse_sched, dense_sched, compute_dtype,
                 if not isinstance(v, (list, tuple))
             }
             losses = model.loss(preds, batch)
+            losses.update(vd_losses)
             total = model.total_loss(losses)
             return total, (losses, ctx.state_updates, preds_small)
 
@@ -1089,6 +1093,7 @@ def _export_tower(pipeline_config, model, features, sub, tower_dir: str,
         grouped, _ = model.embedding_group.forward(
             tables, batch, dense["embedding_group"], ctx, groups=groups,
         )
+        grouped, _ = model.build_input(dense, grouped, batch, ctx)
         emb = model.predict_tower(dense, grouped, batch, ctx, tower)
         return {spec["output"]: emb.astype(jnp.float32)}
 
@@ -1386,6 +1391,7 @@ def _predict_tower_artifact(
                 st["tables"], batch, st["dense"]["embedding_group"], ctx,
                 groups=tower_meta["groups"],
             )
+            grouped, _ = model.build_input(st["dense"], grouped, batch, ctx)
             emb = model.predict_tower(
                 st["dense"], grouped, batch, ctx, tower
             )

@@ -73,6 +73,72 @@ class BaseModel(metaclass=_meta):
             wide_init_fn=wide_init_fn,
             plan=self._plan,
         )
+        self._build_variational_dropout()
+
+    def _build_variational_dropout(self) -> None:
+        """Per-group VariationalDropout for feature importance (reference
+        rank_model.py:96-131 / match_model.py:158-178): one module per
+        non-sequence feature group with >1 feature."""
+        from torcheasyrec_tpu.modules.variational_dropout import (
+            VariationalDropout,
+        )
+
+        self.group_variational_dropouts: Dict[str, Any] = {}
+        self.vd_feature_names: Dict[str, List[str]] = {}
+        bc = self._base_model_config
+        if bc is None or not bc.HasField("variational_dropout"):
+            return
+        cfg = bc.variational_dropout
+        eg = self.embedding_group
+        for gname in eg.group_names():
+            names, dims = [], []
+            for kind, key, dim in eg._group_slots[gname]:
+                names.append(key.split(":")[1] if kind == "emb" else key)
+                dims.append(dim)
+            for i, enc in enumerate(eg._group_encoders.get(gname, [])):
+                names.append(f"{gname}__encoder_{i}")
+                dims.append(enc.output_dim())
+            if len(dims) <= 1:
+                continue
+            self.group_variational_dropouts[gname] = VariationalDropout(
+                dims,
+                regularization_lambda=cfg.regularization_lambda,
+                embedding_wise=cfg.embedding_wise_variational_dropout,
+            )
+            self.vd_feature_names[gname] = names
+
+    def init_variational_dropout(self, key: jax.Array) -> M.Params:
+        """VD params subtree; {} when not configured. Subclasses that
+        override init() must merge this under "variational_dropout"."""
+        if not self.group_variational_dropouts:
+            return {}
+        return {
+            g: vd.init(key)
+            for g, vd in self.group_variational_dropouts.items()
+        }
+
+    def build_input(
+        self,
+        params: M.Params,
+        grouped: Dict[str, jnp.ndarray],
+        batch: Batch,
+        ctx: M.Context,
+    ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
+        """Apply group variational dropout between assemble and predict
+        (reference rank_model.py:114-131 build_input). Returns the gated
+        grouped dict plus ``{group}_feature_p_loss`` regularization terms
+        the driver folds into the total loss."""
+        if not self.group_variational_dropouts:
+            return grouped, {}
+        out = dict(grouped)
+        aux: Dict[str, jnp.ndarray] = {}
+        for g, vd in self.group_variational_dropouts.items():
+            if g not in grouped:  # per-tower forward: subset of groups
+                continue
+            x, reg = vd(params["variational_dropout"][g], grouped[g], ctx)
+            out[g] = x
+            aux[f"{g}_feature_p_loss"] = reg
+        return out, aux
 
     def _main_group(self) -> str:
         """The model's primary feature group: "all" when configured,
@@ -91,6 +157,9 @@ class BaseModel(metaclass=_meta):
         k1, k2 = jax.random.split(key)
         params = {"embedding_group": self.embedding_group.init(k1)}
         params.update(self.init_dense(k2))
+        vd = self.init_variational_dropout(k2)
+        if vd:
+            params["variational_dropout"] = vd
         return params
 
     def init_dense(self, key: jax.Array) -> M.Params:
@@ -114,6 +183,7 @@ class BaseModel(metaclass=_meta):
         grouped, _ = self.embedding_group.forward(
             tables, batch, params["embedding_group"], ctx
         )
+        grouped, _ = self.build_input(params, grouped, batch, ctx)
         return self.predict(params, grouped, batch, ctx)
 
     # -- losses ------------------------------------------------------------

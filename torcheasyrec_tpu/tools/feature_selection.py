@@ -37,10 +37,13 @@ def select_features(
         )
         dense_params = restored["dense"]
 
-    # collect drop probabilities from any variational-dropout params
+    # collect per-group drop probabilities from the trained
+    # VariationalDropout params (reference feature_selection.py reads
+    # "{group}/feature_p" tensors; here model.vd_feature_names maps each
+    # group's logit slots back to feature names)
     importances: Dict[str, float] = {}
-    vd_params = _find_vd(dense_params)
-    if vd_params is None:
+    vd_tree = dense_params.get("variational_dropout")
+    if not model.group_variational_dropouts or vd_tree is None:
         # fallback: rank by embedding-table row norms
         for name, feat in ((f.name, f) for f in features):
             if feat.is_sparse:
@@ -50,11 +53,20 @@ def select_features(
                 w = np.asarray(jax.device_get(tables[gk]))[off : off + rows]
                 importances[name] = float(np.linalg.norm(w) / max(rows, 1))
     else:
-        logit_p = np.asarray(vd_params["logit_p"])
-        keep = 1.0 - 1.0 / (1.0 + np.exp(-logit_p))
-        names = [f.name for f in features]
-        for i, k in enumerate(keep[: len(names)]):
-            importances[names[i]] = float(k)
+        for g, vd in model.group_variational_dropouts.items():
+            keep = 1.0 - np.asarray(vd.drop_probabilities(vd_tree[g]))
+            if vd.embedding_wise:
+                # reduce per-dim keep probs to per-feature means
+                per_feat, off = [], 0
+                for d in vd.feature_dims:
+                    per_feat.append(float(keep[off : off + d].mean()))
+                    off += d
+                keep = np.asarray(per_feat)
+            for name, k in zip(model.vd_feature_names[g], keep):
+                # a feature in several groups keeps its best score
+                importances[name] = max(
+                    float(k), importances.get(name, 0.0)
+                )
 
     ranked = dict(
         sorted(importances.items(), key=lambda kv: -kv[1])[:topk]
@@ -67,17 +79,6 @@ def select_features(
             json.dump(ranked, f, indent=2)
         _rewrite_config(cfg, set(ranked), output_dir, config_util)
     return ranked
-
-
-def _find_vd(params):
-    if isinstance(params, dict):
-        if "logit_p" in params:
-            return params
-        for v in params.values():
-            r = _find_vd(v)
-            if r is not None:
-                return r
-    return None
 
 
 def _rewrite_config(cfg, keep_names, output_dir, config_util):
