@@ -23,6 +23,7 @@ from torcheasyrec_tpu.datasets.utils import (
     CKPT_ROW_IDX,
     CKPT_SOURCE_ID,
     DATA_TIMESTAMP,
+    HARD_NEG_INDICES,
     Batch,
     BatchInfo,
 )
@@ -269,10 +270,14 @@ class BaseDataset(metaclass=_dataset_meta):
             pass  # feature-level masking is applied by use_mask features
 
         # run negative sampler (reference dataset.py:390-464)
+        hard_neg_indices = None
         if self._sampler is not None:
             columns = self._sampler.process(columns)
+            hard_neg_indices = columns.pop(HARD_NEG_INDICES, None)
 
         batch = self._parser.parse_to_batch(columns, info)
+        if hard_neg_indices is not None:
+            batch.additional["hard_neg_indices"] = hard_neg_indices
         return batch, info
 
 

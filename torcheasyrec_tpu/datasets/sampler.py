@@ -16,6 +16,7 @@ from typing import Any, Dict, List, Optional
 import numpy as np
 import pyarrow as pa
 
+from torcheasyrec_tpu.datasets.utils import HARD_NEG_INDICES
 from torcheasyrec_tpu.utils.load_class import get_register_class_meta
 
 _SAMPLER_CLASS_MAP: Dict[str, type] = {}
@@ -217,10 +218,17 @@ class NegativeSamplerV2(BaseSampler):
 
 
 class HardNegativeSampler(NegativeSamplerV2):
-    """Random negatives + neighbor-sampled hard negatives
-    (reference sampler.py:639-747). Hard negatives ride in the same
-    __NEG__ columns; HARD_NEG_INDICES bookkeeping lands with DAT/match
-    model support."""
+    """Random negatives + per-user hard negatives with attribution
+    (reference sampler.py:639-747).
+
+    Item rows come out as ``[B positives | num_sample shared negatives |
+    B*num_hard_sample hard slots]`` — the hard block is always the SAME
+    static size (empty slots repeat item row 0) so the jitted step never
+    recompiles on per-batch hard counts. ``HARD_NEG_INDICES`` carries
+    int32 ``[B*num_hard, 2]`` (user_row, hard_col) pairs; empty slots
+    get user_row == B, which the model's scatter drops (reference
+    match_model.py:66-95 builds the same sparse [B, max_col+1] sim and
+    masks absent slots)."""
 
     def _load(self) -> None:
         self._load_item_table(self._config.item_input_path)
@@ -232,34 +240,72 @@ class HardNegativeSampler(NegativeSamplerV2):
             self._hard_edges.setdefault(int(uu), []).append(int(ii))
         self._user_id_field = self._config.user_id_field
         self._num_hard = int(self._config.num_hard_sample)
+        self._pos_edges = {}
+        pos_path = getattr(self._config, "pos_edge_input_path", "")
+        if pos_path:
+            pe = _read_table(pos_path)
+            pu = pe.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            pi = pe.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+            for uu, ii in zip(pu, pi):
+                self._pos_edges.setdefault(int(uu), set()).add(int(ii))
 
     def process(self, columns: Dict[str, pa.Array]) -> Dict[str, pa.Array]:
         self.init()
         rows = list(self._alias.sample(self._num_sample, self._rng))
+        users = None
         if self._user_id_field in columns:
             users = (
                 columns[self._user_id_field]
                 .cast(pa.int64(), safe=False)
                 .to_pylist()
             )
+        if users and self._pos_edges:
+            # V2 semantics: shared negatives avoid the batch users'
+            # positive edges (reference sampler.py:540-636)
+            banned = set()
             for uu in users:
-                cands = self._hard_edges.get(int(uu), [])
-                if cands:
-                    take = self._rng.choice(
-                        cands, size=min(self._num_hard, len(cands)),
-                        replace=False,
-                    )
-                    rows.extend(
-                        self._id_to_row[int(t)]
-                        for t in take
-                        if int(t) in self._id_to_row
-                    )
-        rows = np.asarray(rows, dtype=np.int64)
-        return self._append_negatives(columns, rows)
+                banned |= self._pos_edges.get(int(uu), set())
+            rows_np = np.asarray(rows, dtype=np.int64)
+            for _ in range(2):
+                bad = np.asarray(
+                    [int(self._item_ids[r]) in banned for r in rows_np]
+                )
+                if not bad.any():
+                    break
+                rows_np[bad] = self._alias.sample(int(bad.sum()), self._rng)
+            rows = list(rows_np)
+        b = len(next(iter(columns.values())))
+        k = self._num_hard
+        indices = np.empty((b * k, 2), dtype=np.int32)
+        indices[:, 0] = b  # sentinel: dropped by the model's scatter
+        indices[:, 1] = 0
+        for i in range(b):
+            cands = self._hard_edges.get(int(users[i]), []) if users else []
+            cands = [c for c in cands if c in self._id_to_row]
+            take = (
+                self._rng.choice(
+                    cands, size=min(k, len(cands)), replace=False
+                )
+                if cands
+                else []
+            )
+            for j in range(k):
+                if j < len(take):
+                    rows.append(self._id_to_row[int(take[j])])
+                    indices[i * k + j] = (i, j)
+                else:
+                    rows.append(0)  # masked filler keeps shapes static
+        out = self._append_negatives(
+            columns, np.asarray(rows, dtype=np.int64)
+        )
+        out[HARD_NEG_INDICES] = indices
+        return out
 
 
 class HardNegativeSamplerV2(HardNegativeSampler):
-    pass
+    """Same as HardNegativeSampler plus pos-edge exclusion for the
+    shared negatives (reference sampler.py:689-747) — handled in the
+    base via the optional ``pos_edge_input_path``."""
 
 
 class TDMSampler(BaseSampler):

@@ -28,6 +28,10 @@ import numpy as np
 CKPT_SOURCE_ID = "__ckpt_source_id__"
 CKPT_ROW_IDX = "__ckpt_row_idx__"
 DATA_TIMESTAMP = "__data_timestamp__"
+# hard-negative attribution (reference datasets/utils.py:35): int32
+# [B*num_hard, 2] (user_row, hard_col) pairs; empty slots use
+# user_row == B so the model's scatter drops them
+HARD_NEG_INDICES = "__hard_neg_indices__"
 
 # data-group names (reference features/feature.py:416,479-493)
 BASE_DATA_GROUP = "__BASE__"

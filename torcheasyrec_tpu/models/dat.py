@@ -71,7 +71,10 @@ class DAT(MatchModel):
         ug, uag, ig, iag = self._groups
         user_emb = self.predict_tower(params, grouped, batch, ctx, "user")
         item_emb = self.predict_tower(params, grouped, batch, ctx, "item")
-        preds = self._sim_to_prediction(self._sim(user_emb, item_emb))
+        preds = self._sim_to_prediction(self._sim(
+            user_emb, item_emb,
+            batch.additional.get("hard_neg_indices"),
+        ))
         preds["user_tower_emb"] = user_emb
         preds["item_tower_emb"] = item_emb
         preds["__augment_a_user"] = grouped[uag]

@@ -42,7 +42,10 @@ class DSSM(MatchModel):
     def predict(self, params, grouped, batch, ctx) -> Dict[str, jnp.ndarray]:
         user_emb = self.user_tower(params["user_tower"], grouped[self._user_group], ctx, "user_tower")
         item_emb = self.item_tower(params["item_tower"], grouped[self._item_group], ctx, "item_tower")
-        preds = self._sim_to_prediction(self._sim(user_emb, item_emb))
+        preds = self._sim_to_prediction(self._sim(
+            user_emb, item_emb,
+            batch.additional.get("hard_neg_indices"),
+        ))
         preds["user_tower_emb"] = user_emb
         preds["item_tower_emb"] = item_emb
         return preds

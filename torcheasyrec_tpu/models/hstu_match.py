@@ -100,7 +100,10 @@ class HSTUMatch(MatchModel):
     def predict(self, params, grouped, batch, ctx) -> Dict[str, jnp.ndarray]:
         user_emb = self.predict_tower(params, grouped, batch, ctx, "user")
         item_emb = self.predict_tower(params, grouped, batch, ctx, "item")
-        preds = self._sim_to_prediction(self._sim(user_emb, item_emb))
+        preds = self._sim_to_prediction(self._sim(
+            user_emb, item_emb,
+            batch.additional.get("hard_neg_indices"),
+        ))
         preds["user_tower_emb"] = user_emb
         preds["item_tower_emb"] = item_emb
         return preds

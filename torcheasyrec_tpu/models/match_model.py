@@ -110,9 +110,19 @@ class MatchModel(BaseModel):
         raise ValueError(f"unknown tower {tower!r}")
 
     def _sim(
-        self, user_emb: jnp.ndarray, item_emb: jnp.ndarray
+        self,
+        user_emb: jnp.ndarray,
+        item_emb: jnp.ndarray,
+        hard_neg_indices: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
-        """[B, 1+num_neg] (col 0 = positive) or [B, B] in-batch."""
+        """[B, 1+num_neg(+num_hard)] (col 0 = positive) or [B, B] in-batch.
+
+        With ``hard_neg_indices`` [H, 2] (user_row, hard_col), the last H
+        item rows are per-user hard negatives: each scores ONLY against
+        its own user, scattered into columns [1+num_neg, 1+num_neg+
+        H//B); absent slots (user_row == B, out of bounds) are dropped
+        and masked to -1e9 (reference match_model.py:53-95
+        _sim_with_sampler's sparse_coo + hard_neg_mask)."""
         b = user_emb.shape[0]
         if self._in_batch_negative:
             # full item matrix: B in-batch positives on the diagonal PLUS
@@ -120,16 +130,39 @@ class MatchModel(BaseModel):
             return jnp.dot(
                 user_emb, item_emb.T, preferred_element_type=jnp.float32
             )
+        n_hard = (
+            hard_neg_indices.shape[0] if hard_neg_indices is not None else 0
+        )
+        simple_emb = item_emb[: item_emb.shape[0] - n_hard]
         pos = jnp.sum(
-            user_emb.astype(jnp.float32) * item_emb[:b].astype(jnp.float32),
+            user_emb.astype(jnp.float32)
+            * simple_emb[:b].astype(jnp.float32),
             axis=-1, keepdims=True,
         )
-        if item_emb.shape[0] > b:
+        out = pos
+        if simple_emb.shape[0] > b:
             neg = jnp.dot(
-                user_emb, item_emb[b:].T, preferred_element_type=jnp.float32
+                user_emb, simple_emb[b:].T,
+                preferred_element_type=jnp.float32,
             )
-            return jnp.concatenate([pos, neg], axis=-1)
-        return pos
+            out = jnp.concatenate([pos, neg], axis=-1)
+        if n_hard:
+            hard_emb = item_emb[item_emb.shape[0] - n_hard:]
+            rows = hard_neg_indices[:, 0]
+            cols = hard_neg_indices[:, 1]
+            hard_user = jnp.take(
+                user_emb, jnp.minimum(rows, b - 1), axis=0
+            )
+            hard_sim = jnp.sum(
+                hard_user.astype(jnp.float32)
+                * hard_emb.astype(jnp.float32),
+                axis=-1,
+            )
+            n_cols = max(n_hard // b, 1)
+            hard_mat = jnp.full((b, n_cols), -1e9, jnp.float32)
+            hard_mat = hard_mat.at[rows, cols].set(hard_sim, mode="drop")
+            out = jnp.concatenate([out, hard_mat], axis=-1)
+        return out
 
     def _sim_to_prediction(self, sim: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         return {"similarity": sim.astype(jnp.float32)}
