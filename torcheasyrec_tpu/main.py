@@ -164,6 +164,8 @@ def _build_model_and_optim(pipeline_config, mesh, for_train=True,
             optimizer_kind=sparse_opt.kind,
             # same host-group width the engine lays TWRW out with
             shards_per_host=max(spg, 1),
+            # zch/dynamicemb tables remap ids on-device — never offload
+            host_excluded=set(model.embedding_group._zch_cfgs),
         )
         model = create_model(
             pipeline_config.model_config,
@@ -187,16 +189,56 @@ def _init_state(model, pipeline_config, seed: int = 42):
     return dense_params, tables, sparse_opt_state
 
 
+def _host_rows_for(model, batch):
+    """HOST_OFFLOAD support: gather the batch's rows from the host
+    (DDR-resident) tables. Runs synchronously right before the step —
+    after the previous step's host_apply — so host rows are never
+    stale. Returns ({"__host_rows__<gk>": device rows}, ids)."""
+    engine = model.embedding_group.engine
+    if not engine.has_host_groups:
+        return {}, None
+    hb = getattr(batch, "host_batch", None)
+    if hb is None:
+        raise ValueError(
+            "host_offload tables need the numpy host batch; the "
+            "device_put wrapper must keep a host_batch reference"
+        )
+    rows, ids = engine.host_prefetch(
+        hb.sparse_features, hb.sequence_sparse_features
+    )
+    rows = jax.device_put(
+        {f"__host_rows__{gk}": v for gk, v in rows.items()}
+    )
+    return rows, ids
+
+
+def _inject_host_rows(model, batch):
+    """Predict-path HOST_OFFLOAD support: batches reach jit as host
+    numpy pytrees there, so the gathered rows ride inside
+    batch.additional (transferred with the batch)."""
+    engine = model.embedding_group.engine
+    if not engine.has_host_groups:
+        return batch
+    rows, _ = engine.host_prefetch(
+        batch.sparse_features, batch.sequence_sparse_features
+    )
+    for gk, v in rows.items():
+        batch.additional[f"__host_rows__{gk}"] = v
+    return batch
+
+
 def make_train_step(model, tx, sparse_sched, dense_sched, compute_dtype,
                     grad_accum_steps: int = 1,
                     grad_scaler_cfg=None):
     engine = model.embedding_group.engine
     use_scaler = grad_scaler_cfg is not None and compute_dtype == jnp.float16
 
-    def train_step(state, batch: Batch, rng):
+    def train_step(state, batch: Batch, rng, host_rows=None):
         from torcheasyrec_tpu.datasets.pack import maybe_unpack
 
         batch = maybe_unpack(batch)
+        if host_rows:
+            batch.additional.update(host_rows)
         step = state["step"]
         new_zch = state.get("zch", {})
         if model.embedding_group.has_zch:
@@ -345,16 +387,25 @@ def make_train_step(model, tx, sparse_sched, dense_sched, compute_dtype,
             for t in getattr(model, "_task_tower_cfgs", [])
         ):
             metrics["__preds"] = preds_small
+        if engine.has_host_groups:
+            # host-tier row grads exit the jitted step; the loop applies
+            # them to the numpy tables with the same schedule-scaled lr
+            metrics["__host_grads"] = engine.host_row_grads(
+                residuals, emb_grads
+            )
+            metrics["__host_lr_scale"] = lr_scale
         return new_state, metrics, state_updates
 
     return train_step
 
 
 def make_eval_step(model, compute_dtype, with_loss: bool = True):
-    def eval_step(state, batch: Batch):
+    def eval_step(state, batch: Batch, host_rows=None):
         from torcheasyrec_tpu.datasets.pack import maybe_unpack
 
         batch = maybe_unpack(batch)
+        if host_rows:
+            batch.additional.update(host_rows)
         ctx = M.Context(training=False, compute_dtype=compute_dtype)
         if model.embedding_group.has_zch:
             batch, _ = model.embedding_group.remap_zch(
@@ -531,7 +582,10 @@ def train_and_evaluate(
 
     def _to_device(b):
         if mesh is not None:
-            return _shard_batch(b, mesh)
+            d = _shard_batch(b, mesh)
+            if model.embedding_group.engine.has_host_groups:
+                d.host_batch = b  # numpy originals for the host gather
+            return d
         # single device: coalesce the whole pytree into two buffers —
         # two H2D calls instead of one per leaf (datasets/pack.py)
         from torcheasyrec_tpu.datasets.pack import pack_and_put
@@ -593,9 +647,19 @@ def train_and_evaluate(
             elif not have:
                 break
             step_rng = jax.random.fold_in(rng, step)
+            host_rows, host_ids = _host_rows_for(model, batch)
             state, metrics, state_updates = train_step(
-                state, batch, step_rng
+                state, batch, step_rng, host_rows
             )
+            if host_ids is not None:
+                engine = model.embedding_group.engine
+                engine.host_apply(
+                    jax.device_get(metrics.pop("__host_grads")),
+                    host_ids,
+                    float(jax.device_get(
+                        metrics.pop("__host_lr_scale")
+                    )),
+                )
             if state_updates:
                 state["dense"] = apply_state_updates(
                     state["dense"], jax.device_get(state_updates)
@@ -815,7 +879,10 @@ def _run_eval(
 
     def _put(b):
         if mesh is not None:
-            return _shard_batch(b, mesh)
+            d = _shard_batch(b, mesh)
+            if model.embedding_group.engine.has_host_groups:
+                d.host_batch = b
+            return d
         from torcheasyrec_tpu.datasets.pack import pack_and_put
 
         return pack_and_put(b)
@@ -830,7 +897,8 @@ def _run_eval(
         _sync_metrics(metrics)
     else:
         for batch, info in eval_dl(device_put_fn=_put):
-            preds, losses = eval_step(state, batch)
+            host_rows, _ = _host_rows_for(model, batch)
+            preds, losses = eval_step(state, batch, host_rows)
             preds = jax.device_get(preds)
             model.update_metrics(
                 metrics, preds,
@@ -1327,6 +1395,7 @@ def predict_checkpoint(
                 if c.strip()]
     n = 0
     for batch, info in dl():
+        batch = _inject_host_rows(model, batch)
         preds = jax.device_get(eval_step(state, batch))
         out: Dict[str, pa.Array] = {}
         # reserved input columns first so predictions stay joinable
@@ -1411,6 +1480,7 @@ def _predict_tower_artifact(
     )
     n = 0
     for batch, info in dl():
+        batch = _inject_host_rows(model, batch)
         emb = np.asarray(jax.device_get(tower_step(state, batch)))
         if emb.ndim == 3:  # multi-interest [B, K, D] -> [B, K*D]
             emb = emb.reshape(emb.shape[0], -1)
@@ -1506,6 +1576,7 @@ def predict(
                 if c.strip()]
     n = 0
     for batch, info in dl():
+        batch = _inject_host_rows(model, batch)
         preds = jax.device_get(eval_step(state, batch))
         out: Dict[str, pa.Array] = {}
         for k, col in info.reserved.items():

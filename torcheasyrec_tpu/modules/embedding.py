@@ -89,11 +89,11 @@ class EmbeddingGroup(M.Module):
                 ROW_WISE if cfg.num_embeddings >= _DP_ROWS_THRESHOLD
                 else DATA_PARALLEL,
             )
-            if cfg.sharding_types:
-                if sharding not in cfg.sharding_types:
-                    sharding = cfg.sharding_types[0]
-                    if sharding not in (ROW_WISE, DATA_PARALLEL):
-                        sharding = ROW_WISE
+            if cfg.sharding_types and sharding not in cfg.sharding_types:
+                # constraint wins over the plan/default; any engine
+                # layout is honored (row/column/table/table_row-wise,
+                # data_parallel, host_offload)
+                sharding = cfg.sharding_types[0]
             spec = TableSpec(
                 name=name,
                 rows=cfg.num_embeddings,
@@ -103,6 +103,7 @@ class EmbeddingGroup(M.Module):
                 sharding=sharding,
                 dtype=(getattr(feat.config, "data_type", "FP32")
                        or "FP32").upper(),
+                sharding_types=tuple(cfg.sharding_types),
             )
             if name in tables:
                 prev = tables[name]
@@ -291,6 +292,16 @@ class EmbeddingGroup(M.Module):
                     ),
                 )
 
+        # host-offloaded tables gather rows BEFORE the jitted step, but
+        # zch remap runs inside it — the host gather would see raw ids
+        for tname in self._zch_cfgs:
+            gk = self.engine._table_group.get(tname)
+            if gk and self.engine.groups[gk].sharding == "host_offload":
+                raise ValueError(
+                    f"table {tname}: zch/dynamicemb tables cannot be "
+                    "host_offload (ids are remapped on-device)"
+                )
+
     @property
     def has_zch(self) -> bool:
         return bool(self._zch_cfgs)
@@ -444,9 +455,26 @@ class EmbeddingGroup(M.Module):
         """Engine lookup only: (emb_out, residuals). The train step takes
         grads w.r.t. emb_out and routes them to engine.update — the
         in-backward-optimizer split (SURVEY.md §7 build decision)."""
+        host_rows = {
+            k[len("__host_rows__"):]: v
+            for k, v in batch.additional.items()
+            if k.startswith("__host_rows__")
+        } or None
         return self.engine.lookup(
-            tables, batch.sparse_features, batch.sequence_sparse_features
+            tables, batch.sparse_features, batch.sequence_sparse_features,
+            host_rows=host_rows,
         )
+
+    def host_prefetch_into(self, batch: Batch) -> Dict[str, Any]:
+        """HOST_OFFLOAD support: gather this (numpy, pre-device_put)
+        batch's rows from the host tables into batch.additional and
+        return the flat ids for engine.host_apply after the step."""
+        rows, ids = self.engine.host_prefetch(
+            batch.sparse_features, batch.sequence_sparse_features
+        )
+        for gk, r in rows.items():
+            batch.additional[f"__host_rows__{gk}"] = r
+        return ids
 
     # -- per-tower export/serving subsets ----------------------------------
 

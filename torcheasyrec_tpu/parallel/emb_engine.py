@@ -46,6 +46,14 @@ from torcheasyrec_tpu.parallel.sparse_optim import SparseOptimizer
 ROW_WISE = "row_wise"
 COLUMN_WISE = "column_wise"
 TABLE_WISE = "table_wise"
+# host-DDR tier: the table (weights + optimizer state) lives in host
+# RAM; each step ships only the batch's gathered rows to the chip and
+# the row grads back (the reference's fused_uvm/dynamicemb CPU-offload
+# analogue for tables that exceed HBM). Single-process v1: every host
+# would need a grad all-reduce to stay in sync under multi-host DP.
+HOST_OFFLOAD = "host_offload"
+# sparse optimizers with an exact numpy mirror for the host tier
+_HOST_OPT_KINDS = {"sgd", "adagrad", "rowwise_adagrad", "adam"}
 # TorchRec TABLE_ROW_WISE: each table lives on ONE host group, rows
 # block-sharded across that group's shards
 TABLE_ROW_WISE = "table_row_wise"
@@ -63,6 +71,10 @@ class TableSpec:
     # storage dtype (feature config data_type: FP32 | BF16 | FP16);
     # optimizer math stays fp32, weights round on scatter
     dtype: str = "FP32"
+    # embedding_constraints.sharding_types from the feature config:
+    # when non-empty, the planner only considers these layouts
+    # (reference ParameterConstraints, plan_util.py:132-170)
+    sharding_types: Tuple[str, ...] = ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -162,6 +174,10 @@ class EmbeddingEngine:
         )
         self._specs = {t.name: t for t in tables}
         self.lookups = list(lookups)
+        # host-resident megatables (weights + opt state as numpy);
+        # populated by init()/init_opt_state() for HOST_OFFLOAD groups
+        self.host_tables: Dict[str, Any] = {}
+        self.host_opt: Dict[str, Any] = {}
 
         # build fused groups
         self.groups: Dict[str, _Group] = {}
@@ -184,6 +200,20 @@ class EmbeddingEngine:
             self._lookups_by_group.setdefault(gk, []).append(lk)
 
     def _resolve_sharding(self, t: TableSpec) -> str:
+        if t.sharding == HOST_OFFLOAD:
+            if jax.process_count() > 1:
+                raise ValueError(
+                    f"table {t.name}: host_offload is single-process "
+                    "only in v1 (multi-host needs a host-side grad "
+                    "all-reduce); shard it row_wise instead"
+                )
+            if self.optimizer.kind not in _HOST_OPT_KINDS:
+                raise ValueError(
+                    f"table {t.name}: host_offload supports sparse "
+                    f"optimizers {sorted(_HOST_OPT_KINDS)}, "
+                    f"not {self.optimizer.kind}"
+                )
+            return HOST_OFFLOAD
         if self.num_shards <= 1:
             return DATA_PARALLEL
         if t.sharding == TABLE_ROW_WISE and (
@@ -252,8 +282,9 @@ class EmbeddingEngine:
         for t in g.specs:
             g.offsets[t.name] = pos
             pos += t.rows
-        # pad rows to a multiple of shards (block sharding)
-        mult = D * 8 if g.sharding != COLUMN_WISE else 8
+        # pad rows to a multiple of shards (block sharding); host /
+        # column-wise groups are never row-sharded
+        mult = D * 8 if g.sharding not in (COLUMN_WISE, HOST_OFFLOAD) else 8
         g.padded_rows = ((pos + mult - 1) // mult) * mult
 
     # ------------------------------------------------------------------
@@ -281,13 +312,28 @@ class EmbeddingEngine:
                 w = w.at[off : off + t.rows].set(
                     fn(sub, (t.rows, t.dim), jnp.float32)
                 )
+            if g.sharding == HOST_OFFLOAD:
+                import numpy as np_
+
+                self.host_tables[gk] = np_.array(
+                    jax.device_get(w), np_.float32
+                )
+                continue
             out[gk] = self._device_put_table(w.astype(g.store_dtype), g)
         return out
 
     def init_opt_state(self) -> Dict[str, Any]:
+        import numpy as np_
+
         out: Dict[str, Any] = {}
         for gk, g in self.groups.items():
             st = self.optimizer.init_state(g.padded_rows, g.dim)
+            if g.sharding == HOST_OFFLOAD:
+                self.host_opt[gk] = {
+                    k: np_.array(jax.device_get(v))
+                    for k, v in st.items()
+                }
+                continue
             out[gk] = jax.tree_util.tree_map(
                 lambda x: self._device_put_table(x, g)
                 if getattr(x, "ndim", 0) >= 1 and x.shape[0] == g.padded_rows
@@ -320,6 +366,8 @@ class EmbeddingEngine:
         """NamedSharding per group key (for checkpoint/jit out_shardings)."""
         out = {}
         for gk, g in self.groups.items():
+            if g.sharding == HOST_OFFLOAD:
+                continue  # not part of the device state
             if self.mesh is None:
                 out[gk] = None
             else:
@@ -344,6 +392,7 @@ class EmbeddingEngine:
         sparse: Dict[str, SparseField],
         sequence_sparse: Optional[Dict[str, SparseField]] = None,
         feature_filter: Optional[set] = None,
+        host_rows: Optional[Dict[str, jnp.ndarray]] = None,
     ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, Any]]:
         """Returns (outputs, residuals).
 
@@ -353,6 +402,9 @@ class EmbeddingEngine:
         per-tower export/serving path feeds batches that only contain one
         tower's features); fused groups with no surviving lookup are
         skipped entirely.
+        host_rows: for HOST_OFFLOAD groups, the batch's pre-gathered
+        rows ([n_flat, dim], invalid ids zeroed) from host_prefetch —
+        shipped with the batch, so no device table is touched.
         """
         sequence_sparse = sequence_sparse or {}
         outputs: Dict[str, jnp.ndarray] = {}
@@ -365,7 +417,17 @@ class EmbeddingEngine:
                     continue
             g = self.groups[gk]
             flat_ids, plan = self._flatten_group_ids(g, lks, sparse, sequence_sparse)
-            rows = self._dist_gather(tables[gk], flat_ids, g)
+            if g.sharding == HOST_OFFLOAD:
+                if host_rows is None or gk not in host_rows:
+                    raise ValueError(
+                        f"group {gk} is host_offload but the batch "
+                        "carries no prefetched rows; call "
+                        "engine.host_prefetch_into(batch) before "
+                        "device_put"
+                    )
+                rows = host_rows[gk].astype(jnp.float32)
+            else:
+                rows = self._dist_gather(tables[gk], flat_ids, g)
             self._emit_outputs(g, lks, plan, rows, outputs)
             residuals[gk] = (flat_ids, plan)
         return outputs, residuals
@@ -652,6 +714,8 @@ class EmbeddingEngine:
         lr = jnp.asarray(lr_scale, jnp.float32) * self.optimizer.base_lr
         for gk, (flat_ids, plan) in residuals.items():
             g = self.groups[gk]
+            if g.sharding == HOST_OFFLOAD:
+                continue  # grads exit jit via host_row_grads()
             grads = self._flat_row_grads(g, plan, out_grads)
             if grads is None:
                 continue
@@ -659,6 +723,154 @@ class EmbeddingEngine:
                 tables[gk], opt_state[gk], flat_ids, grads, g, lr
             )
         return new_tables, new_state
+
+    # ------------------------------------------------------------------
+    # host-offload (HBM x host-DDR tier)
+    # ------------------------------------------------------------------
+
+    @property
+    def has_host_groups(self) -> bool:
+        return any(
+            g.sharding == HOST_OFFLOAD for g in self.groups.values()
+        )
+
+    def _host_flat_ids(self, g, lks, sparse, sequence_sparse):
+        """Numpy mirror of _flatten_group_ids' id stream (same order,
+        same validity rules) for the host-side gather."""
+        import numpy as np_
+
+        ids_list = []
+        for lk in lks:
+            off = g.offsets[lk.table_name]
+            if lk.is_sequence:
+                v = np_.asarray(sequence_sparse[lk.feature_name].values)
+                ids_list.append(
+                    np_.where(v >= 0, v.astype(np_.int64) + off, -1)
+                    .reshape(-1)
+                )
+                continue
+            field = sparse[lk.feature_name]
+            v = np_.asarray(field.values)
+            if field.is_fixed:
+                ids_list.append(
+                    np_.where(v >= 0, v.astype(np_.int64) + off, -1)
+                    .reshape(-1)
+                )
+                continue
+            n = v.shape[0]
+            b = np_.asarray(field.lengths).shape[0]
+            if field.segments is not None:
+                seg = np_.asarray(field.segments)
+            else:
+                lens = np_.asarray(field.lengths)
+                seg = np_.full((n,), b, np_.int64)
+                seg[: int(lens.sum())] = np_.repeat(
+                    np_.arange(b, dtype=np_.int64), lens
+                )
+            valid = (seg < b) & (v >= 0)
+            ids_list.append(
+                np_.where(valid, v.astype(np_.int64) + off, -1)
+            )
+        return (
+            np_.concatenate(ids_list) if len(ids_list) > 1 else ids_list[0]
+        )
+
+    def host_prefetch(
+        self, sparse, sequence_sparse=None
+    ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+        """Gather this batch's rows from the host tables (numpy fields,
+        BEFORE device_put). Returns (rows {gk: [n, dim] f32, invalid
+        ids zeroed}, ids {gk: [n] int64}) — rows ride to the device
+        with the batch; ids stay host-side for host_apply()."""
+        import numpy as np_
+
+        sequence_sparse = sequence_sparse or {}
+        rows_out: Dict[str, Any] = {}
+        ids_out: Dict[str, Any] = {}
+        for gk, lks in self._lookups_by_group.items():
+            g = self.groups[gk]
+            if g.sharding != HOST_OFFLOAD:
+                continue
+            flat = self._host_flat_ids(g, lks, sparse, sequence_sparse)
+            w = self.host_tables[gk]
+            rows = w[np_.clip(flat, 0, w.shape[0] - 1)]
+            rows[flat < 0] = 0.0
+            rows_out[gk] = rows.astype(np_.float32)
+            ids_out[gk] = flat
+        return rows_out, ids_out
+
+    def host_row_grads(
+        self, residuals: Dict[str, Any], out_grads: Dict[str, jnp.ndarray]
+    ) -> Dict[str, jnp.ndarray]:
+        """Per-row grads for HOST_OFFLOAD groups — returned from the
+        jitted step so the host can apply the sparse update."""
+        out: Dict[str, jnp.ndarray] = {}
+        for gk, (flat_ids, plan) in residuals.items():
+            g = self.groups[gk]
+            if g.sharding != HOST_OFFLOAD:
+                continue
+            grads = self._flat_row_grads(g, plan, out_grads)
+            if grads is not None:
+                out[gk] = grads
+        return out
+
+    def host_apply(
+        self,
+        host_grads: Dict[str, Any],
+        host_ids: Dict[str, Any],
+        lr_scale: float,
+    ) -> None:
+        """Numpy sparse update on the host tables: dedup duplicate ids
+        (sum their grads — the fused-update contract) then apply the
+        same optimizer math as the device path."""
+        import numpy as np_
+
+        lr = float(lr_scale) * self.optimizer.base_lr
+        if lr == 0.0:
+            return
+        c = self.optimizer.cfg
+        kind = self.optimizer.kind
+        eps = float(c.get("eps", 1e-10))
+        for gk, grads in host_grads.items():
+            flat = host_ids[gk]
+            grads = np_.asarray(grads, np_.float32)
+            valid = flat >= 0
+            if not valid.any():
+                continue
+            uids, inv = np_.unique(flat[valid], return_inverse=True)
+            summed = np_.zeros((uids.size, grads.shape[1]), np_.float32)
+            np_.add.at(summed, inv, grads[valid])
+            if c.get("gradient_clipping", False):
+                mg = float(c.get("max_gradient", 1.0))
+                summed = np_.clip(summed, -mg, mg)
+            w = self.host_tables[gk]
+            st = self.host_opt.get(gk, {})
+            wd = float(c.get("weight_decay", 0.0))
+            if wd and kind == "adam":
+                summed = summed + wd * w[uids]
+            if kind == "sgd":
+                w[uids] -= lr * summed
+            elif kind == "adagrad":
+                acc = st["acc"]
+                acc[uids] += summed * summed
+                w[uids] -= lr * summed / (np_.sqrt(acc[uids]) + eps)
+            elif kind == "rowwise_adagrad":
+                acc = st["acc"]
+                acc[uids] += (summed * summed).mean(axis=1, keepdims=True)
+                w[uids] -= lr * summed / (np_.sqrt(acc[uids]) + eps)
+            elif kind == "adam":
+                b1 = float(c.get("beta1", 0.9))
+                b2 = float(c.get("beta2", 0.999))
+                st["step"] = st["step"] + 1
+                t = int(st["step"])
+                m, v = st["m"], st["v"]
+                m[uids] = b1 * m[uids] + (1 - b1) * summed
+                v[uids] = b2 * v[uids] + (1 - b2) * summed * summed
+                mhat = m[uids] / (1 - b1**t)
+                vhat = v[uids] / (1 - b2**t)
+                w[uids] -= lr * mhat / (np_.sqrt(vhat) + eps)
+            else:  # guarded at _resolve_sharding
+                raise ValueError(f"host_offload: optimizer {kind}")
 
     def _flat_row_grads(self, g, plan, out_grads):
         pieces = []
@@ -887,8 +1099,13 @@ class EmbeddingEngine:
 
         out: Dict[str, Any] = {}
         for gk, g in self.groups.items():
-            w = np_.asarray(jax.device_get(tables[gk]))
-            st = jax.device_get(opt_state.get(gk, {})) if opt_state else {}
+            if g.sharding == HOST_OFFLOAD:
+                w = self.host_tables[gk]
+                st = self.host_opt.get(gk, {})
+            else:
+                w = np_.asarray(jax.device_get(tables[gk]))
+                st = (jax.device_get(opt_state.get(gk, {}))
+                      if opt_state else {})
             for t in g.specs:
                 off = g.offsets[t.name]
                 entry: Dict[str, Any] = {"weight": w[off : off + t.rows]}
@@ -910,11 +1127,18 @@ class EmbeddingEngine:
         new_tables = {}
         new_state = {}
         for gk, g in self.groups.items():
-            w = np_.array(jax.device_get(tables[gk]))
-            st = {
-                k: np_.array(v)
-                for k, v in jax.device_get(opt_state.get(gk, {})).items()
-            } if opt_state else {}
+            host = g.sharding == HOST_OFFLOAD
+            if host:
+                w = self.host_tables[gk]
+                st = self.host_opt.get(gk, {})
+            else:
+                w = np_.array(jax.device_get(tables[gk]))
+                st = {
+                    k: np_.array(v)
+                    for k, v in jax.device_get(
+                        opt_state.get(gk, {})
+                    ).items()
+                } if opt_state else {}
             for t in g.specs:
                 entry = canon.get(t.name)
                 if entry is None:
@@ -932,6 +1156,11 @@ class EmbeddingEngine:
                         st[k][off : off + t.rows] = v.astype(st[k].dtype)
                     else:
                         st[k] = v.astype(st[k].dtype)
+            if host:
+                # host tables restore in place; nothing enters the
+                # device state
+                self.host_opt[gk] = st
+                continue
             new_tables[gk] = self._device_put_table(jnp.asarray(w), g)
             if opt_state:
                 new_state[gk] = jax.tree_util.tree_map(
@@ -953,4 +1182,6 @@ class EmbeddingEngine:
         self, tables: Dict[str, jnp.ndarray], table_name: str
     ) -> jnp.ndarray:
         gk, off, rows = self.table_rows(table_name)
+        if self.groups[gk].sharding == HOST_OFFLOAD:
+            return self.host_tables[gk][off : off + rows]
         return jax.device_get(tables[gk])[off : off + rows]

@@ -1,29 +1,43 @@
-"""Embedding sharding planner.
+"""Embedding sharding planner (v2: 2-D HBM x host-DDR, constraints,
+ICI/DCN-aware cost model).
 
 Counterpart of /root/reference/tzrec/utils/plan_util.py
 (create_planner:93, DynamicProgrammingProposer:359-556,
 EmbeddingStorageEstimator:622-882): enumerates per-table sharding
-options, estimates per-step time + per-device HBM bytes with an
-ICI/HBM-bandwidth cost model, and picks the min-total-time plan under
-the device memory budget via dynamic programming over memory bins.
+options, estimates per-step time with a bandwidth cost model, and picks
+the min-total-time plan under BOTH device-HBM and host-DDR budgets via
+dynamic programming over a 2-D memory-bin grid (the reference's
+HBM+DDR topology dimensions).
 
 TPU option space (engine-supported): ``row_wise`` (block-sharded rows,
-allgather-ids / psum-scatter-rows exchange), ``column_wise`` (dim-sharded,
-all_to_all exchange), ``table_wise`` (whole tables bin-packed onto
-shards) and ``data_parallel`` (replicated table, allgather-(ids,grads)
-update). Bandwidths follow the
-reference's env-var contract (plan_util.py:111-114) with TPU defaults:
-INTRA_NODE_BANDWIDTH -> ICI bytes/s, HBM_BANDWIDTH, STORAGE_RESERVE_PERCENT.
+owner-bucketed all_to_all exchange), ``column_wise`` (dim-sharded),
+``table_wise`` (whole tables bin-packed onto shards), ``table_row_wise``
+(rows split over one host group), ``data_parallel`` (replicated), and
+``host_offload`` (weights + optimizer state in host DDR; only the
+batch's rows cross the host link each step — the fused_uvm/dynamicemb
+analogue for tables that exceed HBM).
+
+Per-table ``embedding_constraints.sharding_types`` from the feature
+config restrict a table's option set (reference ParameterConstraints,
+plan_util.py:132-170).
+
+Bandwidths follow the reference's env contract (plan_util.py:111-114)
+with TPU defaults: INTRA_NODE_BANDWIDTH -> ICI bytes/s,
+CROSS_NODE_BANDWIDTH -> DCN bytes/s (traffic between host groups),
+HOST_LINK_BANDWIDTH -> host<->device PCIe path, HBM_BANDWIDTH,
+HBM_CAPACITY, DDR_CAPACITY, STORAGE_RESERVE_PERCENT.
 """
 
 import dataclasses
 import json
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Set
 
 from torcheasyrec_tpu.parallel.emb_engine import (
+    _HOST_OPT_KINDS,
     COLUMN_WISE,
     DATA_PARALLEL,
+    HOST_OFFLOAD,
     ROW_WISE,
     TABLE_ROW_WISE,
     TABLE_WISE,
@@ -33,9 +47,23 @@ from torcheasyrec_tpu.utils.logging_util import logger
 
 # v5e-ish defaults; overridable via env like the reference
 _ICI_BW = float(os.environ.get("INTRA_NODE_BANDWIDTH", 4.5e10))  # B/s
+_DCN_BW = float(os.environ.get("CROSS_NODE_BANDWIDTH", 2.5e10))  # B/s
+_HOST_BW = float(os.environ.get("HOST_LINK_BANDWIDTH", 1.0e10))  # B/s
 _HBM_BW = float(os.environ.get("HBM_BANDWIDTH", 8.1e11))  # B/s
 _HBM_CAP = float(os.environ.get("HBM_CAPACITY", 16e9))  # bytes
 _RESERVE = float(os.environ.get("STORAGE_RESERVE_PERCENT", 0.15))
+
+
+def _ddr_capacity() -> float:
+    if "DDR_CAPACITY" in os.environ:
+        return float(os.environ["DDR_CAPACITY"])
+    try:
+        return float(
+            os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+        )
+    except (ValueError, OSError, AttributeError):
+        return 64e9
+
 
 _OPT_STATE_FACTOR = {
     "sgd": 0.0,
@@ -55,53 +83,85 @@ _OPT_STATE_FACTOR = {
 class _Option:
     sharding: str
     time_cost: float  # seconds per step (estimate)
-    mem_bytes: float  # per-device bytes
+    mem_bytes: float  # per-device HBM bytes
+    ddr_bytes: float = 0.0  # host-DDR bytes (host_offload tier)
+
+
+def _wire_time(bytes_total: float, n_devices: int,
+               shards_per_host: int) -> float:
+    """Collective wire time: the fraction of ring traffic that crosses
+    host-group boundaries rides DCN, the rest ICI."""
+    n_hosts = max(n_devices // max(shards_per_host, 1), 1)
+    if n_hosts <= 1:
+        return bytes_total / _ICI_BW
+    cross = bytes_total * (n_hosts - 1) / n_hosts
+    return (bytes_total - cross) / _ICI_BW + cross / _DCN_BW
 
 
 def _options(
     spec: TableSpec, n_devices: int, ids_per_step: float, opt_factor: float,
     shards_per_host: int = 1,
+    allow_host: bool = True,
 ) -> List[_Option]:
     bytes_table = spec.rows * spec.dim * 4.0 * (1.0 + opt_factor)
     row_bytes = spec.dim * 4.0
     n = ids_per_step  # global ids per step for this table
     out = []
-    # row_wise: fwd allgather ids (n*4*D read) + masked gather (D*n rows)
-    # + psum_scatter rows; bwd allgather row grads (D*n*row_bytes)
+    n_hosts = max(n_devices // max(shards_per_host, 1), 1)
     if n_devices > 1:
-        comm = (
-            n * 4.0 * n_devices  # ids allgather
-            + n * row_bytes * (n_devices - 1)  # rows reduce-scatter-ish
-            + n * row_bytes * (n_devices - 1)  # grads allgather
-        ) / _ICI_BW
-        hbm = (n_devices * n * row_bytes * 3.0) / _HBM_BW
+        # row_wise: a2a ids (n*4) + a2a rows (n*row_bytes) +
+        # a2a grads back (n*row_bytes); per-device wire bytes
+        wire = n * (4.0 + 2.0 * row_bytes)
+        comm = _wire_time(wire, n_devices, shards_per_host)
+        hbm = (n * row_bytes * 3.0) / _HBM_BW
         out.append(_Option(ROW_WISE, comm + hbm, bytes_table / n_devices))
-        # column_wise: ids allgather + all_to_all rows/grads — same
-        # wire bytes as row_wise's psum_scatter/allgather pair; small
-        # tie-break penalty so row_wise wins at equal cost (CW's value
-        # is balancing hot rows / huge dims, selectable via forced plan)
+        # column_wise: every shard touches every id but only dim/D of
+        # each row — same wire volume, small tie-break penalty so
+        # row_wise wins at equal cost (CW's value is balancing hot rows
+        # / huge dims, selectable via constraint or forced plan)
         if spec.dim % n_devices == 0:
             out.append(_Option(
                 COLUMN_WISE, (comm + hbm) * 1.05, bytes_table / n_devices
             ))
-        # table_wise: row_wise exchange but the owning shard does ALL
-        # the row traffic (hot-spot) and holds the whole table
-        out.append(_Option(TABLE_WISE, comm + hbm * n_devices, bytes_table))
-        # table_row_wise: rows split over one host group's shards —
-        # milder hot-spot than table_wise, memory / shards_per_host
+        # table_wise: the owning shard serves ALL the row traffic
+        # (hot-spot on its HBM + its links, riding DCN from other hosts)
+        tw_comm = (
+            n * (4.0 + 2.0 * row_bytes)
+        ) / (_DCN_BW if n_hosts > 1 else _ICI_BW)
+        out.append(_Option(
+            TABLE_WISE, tw_comm + hbm * n_devices, bytes_table
+        ))
+        # table_row_wise: rows split over ONE host group — remote hosts'
+        # ids/rows ride DCN to that group, the gather fans out on ICI
         if 1 < shards_per_host < n_devices:
+            cross = n * (4.0 + 2.0 * row_bytes) * (n_hosts - 1) / n_hosts
+            twrw_comm = cross / _DCN_BW + (
+                n * (4.0 + 2.0 * row_bytes) - cross
+            ) / _ICI_BW
             out.append(_Option(
                 TABLE_ROW_WISE,
-                comm + hbm * (n_devices // shards_per_host),
+                twrw_comm + hbm * n_hosts,
                 bytes_table / shards_per_host,
             ))
     # data_parallel: local gather; update allgathers (ids, grads)
     comm_dp = (
-        (n * (4.0 + row_bytes) * (n_devices - 1)) / _ICI_BW
+        _wire_time(n * (4.0 + row_bytes) * (n_devices - 1) / n_devices,
+                   n_devices, shards_per_host)
         if n_devices > 1 else 0.0
     )
-    hbm_dp = (n * row_bytes * 3.0 * n_devices) / _HBM_BW
+    hbm_dp = (n * row_bytes * 3.0) / _HBM_BW
     out.append(_Option(DATA_PARALLEL, comm_dp + hbm_dp, bytes_table))
+    if allow_host:
+        # host_offload: batch rows H2D + row grads D2H over the host
+        # link, plus the host-side gather/update (DDR ~ 0.5e11 B/s);
+        # HBM holds only the staged rows
+        host_traffic = 2.0 * n * row_bytes / _HOST_BW
+        host_mem = 3.0 * n * row_bytes / 5.0e10
+        out.append(_Option(
+            HOST_OFFLOAD, host_traffic + host_mem,
+            mem_bytes=2.0 * n * row_bytes,
+            ddr_bytes=bytes_table,
+        ))
     return out
 
 
@@ -112,46 +172,84 @@ def create_plan(
     avg_ids_per_sample: float = 1.0,
     optimizer_kind: str = "adagrad",
     hbm_budget: Optional[float] = None,
+    ddr_budget: Optional[float] = None,
     n_bins: int = 64,
+    n_ddr_bins: int = 16,
     shards_per_host: int = 1,
+    host_excluded: Optional[Set[str]] = None,
 ) -> Dict[str, str]:
-    """DP over memory bins -> {table_name: sharding}."""
+    """2-D DP over (HBM, DDR) memory bins -> {table_name: sharding}.
+
+    host_excluded: table names that must not offload (zch/dynamicemb
+    tables remap ids on-device).
+    """
     if not specs:
         return {}
     budget = (hbm_budget or _HBM_CAP) * (1.0 - _RESERVE)
+    ddr = (ddr_budget or _ddr_capacity()) * (1.0 - _RESERVE)
     opt_factor = _OPT_STATE_FACTOR.get(optimizer_kind, 1.0)
+    host_ok = (
+        optimizer_kind in _HOST_OPT_KINDS
+        and int(os.environ.get("TZREC_DISABLE_HOST_OFFLOAD", "0")) == 0
+    )
+    try:
+        import jax
+
+        host_ok = host_ok and jax.process_count() == 1
+    except Exception:  # noqa: BLE001
+        pass
+    host_excluded = host_excluded or set()
     ids = batch_size * avg_ids_per_sample
-    table_opts = [
-        _options(s, n_devices, ids, opt_factor, shards_per_host)
-        for s in specs
-    ]
+
+    table_opts: List[List[_Option]] = []
+    for s in specs:
+        opts = _options(
+            s, n_devices, ids, opt_factor, shards_per_host,
+            allow_host=host_ok and s.name not in host_excluded,
+        )
+        if s.sharding_types:
+            allowed = set(s.sharding_types)
+            narrowed = [o for o in opts if o.sharding in allowed]
+            if narrowed:
+                opts = narrowed
+            else:
+                logger.warning(
+                    f"planner: table {s.name} constraints "
+                    f"{s.sharding_types} match no feasible layout at "
+                    f"D={n_devices}; ignoring constraints"
+                )
+        table_opts.append(opts)
+
     bin_bytes = budget / n_bins
+    ddr_bin_bytes = ddr / n_ddr_bins if ddr > 0 else float("inf")
     inf = float("inf")
-    # dp[b] = (cost, choices) best plan using <= b bins
-    dp = [(0.0, [])] + [(inf, None)] * n_bins
+    # dp[(hb, db)] = (cost, choices) best plan using <= hb HBM bins and
+    # <= db DDR bins
+    dp = {(0, 0): (0.0, [])}
     for opts in table_opts:
-        ndp = [(inf, None)] * (n_bins + 1)
-        for b in range(n_bins + 1):
-            cost, choices = dp[b]
-            if choices is None:
-                continue
+        ndp: Dict[tuple, tuple] = {}
+        for (hb, db), (cost, choices) in dp.items():
             for oi, o in enumerate(opts):
-                need = int(-(-o.mem_bytes // bin_bytes))
-                nb = b + need
-                if nb > n_bins:
+                need_h = int(-(-o.mem_bytes // bin_bytes))
+                need_d = (
+                    int(-(-o.ddr_bytes // ddr_bin_bytes))
+                    if o.ddr_bytes else 0
+                )
+                nh, nd = hb + need_h, db + need_d
+                if nh > n_bins or nd > n_ddr_bins:
                     continue
                 ncost = cost + o.time_cost
-                if ncost < ndp[nb][0]:
-                    ndp[nb] = (ncost, choices + [oi])
+                cur = ndp.get((nh, nd))
+                if cur is None or ncost < cur[0]:
+                    ndp[(nh, nd)] = (ncost, choices + [oi])
         dp = ndp
-    best = min(
-        (entry for entry in dp if entry[1] is not None),
-        default=(inf, None),
-        key=lambda e: e[0],
-    )
+        if not dp:
+            break
+    best = min(dp.values(), key=lambda e: e[0]) if dp else (inf, None)
     if best[1] is None:
         logger.warning(
-            "planner: no plan fits the HBM budget; defaulting to row_wise"
+            "planner: no plan fits the HBM+DDR budgets; defaulting to "
+            "row_wise"
         )
         return {s.name: ROW_WISE if n_devices > 1 else DATA_PARALLEL
                 for s in specs}
@@ -159,7 +257,7 @@ def create_plan(
         s.name: table_opts[i][oi].sharding
         for i, (s, oi) in enumerate(zip(specs, best[1]))
     }
-    counts = {}
+    counts: Dict[str, int] = {}
     for v in plan.values():
         counts[v] = counts.get(v, 0) + 1
     logger.info(
