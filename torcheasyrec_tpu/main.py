@@ -307,7 +307,35 @@ def make_train_step(model, tx, sparse_sched, dense_sched, compute_dtype,
                 (dgrads, emb_grads),
             )
 
-        lr_scale = sparse_sched["fn"](step)
+        # by_epoch schedules step once per epoch (the host loop tracks
+        # state["epoch"]); per-part dense schedules return a pytree of
+        # per-leaf multipliers (optimizer_builder.create_dense_optimizer)
+        epoch = state.get("epoch")
+        sparse_t = (
+            epoch if (sparse_sched.get("by_epoch") and epoch is not None)
+            else step
+        )
+
+        def _dense_mult():
+            try:
+                m = dense_sched["fn"](step, epoch)
+            except TypeError:  # plain one-arg schedule fn
+                m = dense_sched["fn"](
+                    epoch if (dense_sched.get("by_epoch")
+                              and epoch is not None) else step
+                )
+            return m, bool(dense_sched.get("per_part"))
+
+        def _scale_updates(updates, mult, per_part, gate):
+            if per_part:
+                return jax.tree_util.tree_map(
+                    lambda u, m: u * (m * gate), updates, mult
+                )
+            return jax.tree_util.tree_map(
+                lambda u: u * (mult * gate), updates
+            )
+
+        lr_scale = sparse_sched["fn"](sparse_t)
         if use_scaler:
             # skip the whole sparse update on overflow steps (zeroed
             # grads would still advance adam moments)
@@ -328,12 +356,13 @@ def make_train_step(model, tx, sparse_sched, dense_sched, compute_dtype,
             updates, dense_opt_new = tx.update(
                 dgrads, state["dense_opt"], state["dense"]
             )
-            mult = dense_sched["fn"](step) * apply_now.astype(jnp.float32)
+            mult, per_part = _dense_mult()
+            gate = apply_now.astype(jnp.float32)
             if use_scaler:
                 # overflow microbatch: don't apply the window's update
-                mult = jnp.where(grads_finite, mult, 0.0)
+                gate = jnp.where(grads_finite, gate, 0.0)
                 apply_now = apply_now & grads_finite
-            updates = jax.tree_util.tree_map(lambda u: u * mult, updates)
+            updates = _scale_updates(updates, mult, per_part, gate)
             dense = optax.apply_updates(state["dense"], updates)
             dense_opt = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(apply_now, new, old)
@@ -347,10 +376,11 @@ def make_train_step(model, tx, sparse_sched, dense_sched, compute_dtype,
             updates, dense_opt = tx.update(
                 dgrads, state["dense_opt"], state["dense"]
             )
-            mult = dense_sched["fn"](step)
+            mult, per_part = _dense_mult()
+            gate = jnp.float32(1.0)
             if use_scaler:
-                mult = jnp.where(grads_finite, mult, 0.0)
-            updates = jax.tree_util.tree_map(lambda u: u * mult, updates)
+                gate = jnp.where(grads_finite, gate, 0.0)
+            updates = _scale_updates(updates, mult, per_part, gate)
             dense = optax.apply_updates(state["dense"], updates)
             accum = None
 
@@ -361,6 +391,8 @@ def make_train_step(model, tx, sparse_sched, dense_sched, compute_dtype,
             "dense_opt": dense_opt,
             "step": step + 1,
         }
+        if epoch is not None:
+            new_state["epoch"] = epoch
         if model.embedding_group.has_zch:
             new_state["zch"] = new_zch
         if grad_accum_steps > 1:
@@ -475,6 +507,8 @@ def train_and_evaluate(
         "sparse_opt": sparse_opt_state,
         "dense_opt": dense_opt_state,
         "step": jnp.zeros((), jnp.int32),
+        # epoch index for by_epoch LR schedules (stepped by the loop)
+        "epoch": jnp.zeros((), jnp.int32),
     }
     if model.embedding_group.has_zch:
         state["zch"] = model.embedding_group.init_zch_states()
@@ -611,6 +645,7 @@ def train_and_evaluate(
             # positions are per-pass: a checkpoint taken in epoch N
             # must not skip epoch N's rows on resume
             dataloader_state.clear()
+        state["epoch"] = jnp.full((), epoch, jnp.int32)
         train_iter = iter(train_dl(
             device_put_fn=None if multi_process else _to_device
         ))

@@ -100,39 +100,92 @@ def _mask_from_predicate(params, pred):
     return jax.tree_util.tree_unflatten(tree, mask_leaves)
 
 
+def _owner_index(path: str, part_patterns) -> int:
+    """0 = main optimizer; i+1 = first part whose regex fullmatches
+    (reference group_param_by_regex_pattern:222-241: re.fullmatch,
+    first match wins)."""
+    for i, pat in enumerate(part_patterns):
+        if pat.fullmatch(path):
+            return i + 1
+    return 0
+
+
 def create_dense_optimizer(
     dense_optimizer_config, params
 ) -> Tuple[optax.GradientTransformation, Dict]:
-    """DenseOptimizer proto + params pytree -> (optax tx, lr schedule)."""
+    """DenseOptimizer proto + params pytree -> (optax tx, lr schedule).
+
+    With part_optimizers, each part may carry its OWN learning_rate
+    oneof; a part without one inherits the main schedule config
+    (reference create_part_optim_schedulers:179-218). The returned
+    schedule dict's ``fn(step, epoch)`` yields a scalar multiplier, or
+    — when per-part schedules exist — a params-shaped pytree of
+    per-leaf multipliers (``per_part`` = True).
+    """
+    import jax.numpy as jnp
+
     which = dense_optimizer_config.WhichOneof("optimizer")
     cfg = config_to_kwargs(getattr(dense_optimizer_config, which))
     base_lr = float(cfg.get("lr", 0.002))
-    sched = create_lr_scheduler(dense_optimizer_config, base_lr)
+    main_sched = create_lr_scheduler(dense_optimizer_config, base_lr)
 
     part_cfgs = list(getattr(dense_optimizer_config, "part_optimizers", []))
     part_patterns = [re.compile(p.regex_pattern) for p in part_cfgs]
 
-    def in_any_part(path: str) -> bool:
-        return any(pat.search(path) for pat in part_patterns)
+    flat, tree = jax.tree_util.tree_flatten_with_path(params)
+    paths = ["/".join(str(getattr(k, "key", k)) for k in path)
+             for path, _ in flat]
+    owners = [_owner_index(p, part_patterns) for p in paths]
+    bn = [_is_bn_stat(p) for p in paths]
 
     txs = []
-    # main optimizer: all trainable params not matched by part optimizers
-    main_mask = _mask_from_predicate(
-        params, lambda p: (not _is_bn_stat(p)) and (not in_any_part(p))
+    scheds = [main_sched]
+    main_mask = jax.tree_util.tree_unflatten(
+        tree, [o == 0 and not b for o, b in zip(owners, bn)]
     )
     txs.append(optax.masked(_make_optax(which, cfg), main_mask))
-
-    for pc, pat in zip(part_cfgs, part_patterns):
+    for i, pc in enumerate(part_cfgs):
         pwhich = pc.WhichOneof("optimizer")
         pcfg = config_to_kwargs(getattr(pc, pwhich))
-        mask = _mask_from_predicate(
-            params,
-            lambda p, pat=pat: (not _is_bn_stat(p)) and bool(pat.search(p)),
+        mask = jax.tree_util.tree_unflatten(
+            tree, [o == i + 1 and not b for o, b in zip(owners, bn)]
         )
         txs.append(optax.masked(_make_optax(pwhich, pcfg), mask))
-
+        # per-part schedule: own learning_rate oneof, else the main
+        # schedule config re-scaled against the part's base lr
+        part_base = float(pcfg.get("lr", 0.002))
+        if pc.WhichOneof("learning_rate") is not None:
+            scheds.append(create_lr_scheduler(pc, part_base))
+        else:
+            scheds.append(
+                create_lr_scheduler(dense_optimizer_config, part_base)
+            )
     tx = optax.chain(*txs) if len(txs) > 1 else txs[0]
-    return tx, sched
+
+    per_part = len(part_cfgs) > 0 and any(
+        pc.WhichOneof("learning_rate") is not None for pc in part_cfgs
+    )
+
+    def fn(step, epoch=None):
+        def t_for(s):
+            # by_epoch schedules step once per epoch (reference
+            # lr_scheduler.py by_epoch contract)
+            return epoch if (s["by_epoch"] and epoch is not None) else step
+
+        if not per_part:
+            return main_sched["fn"](t_for(main_sched))
+        vals = [s["fn"](t_for(s)) for s in scheds]
+        leaves = [
+            jnp.float32(0.0) if b else vals[o]
+            for o, b in zip(owners, bn)
+        ]
+        return jax.tree_util.tree_unflatten(tree, leaves)
+
+    return tx, {
+        "fn": fn,
+        "by_epoch": main_sched["by_epoch"],
+        "per_part": per_part,
+    }
 
 
 def create_grad_clipper(grad_clipping_config):
