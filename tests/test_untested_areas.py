@@ -1,0 +1,317 @@
+"""Coverage for previously-untested subsystems: delta embedding dump,
+TB summary writer, Pareto multi-task loss weighting, and the
+predict-from-training-checkpoint pipeline.
+
+Reference test strategy: SURVEY.md §4 (every utility has a module
+test); tzrec counterparts: utils/delta_embedding_dump, main predict
+entry, loss/pe_mtl_loss.
+"""
+
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+# ----------------------------------------------------------- delta dump
+
+
+class _EgShim:
+    def __init__(self, engine):
+        self.engine = engine
+
+
+def _delta_setup():
+    from torcheasyrec_tpu.datasets.utils import SparseField
+    from torcheasyrec_tpu.parallel.emb_engine import (
+        EmbeddingEngine,
+        LookupSpec,
+        TableSpec,
+    )
+
+    engine = EmbeddingEngine(
+        [TableSpec("t_x", rows=100, dim=4)],
+        [LookupSpec("x", "f_x", "t_x", "sum"),
+         LookupSpec("s", "f_s", "t_x", combiner="none", is_sequence=True)],
+    )
+    tables = engine.init(jax.random.key(0))
+    sparse = {
+        "f_x": SparseField(
+            values=jnp.asarray([5, 9, 5, -1], jnp.int32),
+            lengths=jnp.asarray([2, 1, 1], jnp.int32),
+        ),
+    }
+    seq = {
+        "f_s": SparseField(
+            values=jnp.asarray([[7, 11], [7, -1]], jnp.int32),
+            lengths=jnp.asarray([2, 1], jnp.int32),
+        ),
+    }
+    return engine, tables, sparse, seq
+
+
+def test_delta_dump_writes_touched_rows(tmp_path):
+    from torcheasyrec_tpu.datasets.utils import Batch
+    from torcheasyrec_tpu.utils.delta_embedding_dump import (
+        DeltaEmbeddingDumper,
+    )
+
+    engine, tables, sparse, seq = _delta_setup()
+    d = DeltaEmbeddingDumper(
+        str(tmp_path), _EgShim(engine), dump_interval_steps=2
+    )
+    batch = Batch(sparse_features=sparse, sequence_sparse_features=seq)
+    d.observe(batch)
+    # interval gating: step 1 does not dump, step 2 does
+    assert not d.maybe_dump(1, tables)
+    assert not glob.glob(str(tmp_path / "*.parquet"))
+    assert d.maybe_dump(2, tables)
+
+    files = glob.glob(str(tmp_path / "delta_embedding-t_x-2.parquet"))
+    assert len(files) == 1
+    t = pq.read_table(files[0])
+    ids = t["id"].to_pylist()
+    # exactly the touched ids (dedup, padding -1 dropped, varlen tail
+    # beyond sum(lengths) ignored) — note lengths sum to 4 so all 4
+    # slots are live except the -1
+    assert ids == [5, 7, 9, 11]
+    full = np.asarray(engine.extract_table(tables, "t_x"))
+    np.testing.assert_allclose(
+        np.asarray(t["embedding"].to_pylist(), np.float32), full[ids],
+        rtol=1e-6,
+    )
+    # touched set cleared after a dump: a new interval only carries new ids
+    batch2 = Batch(sparse_features={
+        "f_x": type(sparse["f_x"])(
+            values=jnp.asarray([33], jnp.int32),
+            lengths=jnp.asarray([1], jnp.int32),
+        )
+    })
+    d.observe(batch2)
+    d.dump(4, tables)
+    t2 = pq.read_table(
+        glob.glob(str(tmp_path / "delta_embedding-t_x-4.parquet"))[0]
+    )
+    assert t2["id"].to_pylist() == [33]
+
+
+# ---------------------------------------------------------- summary util
+
+
+def test_summary_writer_writes_events(tmp_path):
+    from torcheasyrec_tpu.utils.summary_util import SummaryWriter
+
+    w = SummaryWriter(
+        str(tmp_path),
+        summaries=["loss", "learning_rate", "parameter",
+                   "global_gradient_norm"],
+    )
+    assert w.enabled("loss") and not w.enabled("gradient")
+    w.log_scalars(1, {"total_loss": jnp.float32(0.5)}, lr=0.01)
+    w.log_params(1, {"mlp": {"w": jnp.ones((4, 4))}})
+    w.log_grad_norms(1, {"mlp": {"w": jnp.ones((4, 4))}})
+    w.log_eval(1, {"auc": 0.75})
+    w.close()
+    events = glob.glob(str(tmp_path / "events.out.tfevents*"))
+    assert events, "no TB event file written"
+    assert os.path.getsize(events[0]) > 0
+
+    # disabled kinds are skipped without error
+    w2 = SummaryWriter(str(tmp_path / "min"), summaries=["loss"])
+    assert not w2.enabled("parameter")
+    w2.log_params(1, {"w": jnp.ones((2,))})  # no-op
+    w2.close()
+
+
+# --------------------------------------------------------- pe_mtl_loss
+
+
+def test_pareto_weights_prefer_smaller_loss():
+    from torcheasyrec_tpu.losses.pe_mtl_loss import pareto_loss_weights
+
+    w = pareto_loss_weights(
+        {"a": jnp.float32(1.0), "b": jnp.float32(10.0)}
+    )
+    assert float(w["a"]) > float(w["b"])
+    # weights average 1 over tasks (loss magnitude preserved)
+    assert float(w["a"] + w["b"]) == pytest.approx(2.0, rel=1e-5)
+
+
+def test_pareto_floors_respected():
+    from torcheasyrec_tpu.losses.pe_mtl_loss import pareto_loss_weights
+
+    w = pareto_loss_weights(
+        {"a": jnp.float32(0.1), "b": jnp.float32(50.0)},
+        min_weights={"b": 0.3},
+    )
+    # pre-scaling floor 0.3 of the simplex -> post-scaling >= 0.3 * k
+    # normalized by the simplex sum; conservative check: b keeps a
+    # non-vanishing share
+    assert float(w["b"]) / 2.0 >= 0.25
+
+
+def test_apply_pareto_weights_keeps_grad_flow():
+    from torcheasyrec_tpu.losses.pe_mtl_loss import apply_pareto_weights
+
+    def total(x):
+        losses = {"a": x * 2.0, "b": x * x}
+        weighted = apply_pareto_weights(losses)
+        return sum(weighted.values())
+
+    g = jax.grad(total)(jnp.float32(3.0))
+    # weights are stop_gradient'ed: d/dx = w_a*2 + w_b*2x with w treated
+    # as constants — finite and nonzero
+    assert np.isfinite(float(g)) and float(g) != 0.0
+
+
+def test_pareto_e2e_multitask_train():
+    """simple_multi_task with use_pareto_loss_weight trains one step and
+    produces reweighted (still finite) losses."""
+    from google.protobuf import text_format
+
+    from torcheasyrec_tpu.datasets.data_parser import DataParser
+    from torcheasyrec_tpu.features import create_features
+    from torcheasyrec_tpu.main import make_train_step
+    from torcheasyrec_tpu.models import create_model
+    from torcheasyrec_tpu.optim.optimizer_builder import (
+        create_dense_optimizer,
+    )
+    from torcheasyrec_tpu.parallel.sparse_optim import SparseOptimizer
+    from torcheasyrec_tpu.protos import feature_pb2, model_pb2, optimizer_pb2
+
+    feats = create_features([text_format.Parse(
+        "id_feature { feature_name: 'uid' num_buckets: 50 "
+        "embedding_dim: 8 }", feature_pb2.FeatureConfig()
+    )])
+    mc = text_format.Parse("""
+        feature_groups { group_name: "all" feature_names: ["uid"]
+                         group_type: DEEP }
+        simple_multi_task {
+            task_towers { tower_name: "t1" label_name: "label"
+                mlp { hidden_units: [8] } pareto_min_loss_weight: 0.2
+                losses { binary_cross_entropy {} } metrics { auc {} } }
+            task_towers { tower_name: "t2" label_name: "label2"
+                mlp { hidden_units: [8] }
+                losses { binary_cross_entropy {} } metrics { auc {} } }
+        }
+        use_pareto_loss_weight: true
+        losses { binary_cross_entropy {} }
+    """, model_pb2.ModelConfig())
+    model = create_model(
+        mc, feats, ["label", "label2"],
+        sparse_optimizer=SparseOptimizer("adagrad", {"lr": 0.01}),
+    )
+    assert model._use_pareto
+    rng = np.random.default_rng(0)
+    B = 16
+    parser = DataParser(feats, labels=["label", "label2"])
+    batch = parser.parse_to_batch({
+        "uid": pa.array(rng.integers(0, 50, B)),
+        "label": pa.array((rng.random(B) > 0.5).astype(np.float32)),
+        "label2": pa.array((rng.random(B) > 0.5).astype(np.float32)),
+    })
+    dense = model.init(jax.random.key(0))
+    tables = model.embedding_group.init_tables(jax.random.key(1))
+    so = model.embedding_group.init_opt_state()
+    dc = optimizer_pb2.DenseOptimizer()
+    dc.adam_optimizer.lr = 0.01
+    tx, sched = create_dense_optimizer(dc, dense)
+    state = {"dense": dense, "tables": tables, "sparse_opt": so,
+             "dense_opt": tx.init(dense),
+             "step": jnp.zeros((), jnp.int32)}
+    one = {"fn": lambda s: jnp.float32(1.0)}
+    step = jax.jit(make_train_step(model, tx, one, sched, jnp.float32))
+    _, metrics, _ = step(state, batch, jax.random.key(2))
+    m = jax.device_get(metrics)
+    l1 = float(m["binary_cross_entropy_t1"])
+    l2 = float(m["binary_cross_entropy_t2"])
+    assert np.isfinite(l1) and np.isfinite(l2)
+    assert np.isfinite(float(m["total_loss"]))
+
+
+# ----------------------------------------------------- predict_checkpoint
+
+
+def test_predict_checkpoint_e2e(tmp_path):
+    """Train briefly, then batch-infer straight from the training
+    checkpoint (no export step) with reserved + output column control."""
+    tmp = str(tmp_path)
+    rng = np.random.default_rng(0)
+    n = 300
+    ids = rng.integers(0, 100, n)
+    y = (rng.random(n) > 0.5).astype(np.float32)
+    pq.write_table(pa.table({
+        "item_id": pa.array(ids.astype(np.int64)),
+        "label": pa.array(y),
+    }), os.path.join(tmp, "train.parquet"))
+    # predict input has a remainder-sized last batch on purpose
+    pq.write_table(pa.table({
+        "item_id": pa.array(ids[:77].astype(np.int64)),
+        "label": pa.array(y[:77]),
+    }), os.path.join(tmp, "pred.parquet"))
+    cfg = f"""
+train_input_path: "{tmp}/train.parquet"
+eval_input_path: "{tmp}/train.parquet"
+model_dir: "{tmp}/model"
+train_config {{
+    sparse_optimizer {{ adagrad_optimizer {{ lr: 0.1 }}
+                        constant_learning_rate {{}} }}
+    dense_optimizer {{ adam_optimizer {{ lr: 0.01 }}
+                       constant_learning_rate {{}} }}
+    num_epochs: 1
+    save_checkpoints_steps: 10000
+}}
+data_config {{
+    batch_size: 32
+    dataset_type: ParquetDataset
+    fg_mode: FG_NONE
+    label_fields: "label"
+}}
+feature_configs {{
+    id_feature {{ feature_name: "item_id" num_buckets: 100
+                  embedding_dim: 8 }}
+}}
+model_config {{
+    feature_groups {{ group_name: "deep" feature_names: "item_id"
+                      group_type: DEEP }}
+    feature_groups {{ group_name: "wide" feature_names: "item_id"
+                      group_type: WIDE }}
+    deepfm {{ deep {{ hidden_units: [8] }} }}
+    losses {{ binary_cross_entropy {{}} }}
+    metrics {{ auc {{}} }}
+}}
+"""
+    cfg_path = os.path.join(tmp, "pipeline.config")
+    with open(cfg_path, "w") as f:
+        f.write(cfg)
+    from torcheasyrec_tpu import main as tzrec_main
+
+    tzrec_main.train_and_evaluate(cfg_path)
+    out = os.path.join(tmp, "pred_out")
+    tzrec_main.predict_checkpoint(
+        cfg_path,
+        predict_input_path=os.path.join(tmp, "pred.parquet"),
+        predict_output_path=out,
+        reserved_columns="item_id,label",
+        output_columns="probs",
+        batch_size=32,
+    )
+    t = pq.read_table(out)
+    # predict keeps the remainder batch: all 77 rows scored
+    assert t.num_rows == 77
+    assert {"item_id", "label", "probs"} <= set(t.column_names)
+    probs = np.asarray(t["probs"].to_pylist(), np.float64)
+    assert ((probs >= 0) & (probs <= 1)).all()
+    # reserved columns round-trip in input order
+    np.testing.assert_array_equal(
+        np.asarray(t["item_id"].to_pylist()), ids[:77]
+    )
+    # scores come from the TRAINED checkpoint: same id -> same prob
+    by_id = {}
+    for i, p in zip(t["item_id"].to_pylist(), probs):
+        by_id.setdefault(i, set()).add(round(float(p), 6))
+    assert all(len(v) == 1 for v in by_id.values())

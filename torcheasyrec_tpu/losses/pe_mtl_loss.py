@@ -34,14 +34,23 @@ def pareto_loss_weights(
     )
     w = jnp.full((k,), 1.0 / k, jnp.float32)
     # min_w (w . l)^2 s.t. simplex + floors -> push weight toward smaller
-    # losses while keeping the floor; projected gradient descent
-    lr = 0.5 / (jnp.max(jnp.abs(l)) + 1e-6) ** 2
+    # losses while keeping the floor; projected gradient descent on
+    # max-normalized losses (weights depend only on loss RATIOS, and the
+    # normalization bounds the step so iterates can't overshoot to zero)
+    l = l / (jnp.max(jnp.abs(l)) + 1e-12)
+    lr = 0.15
+
+    uniform = jnp.full((k,), 1.0 / k, jnp.float32)
 
     def body(_, w):
         grad = 2.0 * jnp.dot(w, l) * l
         w = w - lr * grad
         w = jnp.maximum(w, floors)
-        return w / jnp.maximum(jnp.sum(w), 1e-12)
+        total = jnp.sum(w)
+        # an aggressive step can clip EVERY weight to its floor-0; a
+        # bare renormalization would then freeze the solver at all-zero
+        return jnp.where(total > 1e-12, w / jnp.maximum(total, 1e-12),
+                         uniform)
 
     w = jax.lax.fori_loop(0, iters, body, w)
     # scale so weights average 1 (keeps loss magnitude comparable)

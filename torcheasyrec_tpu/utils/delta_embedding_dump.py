@@ -48,7 +48,10 @@ class DeltaEmbeddingDumper:
             if field.lengths is not None and field.values.ndim == 1:
                 total = int(np.asarray(field.lengths).sum())
                 vals = vals[:total]
-            s = self._touched.setdefault(name, set())
+            # accumulate per TABLE: features sharing an embedding table
+            # touch the same row space and must land in one shard (a
+            # per-feature split would overwrite the shared table's file)
+            s = self._touched.setdefault(self._feature_to_table[name], set())
             s.update(int(v) for v in np.unique(vals) if v >= 0)
 
     def maybe_dump(self, step: int, tables) -> bool:
@@ -58,10 +61,9 @@ class DeltaEmbeddingDumper:
         return True
 
     def dump(self, step: int, tables) -> None:
-        for fname, ids in self._touched.items():
+        for table_name, ids in self._touched.items():
             if not ids:
                 continue
-            table_name = self._feature_to_table[fname]
             full = self._eg.engine.extract_table(tables, table_name)
             id_arr = np.asarray(sorted(ids), np.int64)
             id_arr = id_arr[id_arr < full.shape[0]]
