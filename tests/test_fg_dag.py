@@ -30,6 +30,8 @@ FEATURES = [
        hash_bucket_size: 800 embedding_dim: 8 }""",
     """lookup_feature { feature_name: 'kv' 
        expression: ['item:kv_map', 'user:kv_key'] }""",
+    """match_feature { feature_name: 'm'
+       nested_map: 'user:nested' pkey: 'item:pk' skey: 'item:sk' }""",
 ]
 
 
@@ -55,6 +57,18 @@ def _data():
             ["a:1.5\x1da:2.5", "b:7", "", "a:3xy", "c:9\x1da:4"]
         ),
         "kv_key": pa.array(["a", "b", "a", "a", "a"]),
+        # match probes: duplicate pk groups (LAST group REPLACES the
+        # whole entry, so a later group lacking skey clears the value),
+        # malformed groups, empty/non-numeric values, nulls
+        "nested": pa.array([
+            "p1^a:1.5,b:2|p2^a:9",
+            "p1^a:3|p1^b:4",          # later p1 group lacks 'a' -> 0
+            "",                        # empty map
+            "junk|p3^x:7xy,x:8",       # malformed group + dup key in grp
+            None,                      # null map
+        ]),
+        "pk": pa.array(["p2", "p1", "p1", "p3", "p1"]),
+        "sk": pa.array(["a", "a", "a", "x", "a"]),
     }
 
 
@@ -63,7 +77,8 @@ def test_dag_matches_python_paths():
     data = _data()
     dag = FgDag(feats)
     handled = {f.name for f in feats if dag.handles(f.name)}
-    assert handled == {"cat", "tags", "price", "ctr", "cat_x_cty", "kv"}
+    assert handled == {"cat", "tags", "price", "ctr", "cat_x_cty", "kv",
+                       "m"}
 
     native = dag.parse(data, False)
     for f in feats:
@@ -94,3 +109,70 @@ def test_dag_through_data_parser():
     )
     assert "cat" in batch.sparse_features
     assert "price" in batch.dense_features
+
+
+def test_dag_match_kv_randomized_parity():
+    """Property-style fuzz: random nested maps / kv maps must agree
+    between the C++ kernels and the python reference paths."""
+    rng = np.random.default_rng(0)
+    n = 400
+    keys = ["a", "bb", "ccc", "d"]
+    pks = ["p1", "p2", "p3"]
+
+    def rand_val():
+        r = rng.random()
+        if r < 0.2:
+            return ""  # empty value
+        if r < 0.35:
+            return "x9z"  # non-numeric
+        return f"{rng.normal():.4g}"
+
+    nested_rows, kv_rows = [], []
+    for _ in range(n):
+        if rng.random() < 0.1:
+            nested_rows.append(None)
+        else:
+            groups = []
+            for _ in range(rng.integers(0, 4)):
+                pk = pks[rng.integers(0, len(pks))]
+                kvs = ",".join(
+                    f"{keys[rng.integers(0, len(keys))]}:{rand_val()}"
+                    for _ in range(rng.integers(0, 4))
+                )
+                groups.append(f"{pk}^{kvs}")
+            nested_rows.append("|".join(groups))
+        if rng.random() < 0.1:
+            kv_rows.append(None)
+        else:
+            kv_rows.append("\x1d".join(
+                f"{keys[rng.integers(0, len(keys))]}:{rand_val()}"
+                for _ in range(rng.integers(0, 5))
+            ))
+    data = {
+        "nested": pa.array(nested_rows),
+        "pk": pa.array([pks[rng.integers(0, len(pks))] for _ in range(n)]),
+        "sk": pa.array([keys[rng.integers(0, len(keys))] for _ in range(n)]),
+        "kv_map": pa.array(kv_rows),
+        "kv_key": pa.array(
+            [keys[rng.integers(0, len(keys))] for _ in range(n)]
+        ),
+    }
+    cfgs = [
+        text_format.Parse(t, feature_pb2.FeatureConfig()) for t in [
+            """match_feature { feature_name: 'm'
+               nested_map: 'user:nested' pkey: 'item:pk'
+               skey: 'item:sk' }""",
+            """lookup_feature { feature_name: 'kv'
+               expression: ['item:kv_map', 'user:kv_key'] }""",
+        ]
+    ]
+    feats = create_features(cfgs, fg_mode=FgMode.FG_NORMAL)
+    dag = FgDag(feats)
+    assert dag.handles("m") and dag.handles("kv")
+    native = dag.parse(data, False)
+    for f in feats:
+        ref = f.parse(data, False)
+        np.testing.assert_allclose(
+            native[f.name].values, ref.values, rtol=1e-6, atol=1e-7,
+            err_msg=f.name,
+        )

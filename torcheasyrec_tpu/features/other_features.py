@@ -30,19 +30,35 @@ class ComboFeature(BaseFeature):
         return True
 
     def _parse_fg(self, input_data: Dict[str, pa.Array], is_training: bool) -> Any:
-        cols = [input_data[c].cast(pa.string(), safe=False).to_pylist()
-                for _, c in self.side_inputs]
-        n = len(cols[0])
-        tokens: List[str] = []
-        lengths = np.zeros((n,), np.int32)
-        for i in range(n):
-            vals = [c[i] for c in cols]
-            if any(v is None or v == "" for v in vals):
-                continue
-            tokens.append("\x1d".join(str(v) for v in vals))
-            lengths[i] = 1
-        ids = self._vocab_to_ids(np.asarray(tokens, dtype=object)) if tokens \
-            else np.zeros((0,), np.int64)
+        # vectorized Arrow join (no per-row python; the hash-bucket
+        # variant additionally runs fully in C++ via the FG DAG)
+        import pyarrow.compute as pc
+
+        cols = []
+        for _, c in self.side_inputs:
+            arr = input_data[c]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            cols.append(arr.cast(pa.string(), safe=False))
+        valid = None
+        for c in cols:
+            v = pc.and_(
+                pc.is_valid(c), pc.not_equal(pc.fill_null(c, ""), "")
+            )
+            valid = v if valid is None else pc.and_(valid, v)
+        joined = pc.binary_join_element_wise(
+            *[pc.fill_null(c, "") for c in cols], "\x1d"
+        )
+        lengths = np.ascontiguousarray(
+            valid.to_numpy(zero_copy_only=False)
+        ).astype(np.int32)
+        tokens_arr = joined.filter(valid)
+        ids = (
+            self._vocab_to_ids(
+                np.asarray(tokens_arr.to_pylist(), dtype=object)
+            )
+            if len(tokens_arr) else np.zeros((0,), np.int64)
+        )
         return SparseData(self.name, ids, lengths)
 
 

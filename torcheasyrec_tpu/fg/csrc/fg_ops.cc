@@ -157,6 +157,7 @@ enum FgTaskKind {
   FG_TASK_COMBO_HASH = 1, // join n_inputs single values with \x1d, hash
   FG_TASK_RAW = 2,        // parse float (+log10) (+bucketize)
   FG_TASK_KV_LOOKUP = 3,  // map "k:v,k:v" column + key column -> float
+  FG_TASK_MATCH_LOOKUP = 4, // nested "pk^k:v,k:v|pk2^..." + pkey + skey
 };
 
 typedef struct {
@@ -314,6 +315,52 @@ void run_kv_lookup(FgTask& t) {
   t.out_total = t.n_rows;
 }
 
+void run_match_lookup(FgTask& t) {
+  // inputs[0] = nested map "pk1^k1:v1,k2:v2|pk2^..."; [1] = pkey; [2] =
+  // skey. Python-dict semantics preserved: the LAST group with a
+  // matching pk REPLACES earlier ones entirely (so a later match
+  // lacking skey clears an earlier value), and within a group the last
+  // duplicate key wins.
+  for (int64_t i = 0; i < t.n_rows; ++i) {
+    const char* pkey = t.data[1] + t.offsets[1][i];
+    int64_t pkey_len = t.offsets[1][i + 1] - t.offsets[1][i];
+    const char* skey = t.data[2] + t.offsets[2][i];
+    int64_t skey_len = t.offsets[2][i + 1] - t.offsets[2][i];
+    const char* m = t.data[0] + t.offsets[0][i];
+    const char* end = m + (t.offsets[0][i + 1] - t.offsets[0][i]);
+    double v = t.default_fval;
+    const char* grp = m;
+    while (grp < end) {
+      const char* grp_next = static_cast<const char*>(
+          memchr(grp, '|', end - grp));
+      const char* grp_end = grp_next ? grp_next : end;
+      const char* caret = static_cast<const char*>(
+          memchr(grp, '^', grp_end - grp));
+      if (caret && caret - grp == pkey_len &&
+          std::memcmp(grp, pkey, pkey_len) == 0) {
+        v = t.default_fval;  // a matching group replaces earlier ones
+        const char* entry = caret + 1;
+        while (entry < grp_end) {
+          const char* comma = static_cast<const char*>(
+              memchr(entry, ',', grp_end - entry));
+          const char* entry_end = comma ? comma : grp_end;
+          const char* colon = static_cast<const char*>(
+              memchr(entry, ':', entry_end - entry));
+          if (colon && colon - entry == skey_len &&
+              std::memcmp(entry, skey, skey_len) == 0) {
+            v = parse_double_strict(colon + 1, entry_end - colon - 1,
+                                    t.default_fval);
+          }
+          entry = entry_end + 1;
+        }
+      }
+      grp = grp_end + 1;
+    }
+    t.out_fvals[i] = static_cast<float>(v);
+  }
+  t.out_total = t.n_rows;
+}
+
 }  // namespace
 
 extern "C" {
@@ -335,6 +382,7 @@ int fg_run_dag(FgTask* tasks, int64_t n_tasks, int threads) {
         case FG_TASK_COMBO_HASH: run_combo_hash(t); break;
         case FG_TASK_RAW: run_raw(t); break;
         case FG_TASK_KV_LOOKUP: run_kv_lookup(t); break;
+        case FG_TASK_MATCH_LOOKUP: run_match_lookup(t); break;
         default: t.status = -2;
       }
       if (t.status != 0) errors.fetch_add(1);

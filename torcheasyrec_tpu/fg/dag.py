@@ -23,6 +23,7 @@ KIND_ID_HASH = 0
 KIND_COMBO_HASH = 1
 KIND_RAW = 2
 KIND_KV_LOOKUP = 3
+KIND_MATCH_LOOKUP = 4
 
 _PTR_I32 = ctypes.POINTER(ctypes.c_int32)
 
@@ -163,6 +164,14 @@ class FgDag:
                 and len(f.side_inputs) >= 2
                 and len(getattr(c, "separator", "\x1d") or "\x1d") == 1
             )
+        if tname == "MatchFeature":
+            # dense nested pk^k:v,...|... lookup (fixed separators);
+            # sparse id-mapping variants keep the python path
+            return (
+                not f.is_sparse
+                and max(getattr(f, "value_dim", 1), 1) <= 1
+                and len(f.side_inputs) >= 3
+            )
         return False
 
     def handles(self, name: str) -> bool:
@@ -292,6 +301,14 @@ class FgDag:
             t.out_vals = _np_addr(out_vals)
             t.max_tokens = n
             return (KIND_COMBO_HASH, n, out_vals, None, out_lengths)
+
+        if tname == "MatchFeature":
+            t.kind = KIND_MATCH_LOOKUP
+            t.default_fval = 0.0  # python path defaults missing keys to 0
+            out_fvals = np.empty(n, np.float32)
+            keepalive.append(out_fvals)
+            t.out_fvals = _np_addr(out_fvals)
+            return (KIND_MATCH_LOOKUP, n, None, out_fvals, out_lengths)
 
         if tname == "LookupFeature":
             t.kind = KIND_KV_LOOKUP
