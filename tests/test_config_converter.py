@@ -63,8 +63,156 @@ def test_convert_parses_and_loads(tmp_path):
     assert cfg.model_config.WhichOneof("model") == "deepfm"
     groups = {g.group_name for g in cfg.model_config.feature_groups}
     assert groups == {"wide", "deep"}
-    assert any("optimizer" in w for w in warnings)
+    # the TF optimizer is converted for real: lr + constant schedule
+    assert abs(cfg.train_config.dense_optimizer.adam_optimizer.lr - 0.001) < 1e-9
+    assert abs(cfg.train_config.sparse_optimizer.adam_optimizer.lr - 0.001) < 1e-9
+    assert cfg.train_config.num_steps == 2500
+    assert cfg.model_config.deepfm.deep.hidden_units  # dims present
     assert any("input_type" in w for w in warnings)
+
+
+def test_convert_mmoe_with_decay_and_task_towers():
+    from google.protobuf import text_format
+
+    from torcheasyrec_tpu.protos import pipeline_pb2
+    from torcheasyrec_tpu.tools.convert_easyrec_config import convert
+
+    src = """
+train_config {
+  optimizer_config {
+    adagrad_optimizer { learning_rate { exponential_decay_learning_rate {
+      initial_learning_rate: 0.05 decay_steps: 2000 decay_factor: 0.7
+      min_learning_rate: 0.0001 } } }
+  }
+  num_steps: 100
+}
+data_config { batch_size: 512 }
+feature_config {
+  features { input_names: "uid" feature_type: IdFeature
+             embedding_dim: 8 hash_bucket_size: 100 }
+  features { input_names: "tags" feature_type: TagFeature
+             embedding_dim: 8 hash_bucket_size: 50 kv_separator: ":" }
+  features { input_names: "hist" feature_type: SequenceFeature
+             sub_feature_type: IdFeature sequence_length: 30
+             embedding_dim: 8 hash_bucket_size: 100 }
+}
+model_config {
+  model_class: "MMoE"
+  feature_groups { group_name: "all" feature_names: "uid"
+                   feature_names: "tags" wide_deep: DEEP }
+  mmoe {
+    expert_dnn { hidden_units: [256, 128] }
+    num_expert: 3
+    task_towers { tower_name: "ctr" label_name: "clk"
+                  dnn { hidden_units: [64] } }
+    task_towers { tower_name: "cvr" label_name: "buy"
+                  dnn { hidden_units: [32] } }
+  }
+}
+"""
+    converted, warnings = convert(src)
+    cfg = text_format.Parse(converted, pipeline_pb2.EasyRecConfig())
+    ad = cfg.train_config.dense_optimizer.adagrad_optimizer
+    assert abs(ad.lr - 0.05) < 1e-7
+    ed = cfg.train_config.dense_optimizer.exponential_decay_learning_rate
+    assert ed.decay_size == 2000 and abs(ed.decay_factor - 0.7) < 1e-6
+    # labels recovered from task towers
+    assert list(cfg.data_config.label_fields) == ["clk", "buy"]
+    m = cfg.model_config.mmoe
+    assert list(m.expert_mlp.hidden_units) == [256, 128]
+    assert m.num_expert == 3
+    assert [t.tower_name for t in m.task_towers] == ["ctr", "cvr"]
+    assert list(m.task_towers[0].mlp.hidden_units) == [64]
+    assert m.task_towers[0].label_name == "clk"
+    # feature types: TagFeature -> weighted id; SequenceFeature -> seq id
+    f_by_name = {
+        getattr(f, f.WhichOneof("feature")).feature_name: f
+        for f in cfg.feature_configs
+    }
+    assert f_by_name["tags"].id_feature.weighted
+    assert f_by_name["hist"].WhichOneof("feature") == "sequence_id_feature"
+    assert f_by_name["hist"].sequence_id_feature.sequence_length == 30
+
+    # the converted config BUILDS a real model
+    from torcheasyrec_tpu.features import create_features
+    from torcheasyrec_tpu.models import create_model
+    from torcheasyrec_tpu.parallel.sparse_optim import SparseOptimizer
+
+    feats = create_features(list(cfg.feature_configs))
+    model = create_model(
+        cfg.model_config, feats, list(cfg.data_config.label_fields),
+        sparse_optimizer=SparseOptimizer("adagrad", {"lr": 0.05}),
+    )
+    assert model is not None
+
+
+def test_convert_from_fg_json():
+    from google.protobuf import text_format
+
+    from torcheasyrec_tpu.protos import pipeline_pb2
+    from torcheasyrec_tpu.tools.convert_easyrec_config import convert
+
+    fg = {"features": [
+        {"feature_type": "id_feature", "feature_name": "user_id",
+         "expression": "user:user_id", "hash_bucket_size": 1000,
+         "embedding_dim": 16, "default_value": "-1"},
+        {"feature_type": "raw_feature", "feature_name": "price",
+         "expression": "item:price",
+         "normalizer": "method=log10,threshold=1e-10,default=-10"},
+        {"feature_type": "lookup_feature", "feature_name": "kv",
+         "map": "user:kv_map", "key": "item:kv_key"},
+        {"feature_type": "match_feature", "feature_name": "m",
+         "user": "user:m_map", "category": "item:cate",
+         "item": "item:iid"},
+        {"sequence_name": "click_seq", "sequence_length": 40,
+         "sequence_delim": ";", "features": [
+             {"feature_type": "id_feature", "feature_name": "iid",
+              "expression": "item:iid", "hash_bucket_size": 2000,
+              "embedding_dim": 16},
+             {"feature_type": "raw_feature", "feature_name": "ts",
+              "expression": "item:ts"},
+         ]},
+    ]}
+    src = """
+model_config {
+  model_class: "DSSM"
+  feature_groups { group_name: "user" feature_names: "user_id"
+                   wide_deep: DEEP }
+  feature_groups { group_name: "item" feature_names: "price"
+                   wide_deep: DEEP }
+  dssm {
+    user_tower { id: "user" dnn { hidden_units: [128, 32] } }
+    item_tower { id: "item" dnn { hidden_units: [128, 32] } }
+    temperature: 0.2
+  }
+}
+data_config { batch_size: 256 label_fields: "clk" }
+"""
+    converted, warnings = convert(src, fg)
+    cfg = text_format.Parse(converted, pipeline_pb2.EasyRecConfig())
+    from torcheasyrec_tpu.protos import data_pb2
+
+    assert cfg.data_config.fg_mode == data_pb2.FgMode.FG_NORMAL
+    by = {}
+    for f in cfg.feature_configs:
+        which = f.WhichOneof("feature")
+        msg = getattr(f, which)
+        key = getattr(msg, "feature_name", None) or getattr(
+            msg, "sequence_name", ""
+        )
+        by[key] = (which, msg)
+    assert by["user_id"][0] == "id_feature"
+    assert by["user_id"][1].hash_bucket_size == 1000
+    assert by["price"][1].normalizer.startswith("method=log10")
+    assert by["kv"][1].map == "user:kv_map"
+    assert by["m"][1].nested_map == "user:m_map"
+    assert by["m"][1].pkey == "item:cate"
+    seq = by["click_seq"][1]
+    assert seq.sequence_length == 40 and len(seq.features) == 2
+    d = cfg.model_config.dssm
+    assert d.user_tower.input == "user"
+    assert list(d.user_tower.mlp.hidden_units) == [128, 32]
+    assert abs(d.temperature - 0.2) < 1e-6
 
 
 def test_reference_configs_parse():
