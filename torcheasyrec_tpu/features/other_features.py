@@ -278,6 +278,57 @@ class TokenizeFeature(BaseFeature):
                 self._tokenizer = None
         return self._tokenizer
 
+    def _normalize(self, text: str) -> str:
+        """TextNormalizer semantics (reference tokenize_feature.py:26-31,
+        98-145): case folding, SBC->DBC full-width conversion, stop-char
+        filtering; texts beyond max_length skip normalization. CHT->CHS
+        needs a conversion table and is warned once."""
+        c = self.config
+        if not (getattr(c, "HasField", None)
+                and c.HasField("text_normalizer")):
+            return text
+        nc = c.text_normalizer
+        if nc.max_length and len(text) > nc.max_length:
+            return text
+        opts = set(nc.norm_options) or {0, 2, 3, 4}  # reference default
+        if 3 in opts and not getattr(self, "_warned_cht", False):
+            from torcheasyrec_tpu.utils.logging_util import logger
+
+            logger.warning(
+                f"{self.name}: CHT2CHS needs a conversion table; skipped"
+            )
+            self._warned_cht = True
+        if 2 in opts:  # SBC2DBC: full-width -> half-width
+            text = "".join(
+                chr(o - 0xFEE0) if 0xFF01 <= (o := ord(ch)) <= 0xFF5E
+                else (" " if o == 0x3000 else ch)
+                for ch in text
+            )
+        if 1 in opts:
+            text = text.lower()
+        elif 0 in opts:
+            text = text.upper()
+        if 4 in opts:  # FILTER stop chars
+            stops = self._stop_chars()
+            if stops:
+                text = "".join(ch for ch in text if ch not in stops)
+        return text
+
+    def _stop_chars(self):
+        if not hasattr(self, "_stop_set"):
+            self._stop_set = set()
+            f = getattr(self.config.text_normalizer, "stop_char_file", "")
+            if f:
+                try:
+                    with open(f, encoding="utf-8") as fh:
+                        self._stop_set = {
+                            line.rstrip("\n") for line in fh
+                            if line.rstrip("\n")
+                        }
+                except OSError:
+                    pass
+        return self._stop_set
+
     def _parse_fg(self, input_data: Dict[str, pa.Array], is_training: bool) -> Any:
         feat = self._input_column(input_data)
         texts = feat.cast(pa.string(), safe=False).to_pylist()
@@ -287,6 +338,7 @@ class TokenizeFeature(BaseFeature):
         for i, t in enumerate(texts):
             if not t:
                 continue
+            t = self._normalize(str(t))
             if tok is not None:
                 ids = tok.encode(str(t)).ids
             else:
