@@ -32,6 +32,11 @@ FEATURES = [
        expression: ['item:kv_map', 'user:kv_key'] }""",
     """match_feature { feature_name: 'm'
        nested_map: 'user:nested' pkey: 'item:pk' skey: 'item:sk' }""",
+    """overlap_feature { feature_name: 'ov' method: 'query_common_ratio'
+       expression: ['user:query', 'item:title'] }""",
+    """overlap_feature { feature_name: 'ovb' method: 'is_contain'
+       expression: ['user:query', 'item:title']
+       boundaries: [0.5] embedding_dim: 4 }""",
 ]
 
 
@@ -69,6 +74,10 @@ def _data():
         ]),
         "pk": pa.array(["p2", "p1", "p1", "p3", "p1"]),
         "sk": pa.array(["a", "a", "a", "x", "a"]),
+        # overlap probes: duplicate tokens (set semantics), empty sides,
+        # nulls, full containment
+        "query": pa.array(["a\x1db\x1da", "", "x\x1dy", None, "q"]),
+        "title": pa.array(["b\x1dc", "z", "x\x1dy\x1dw", "t", "q"]),
     }
 
 
@@ -78,7 +87,7 @@ def test_dag_matches_python_paths():
     dag = FgDag(feats)
     handled = {f.name for f in feats if dag.handles(f.name)}
     assert handled == {"cat", "tags", "price", "ctr", "cat_x_cty", "kv",
-                       "m"}
+                       "m", "ov", "ovb"}
 
     native = dag.parse(data, False)
     for f in feats:
@@ -157,6 +166,19 @@ def test_dag_match_kv_randomized_parity():
             [keys[rng.integers(0, len(keys))] for _ in range(n)]
         ),
     }
+    toks = ["a", "bb", "ccc", "d", "ee"]
+    data["query"] = pa.array([
+        None if rng.random() < 0.1 else "\x1d".join(
+            toks[rng.integers(0, len(toks))]
+            for _ in range(rng.integers(0, 6))
+        ) for _ in range(n)
+    ])
+    data["title"] = pa.array([
+        None if rng.random() < 0.1 else "\x1d".join(
+            toks[rng.integers(0, len(toks))]
+            for _ in range(rng.integers(0, 6))
+        ) for _ in range(n)
+    ])
     cfgs = [
         text_format.Parse(t, feature_pb2.FeatureConfig()) for t in [
             """match_feature { feature_name: 'm'
@@ -164,11 +186,17 @@ def test_dag_match_kv_randomized_parity():
                skey: 'item:sk' }""",
             """lookup_feature { feature_name: 'kv'
                expression: ['item:kv_map', 'user:kv_key'] }""",
+            """overlap_feature { feature_name: 'ov'
+               method: 'title_common_ratio'
+               expression: ['user:query', 'item:title'] }""",
+            """overlap_feature { feature_name: 'ove' method: 'is_equal'
+               expression: ['user:query', 'item:title'] }""",
         ]
     ]
     feats = create_features(cfgs, fg_mode=FgMode.FG_NORMAL)
     dag = FgDag(feats)
     assert dag.handles("m") and dag.handles("kv")
+    assert dag.handles("ov") and dag.handles("ove")
     native = dag.parse(data, False)
     for f in feats:
         ref = f.parse(data, False)

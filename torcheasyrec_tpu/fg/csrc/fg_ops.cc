@@ -158,6 +158,7 @@ enum FgTaskKind {
   FG_TASK_RAW = 2,        // parse float (+log10) (+bucketize)
   FG_TASK_KV_LOOKUP = 3,  // map "k:v,k:v" column + key column -> float
   FG_TASK_MATCH_LOOKUP = 4, // nested "pk^k:v,k:v|pk2^..." + pkey + skey
+  FG_TASK_OVERLAP = 5,      // query/title token-set overlap ratios
 };
 
 typedef struct {
@@ -361,6 +362,89 @@ void run_match_lookup(FgTask& t) {
   t.out_total = t.n_rows;
 }
 
+// Tokenize a string by `sep` into up to `cap` DISTINCT token spans.
+// Returns the distinct count, or -1 when the row has too many tokens.
+inline int overlap_tokens(const char* s, int64_t len, char sep,
+                          const char** tok, int64_t* tok_len, int cap) {
+  int n = 0;
+  const char* p = s;
+  const char* end = s + len;
+  while (p <= end) {
+    const char* next = static_cast<const char*>(
+        p < end ? memchr(p, sep, end - p) : nullptr);
+    const char* tok_end = next ? next : end;
+    int64_t tl = tok_end - p;
+    if (tl > 0) {
+      bool dup = false;
+      for (int j = 0; j < n; ++j) {
+        if (tok_len[j] == tl && std::memcmp(tok[j], p, tl) == 0) {
+          dup = true;
+          break;
+        }
+      }
+      if (!dup) {
+        if (n >= cap) return -1;
+        tok[n] = p;
+        tok_len[n] = tl;
+        ++n;
+      }
+    }
+    if (!next) break;
+    p = next + 1;
+  }
+  return n;
+}
+
+void run_overlap(FgTask& t) {
+  // inputs[0] = query column, [1] = title column; method rides the
+  // normalizer slot: 0 query_common_ratio, 1 title_common_ratio,
+  // 2 is_contain, 3 is_equal. Optional boundaries bucketize the ratio
+  // (sparse variant), like run_raw.
+  constexpr int kCap = 256;
+  const char* qt[kCap];
+  int64_t ql[kCap];
+  const char* tt[kCap];
+  int64_t tl[kCap];
+  char sep = static_cast<char>(t.sep);
+  for (int64_t i = 0; i < t.n_rows; ++i) {
+    int qn = overlap_tokens(t.data[0] + t.offsets[0][i],
+                            t.offsets[0][i + 1] - t.offsets[0][i], sep,
+                            qt, ql, kCap);
+    int tn = overlap_tokens(t.data[1] + t.offsets[1][i],
+                            t.offsets[1][i + 1] - t.offsets[1][i], sep,
+                            tt, tl, kCap);
+    if (qn < 0 || tn < 0) {
+      t.status = -1;  // token overflow: python fallback
+      return;
+    }
+    int inter = 0;
+    for (int a = 0; a < qn; ++a) {
+      for (int b = 0; b < tn; ++b) {
+        if (ql[a] == tl[b] && std::memcmp(qt[a], tt[b], ql[a]) == 0) {
+          ++inter;
+          break;
+        }
+      }
+    }
+    double v = 0.0;
+    switch (t.normalizer) {
+      case 0: v = inter / static_cast<double>(std::max(qn, 1)); break;
+      case 1: v = inter / static_cast<double>(std::max(tn, 1)); break;
+      case 2: v = (qn > 0 && inter == qn) ? 1.0 : 0.0; break;
+      case 3: v = (qn > 0 && qn == tn && inter == qn) ? 1.0 : 0.0; break;
+    }
+    if (t.n_bounds > 0) {
+      t.out_vals[i] = std::upper_bound(t.boundaries,
+                                       t.boundaries + t.n_bounds, v) -
+                      t.boundaries;
+      t.out_lengths[i] = 1;
+    } else {
+      t.out_fvals[i] = static_cast<float>(v);
+    }
+  }
+  t.out_total = t.n_rows;
+}
+
 }  // namespace
 
 extern "C" {
@@ -383,6 +467,7 @@ int fg_run_dag(FgTask* tasks, int64_t n_tasks, int threads) {
         case FG_TASK_RAW: run_raw(t); break;
         case FG_TASK_KV_LOOKUP: run_kv_lookup(t); break;
         case FG_TASK_MATCH_LOOKUP: run_match_lookup(t); break;
+        case FG_TASK_OVERLAP: run_overlap(t); break;
         default: t.status = -2;
       }
       if (t.status != 0) errors.fetch_add(1);

@@ -24,6 +24,9 @@ KIND_COMBO_HASH = 1
 KIND_RAW = 2
 KIND_KV_LOOKUP = 3
 KIND_MATCH_LOOKUP = 4
+KIND_OVERLAP = 5
+_OVERLAP_METHODS = ("query_common_ratio", "title_common_ratio",
+                    "is_contain", "is_equal")
 
 _PTR_I32 = ctypes.POINTER(ctypes.c_int32)
 
@@ -172,6 +175,12 @@ class FgDag:
                 and max(getattr(f, "value_dim", 1), 1) <= 1
                 and len(f.side_inputs) >= 3
             )
+        if tname == "OverlapFeature":
+            return (
+                getattr(c, "method", "") in _OVERLAP_METHODS
+                and len(f.side_inputs) >= 2
+                and len(getattr(c, "separator", "\x1d") or "\x1d") == 1
+            )
         return False
 
     def handles(self, name: str) -> bool:
@@ -216,7 +225,7 @@ class FgDag:
                 continue
             kind, n, out_vals, out_fvals, out_lengths = b
             if kind in (KIND_ID_HASH, KIND_COMBO_HASH) or (
-                kind == KIND_RAW and t.n_bounds > 0
+                kind in (KIND_RAW, KIND_OVERLAP) and t.n_bounds > 0
             ):
                 out[f.name] = SparseData(
                     f.name, out_vals[: t.out_total], out_lengths, None
@@ -301,6 +310,27 @@ class FgDag:
             t.out_vals = _np_addr(out_vals)
             t.max_tokens = n
             return (KIND_COMBO_HASH, n, out_vals, None, out_lengths)
+
+        if tname == "OverlapFeature":
+            t.kind = KIND_OVERLAP
+            t.sep = ord((getattr(c, "separator", "\x1d") or "\x1d")[0])
+            t.normalizer = _OVERLAP_METHODS.index(c.method)
+            bounds = np.ascontiguousarray(list(c.boundaries), np.float64)
+            out_vals = None
+            out_fvals = None
+            if len(bounds):
+                keepalive.append(bounds)
+                t.boundaries = _np_addr(bounds)
+                t.n_bounds = len(bounds)
+                out_vals = np.empty(n, np.int64)
+                keepalive.append(out_vals)
+                t.out_vals = _np_addr(out_vals)
+                out_lengths[:] = 1
+            else:
+                out_fvals = np.empty(n, np.float32)
+                keepalive.append(out_fvals)
+                t.out_fvals = _np_addr(out_fvals)
+            return (KIND_OVERLAP, n, out_vals, out_fvals, out_lengths)
 
         if tname == "MatchFeature":
             t.kind = KIND_MATCH_LOOKUP
