@@ -766,15 +766,23 @@ class BaseFeature(metaclass=_meta_cls):
             # pyfg asserts a non-empty default for sequence features
             # (reference feature.py:997-1011)
             out["default_value"] = "0"
-        exprs = self.expressions
-        if len(exprs) == 1:
-            out["expression"] = exprs[0]
-        elif exprs:
-            out["expression"] = exprs
         c = self.config
+        if out["feature_type"] == "expr_feature":
+            # pyfg expr format: "expression" = the FORMULA, inputs ride
+            # in "variables" (emitted below)
+            out["expression"] = getattr(c, "expression", "")
+        else:
+            exprs = self.expressions
+            if len(exprs) == 1:
+                out["expression"] = exprs[0]
+            elif exprs:
+                out["expression"] = exprs
         for field in (
             "default_value", "separator", "hash_bucket_size", "num_buckets",
             "value_dim", "embedding_dim",
+            # serve-time transforms the online FG must replay: numeric
+            # normalizers, map/lookup keys, overlap method
+            "normalizer", "map", "key", "method", "vocab_file",
         ):
             v = getattr(c, field, None)
             if v:
@@ -785,6 +793,15 @@ class BaseFeature(metaclass=_meta_cls):
             out["boundaries"] = list(c.boundaries)
         if len(getattr(c, "vocab_list", [])):
             out["vocab_list"] = list(c.vocab_list)
+        if len(getattr(c, "variables", [])):
+            out["variables"] = list(c.variables)
+        # pyfg match format names the nested-map keys user/category/item
+        if out["feature_type"] == "match_feature":
+            for src, dst in (("nested_map", "user"), ("pkey", "category"),
+                             ("skey", "item")):
+                v = getattr(c, src, "")
+                if v:
+                    out[dst] = v
         return out
 
 
