@@ -214,6 +214,22 @@ class NegativeSamplerV2(BaseSampler):
                 if not bad.any():
                     break
                 rows[bad] = self._alias.sample(int(bad.sum()), self._rng)
+            bad = np.asarray(
+                [int(self._item_ids[r]) in banned for r in rows]
+            )
+            if bad.any():
+                # exact fallback: the exclusion is a CONTRACT (reference
+                # graphlearn negative_sampler_v2 samples the complement);
+                # under heavy ban ratios resampling alone leaks
+                ok_mask = np.asarray(
+                    [int(i) not in banned for i in self._item_ids]
+                )
+                w = self._item_weights * ok_mask
+                if w.sum() > 0:
+                    rows[bad] = self._rng.choice(
+                        len(self._item_ids), size=int(bad.sum()),
+                        p=w / w.sum(),
+                    )
         return self._append_negatives(columns, rows)
 
 
