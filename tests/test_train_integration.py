@@ -160,3 +160,33 @@ def test_continue_train_resumes(tmp_path):
     tzrec_main.train_and_evaluate(cfg_path, continue_train=True)
     second = checkpoint_util.list_checkpoints(model_dir)[-1]
     assert second >= first
+
+
+def test_continue_train_epoch_watermark(tmp_path):
+    """Resume must CONTINUE from the checkpointed epoch, not replay
+    finished epochs (reference EPOCHS_COMPLETED, main.py:356-373).
+    1024 rows / batch 128 = 8 steps/epoch: a 4-epoch run ends at step
+    32; raising num_epochs to 6 and resuming must add exactly 2 epochs
+    (16 steps), not re-run 6."""
+    tmp_path = str(tmp_path)
+    cfg_path, cfg = _write_config(tmp_path, DEEPFM_CONFIG)
+    features = create_features(list(cfg.feature_configs))
+    write_mock_parquet(
+        os.path.join(tmp_path, "train.parquet"), features, 1024,
+        ["label"], seed=0,
+    )
+    write_mock_parquet(
+        os.path.join(tmp_path, "eval.parquet"), features, 256,
+        ["label"], seed=1,
+    )
+    from torcheasyrec_tpu import main as tzrec_main
+    from torcheasyrec_tpu.utils import checkpoint_util
+
+    tzrec_main.train_and_evaluate(cfg_path)
+    model_dir = os.path.join(tmp_path, "model")
+    assert checkpoint_util.list_checkpoints(model_dir)[-1] == 32
+    tzrec_main.train_and_evaluate(
+        cfg_path, continue_train=True,
+        edit_config_json='{"train_config.num_epochs": 6}',
+    )
+    assert checkpoint_util.list_checkpoints(model_dir)[-1] == 48

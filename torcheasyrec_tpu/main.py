@@ -638,10 +638,20 @@ def train_and_evaluate(
         )
         delta_dumper = None
 
-    for epoch in range(num_epochs):
+    # epochs-completed watermark (reference EPOCHS_COMPLETED,
+    # main.py:356-373): a resume continues the epoch the checkpoint was
+    # taken in (its data position restores) instead of replaying
+    # finished epochs from zero
+    start_epoch = 0
+    if continue_train and latest:
+        start_epoch = min(
+            int(jax.device_get(state.get("epoch", 0))),
+            max(num_epochs - 1, 0),
+        )
+    for epoch in range(start_epoch, num_epochs):
         if stop:
             break
-        if epoch > 0:
+        if epoch > start_epoch:
             # positions are per-pass: a checkpoint taken in epoch N
             # must not skip epoch N's rows on resume
             dataloader_state.clear()
