@@ -1,4 +1,4 @@
-"""Batch packing: two-buffer H2D coalescing (datasets/pack.py)."""
+"""Batch packing: narrow typed-buffer H2D coalescing (datasets/pack.py)."""
 
 import jax
 import jax.numpy as jnp
@@ -52,7 +52,6 @@ def _mixed_batch():
 def test_pack_unpack_roundtrip():
     b = _mixed_batch()
     p = pack_batch(b)
-    assert p.ints.dtype == np.int32 and p.floats.dtype == np.float32
     assert p.host_batch is b
     out = unpack_batch(p)
     la, lb = jax.tree_util.tree_leaves(out), jax.tree_util.tree_leaves(b)
@@ -62,6 +61,70 @@ def test_pack_unpack_roundtrip():
     # structure preserved: lengths=None stays None
     assert out.sparse_features["cat"].is_fixed
     assert out.sparse_features["tags"].lengths is not None
+    # int leaves always unpack back to int32 regardless of wire dtype
+    assert np.asarray(out.sparse_features["cat"].values).dtype == np.int32
+
+
+def test_narrow_int_packing_shrinks_bytes():
+    b = _mixed_batch()
+    p = pack_batch(b)
+    # every int leaf here fits int8 -> wire bytes far below the legacy
+    # everything-as-int32/float32 encoding
+    n_int = sum(
+        np.asarray(x).size
+        for x in jax.tree_util.tree_leaves(b)
+        if np.asarray(x).dtype.kind in "iu"
+    )
+    n_float = sum(
+        np.asarray(x).size
+        for x in jax.tree_util.tree_leaves(b)
+        if np.asarray(x).dtype.kind == "f"
+    )
+    assert p.nbytes <= n_int + 4 * n_float
+
+
+def test_sticky_widening_keeps_spec_stable():
+    small = Batch(
+        sparse_features={
+            "cat": SparseField(values=np.array([[1], [2]], np.int32))
+        },
+    )
+    wide = Batch(
+        sparse_features={
+            "cat": SparseField(values=np.array([[1], [100_000]], np.int32))
+        },
+    )
+    p_wide = pack_batch(wide)
+    # after seeing a wide batch, an identically-structured small batch
+    # keeps the widened spec (no flip-flop retrace)
+    p_small = pack_batch(small)
+    assert p_small.spec == p_wide.spec
+    out = unpack_batch(p_wide)
+    np.testing.assert_array_equal(
+        np.asarray(out.sparse_features["cat"].values), wide.sparse_features["cat"].values
+    )
+
+
+def test_dense_bf16_transfer():
+    b = _mixed_batch()
+    p = pack_batch(b, dense_bf16=True)
+    import ml_dtypes
+
+    kinds = {m[0] for m in p.spec[1]}
+    assert "bf16" in kinds
+    out = unpack_batch(p)
+    # dense features travel bf16; labels/weights stay exact float32
+    assert np.asarray(out.dense_features["price"].values).dtype == np.dtype(
+        ml_dtypes.bfloat16
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.labels["label"]), b.labels["label"]
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.dense_features["price"].values, np.float32),
+        b.dense_features["price"].values,
+        rtol=1e-2,
+    )
 
 
 def test_packed_batch_through_jit():
@@ -89,7 +152,7 @@ def test_pack_and_put_keeps_host_batch():
     p = pack_and_put(b)
     assert isinstance(p, PackedBatch)
     assert p.host_batch is b
-    assert isinstance(p.ints, jax.Array)
+    assert isinstance(p.wire, jax.Array)
 
 
 def test_spec_is_hashable_and_stable():
