@@ -400,12 +400,17 @@ def create_dataloader(
     prefetch: int = 4,
     worker_id: Optional[int] = None,
     num_workers: Optional[int] = None,
+    pack_dense_bf16: bool = False,
 ):
     """Build the (prefetching) dataset iterator factory.
 
     Returns a zero-arg callable producing a fresh iterator per epoch
     (replaces torch DataLoader + persistent workers,
-    reference dataset.py:753-852).
+    reference dataset.py:753-852). When ``data_config.num_workers`` is
+    explicitly set (or TZREC_MP_LOADER=<n>), batches are produced by
+    that many forked worker processes (datasets/mp_loader.py) instead
+    of a prefetch thread — each worker owns a disjoint input shard
+    (process_index*K + w of process_count*K).
     """
     from torcheasyrec_tpu.protos import data_pb2
 
@@ -433,22 +438,26 @@ def create_dataloader(
             **extra,
         )
 
-    reader = create_reader(
-        input_path,
-        batch_size,
-        selected_cols=selected_cols,
-        dataset_type=data_config.dataset_type,
-        drop_remainder=data_config.drop_remainder or (mode == "train"),
-        shuffle=data_config.shuffle and mode == "train",
-        shuffle_buffer_size=data_config.shuffle_buffer_size,
-        delimiter=data_config.delimiter,
-        with_header=data_config.with_header,
-        input_fields=list(data_config.input_fields),
-        sample_cost_field=data_config.sample_cost_field or None,
-        batch_cost_size=data_config.batch_cost_size,
-    )
-    if resume_state:
-        reader.load_state(resume_state)
+    def _build_reader() -> BaseReader:
+        r = create_reader(
+            input_path,
+            batch_size,
+            selected_cols=selected_cols,
+            dataset_type=data_config.dataset_type,
+            drop_remainder=data_config.drop_remainder or (mode == "train"),
+            shuffle=data_config.shuffle and mode == "train",
+            shuffle_buffer_size=data_config.shuffle_buffer_size,
+            delimiter=data_config.delimiter,
+            with_header=data_config.with_header,
+            input_fields=list(data_config.input_fields),
+            sample_cost_field=data_config.sample_cost_field or None,
+            batch_cost_size=data_config.batch_cost_size,
+        )
+        if resume_state:
+            r.load_state(resume_state)
+        return r
+
+    reader = _build_reader()
 
     # default input shard = this jax process (multi-host: disjoint rows
     # per host; single-process: whole input)
@@ -458,19 +467,42 @@ def create_dataloader(
         worker_id = jax.process_index()
         num_workers = jax.process_count()
 
-    dataset = BaseDataset(
-        data_config, features, input_path, reader, mode, sampler, debug_level,
-        worker_id=worker_id, num_workers=num_workers,
-    )
-    dataset._reserved_columns = list(reserved_columns or [])
+    def _build_dataset(wid: int, nw: int, rdr: Optional[BaseReader] = None):
+        ds = BaseDataset(
+            data_config, features, input_path, rdr or _build_reader(),
+            mode, sampler, debug_level, worker_id=wid, num_workers=nw,
+        )
+        ds._reserved_columns = list(reserved_columns or [])
+        return ds
+
+    dataset = _build_dataset(worker_id, num_workers, reader)
+
+    from torcheasyrec_tpu.datasets.mp_loader import mp_loader_enabled
+
+    mp_workers = mp_loader_enabled(data_config, mode)
 
     def _make_iter(device_put_fn=None):
+        if mp_workers > 1:
+            from torcheasyrec_tpu.datasets.mp_loader import MpBatchLoader
+
+            wid, nw = worker_id, num_workers  # process-level shard
+
+            def _factory(w: int):
+                # global shard w of (hosts x workers): rows disjoint
+                # across both axes
+                return _build_dataset(wid * mp_workers + w, nw * mp_workers)
+
+            return MpBatchLoader(
+                _factory, mp_workers, dense_bf16=pack_dense_bf16,
+                device_put_fn=device_put_fn,
+            )
         return PrefetchIterator(
             iter(dataset), prefetch=prefetch, device_put_fn=device_put_fn
         )
 
     _make_iter.dataset = dataset
     _make_iter.reader = reader
+    _make_iter.mp_workers = mp_workers
     return _make_iter
 
 

@@ -1,0 +1,268 @@
+"""Multi-process data loading: the torch DataLoader worker-pool
+equivalent (reference tzrec/datasets/dataset.py:753-852 uses
+``DataLoader(num_workers≈8, persistent_workers=True)``; SURVEY §3.2).
+
+Why processes: the whole host path (Arrow decode -> feature parse ->
+batch pack -> H2D serialize) is GIL-bound, so thread-level prefetch
+caps the pipeline at the SUM of those costs. Worker processes run
+read -> sample -> parse -> pack and hand the consumer a finished wire
+buffer (datasets/pack.py); the consumer process only does one
+``jax.device_put`` and the jit dispatch per step.
+
+Transport is a per-worker shared-memory slot ring (measured ~10x
+cheaper than mp.Queue pickling for ~1 MB batches): the worker copies
+the packed wire into a free slot and enqueues a small descriptor; the
+consumer copies the slot into a private buffer (a ~0.1 ms memcpy for a
+1 MB batch), recycles the slot immediately, and reconstructs the
+PackedBatch (plus host-side views for metrics/delta-dump consumers)
+from the private copy — so no shm lifetime leaks into user code.
+
+Workers are forked, so dataset factories may be closures; each worker
+w of K slices the input with the SAME worker-slice machinery used for
+multi-host sharding: global shard (process_index*K + w) of
+(process_count*K) — rows stay disjoint across both hosts and workers.
+"""
+
+import multiprocessing as mp
+import os
+import pickle
+import queue as queue_mod
+import time
+import traceback
+from multiprocessing import shared_memory
+from typing import Any, Callable, Iterator, Optional
+
+import numpy as np
+
+from torcheasyrec_tpu.datasets.pack import PackedBatch, pack_batch, unpack_batch
+
+
+def mp_loader_enabled(data_config: Any, mode: str = "train") -> int:
+    """Return the worker count if the mp loader should be used, else 0.
+
+    Opt-in: the proto default for ``num_workers`` (8) intentionally
+    does NOT enable it — only an explicitly set ``num_workers`` or
+    ``TZREC_MP_LOADER=<n>`` does, so unit tests and small jobs keep the
+    simple thread loader. ``TZREC_MP_LOADER=0`` force-disables.
+    """
+    env = os.environ.get("TZREC_MP_LOADER", "")
+    if env != "":
+        try:
+            return max(int(env), 0)
+        except ValueError:
+            return 0
+    if mode == "predict":
+        return 0
+    try:
+        if data_config.HasField("num_workers"):
+            return max(int(data_config.num_workers), 0)
+    except Exception:  # noqa: BLE001 - configs without the field
+        pass
+    return 0
+
+
+class _WorkerRing:
+    """Consumer-side view of one worker's shm slot ring."""
+
+    def __init__(self, name: str, nslots: int, slot_bytes: int) -> None:
+        self.shm = shared_memory.SharedMemory(name=name)
+        self.nslots = nslots
+        self.slot_bytes = slot_bytes
+        self.view = np.frombuffer(self.shm.buf, np.uint8)
+
+    def slot(self, idx: int, nbytes: int) -> np.ndarray:
+        off = idx * self.slot_bytes
+        return self.view[off : off + nbytes]
+
+    def close(self) -> None:
+        try:
+            del self.view
+            self.shm.close()
+        except BufferError:  # exported views still alive at teardown
+            pass
+
+
+def _worker_main(
+    worker_idx: int,
+    dataset_factory: Callable[[int], Any],
+    dense_bf16: bool,
+    nslots: int,
+    full_q: Any,
+    free_q: Any,
+    stop_ev: Any,
+) -> None:
+    shm = None
+    try:
+        it = iter(dataset_factory(worker_idx))
+        slot_bytes = 0
+        view = None
+        for batch, info in it:
+            if stop_ev.is_set():
+                break
+            p = pack_batch(batch, dense_bf16=dense_bf16)
+            wire = p.wire
+            payload = pickle.dumps((p.spec, info), protocol=4)
+            if shm is None:
+                # size the ring off the first batch with headroom for
+                # bucketed-shape growth
+                slot_bytes = max(int(wire.nbytes * 2), 1 << 20)
+                shm = shared_memory.SharedMemory(
+                    create=True, size=nslots * slot_bytes
+                )
+                view = np.frombuffer(shm.buf, np.uint8)
+                full_q.put(
+                    ("shm", worker_idx, shm.name, nslots, slot_bytes)
+                )
+            if wire.nbytes > slot_bytes:
+                # oversized batch: fall back to queue transport
+                full_q.put(("big", worker_idx, wire.tobytes(), payload))
+                continue
+            while not stop_ev.is_set():
+                try:
+                    slot = free_q.get(timeout=0.2)
+                    break
+                except queue_mod.Empty:
+                    continue
+            else:
+                break
+            off = slot * slot_bytes
+            view[off : off + wire.nbytes] = wire
+            full_q.put(("b", worker_idx, slot, wire.nbytes, payload))
+        full_q.put(("end", worker_idx))
+    except BaseException:  # noqa: BLE001 - ship the traceback
+        try:
+            full_q.put(("err", worker_idx, traceback.format_exc()))
+        except Exception:  # noqa: BLE001
+            pass
+    finally:
+        if shm is not None:
+            try:
+                del view
+                shm.close()
+            except Exception:  # noqa: BLE001
+                pass
+
+
+class MpBatchLoader:
+    """Iterator over (PackedBatch, BatchInfo) produced by worker
+    processes. API-compatible with PrefetchIterator (close(),
+    device_put_fn applied in __next__ on the consumer side)."""
+
+    def __init__(
+        self,
+        dataset_factory: Callable[[int], Any],
+        num_workers: int,
+        dense_bf16: bool = False,
+        device_put_fn: Optional[Callable[[Any], Any]] = None,
+        nslots: int = 4,
+    ) -> None:
+        assert num_workers >= 1
+        ctx = mp.get_context("fork")
+        self._device_put_fn = device_put_fn
+        self._stop = ctx.Event()
+        self._full_q = ctx.Queue()
+        self._free_qs = []
+        self._procs = []
+        self._rings: dict = {}
+        self._ended = 0
+        self._n = num_workers
+        self._finished = False
+        for w in range(num_workers):
+            fq = ctx.Queue()
+            for s in range(nslots):
+                fq.put(s)
+            self._free_qs.append(fq)
+            p = ctx.Process(
+                target=_worker_main,
+                args=(
+                    w, dataset_factory, dense_bf16, nslots, self._full_q,
+                    fq, self._stop,
+                ),
+                daemon=True,
+            )
+            p.start()
+            self._procs.append(p)
+
+    def __iter__(self) -> Iterator:
+        return self
+
+    def __next__(self):
+        if self._finished:
+            raise StopIteration
+        while True:
+            msg = self._full_q.get()
+            tag = msg[0]
+            if tag == "shm":
+                _, w, name, nslots, slot_bytes = msg
+                self._rings[w] = _WorkerRing(name, nslots, slot_bytes)
+                continue
+            if tag == "end":
+                self._ended += 1
+                if self._ended >= self._n:
+                    self._finished = True
+                    self.close()  # join workers, close+unlink shm
+                    raise StopIteration
+                continue
+            if tag == "err":
+                self._finished = True
+                self.close()
+                raise RuntimeError(
+                    f"mp data worker {msg[1]} failed:\n{msg[2]}"
+                )
+            if tag == "big":
+                _, w, wire_bytes, payload = msg
+                wire = np.frombuffer(wire_bytes, np.uint8)
+            else:
+                _, w, slot, nbytes, payload = msg
+                # private copy so the slot recycles immediately and no
+                # shm view leaks into user-held batches
+                wire = np.array(self._rings[w].slot(slot, nbytes))
+                self._free_qs[w].put(slot)
+            spec, info = pickle.loads(payload)
+            host = PackedBatch(wire, spec)
+            # host-side views for metrics/delta-dump/ZCH consumers
+            host.host_batch = unpack_batch(host)
+            item = (host, info)
+            if self._device_put_fn is not None:
+                item = (self._device_put_fn(host), info)
+                if isinstance(item[0], PackedBatch):
+                    item[0].host_batch = host.host_batch
+            return item
+
+    def _drain(self) -> None:
+        # discard pending batches, but attach any ring announced-but-
+        # never-consumed so the unlink below reclaims it (no shm leak)
+        try:
+            while True:
+                msg = self._full_q.get_nowait()
+                if msg[0] == "shm" and msg[1] not in self._rings:
+                    self._rings[msg[1]] = _WorkerRing(msg[2], msg[3], msg[4])
+        except Exception:  # noqa: BLE001
+            pass
+
+    def close(self) -> None:
+        self._stop.set()
+        # drain WHILE joining: workers can't exit until their queue
+        # feeder flushes, and may announce their shm ring at any point
+        # up to exit
+        deadline = time.monotonic() + 5.0
+        while True:
+            self._drain()
+            if not any(p.is_alive() for p in self._procs):
+                break
+            if time.monotonic() > deadline:
+                for p in self._procs:
+                    if p.is_alive():
+                        p.terminate()
+                break
+            time.sleep(0.02)
+        for p in self._procs:
+            p.join(timeout=1.0)
+        self._drain()
+        for ring in self._rings.values():
+            ring.close()
+            try:
+                ring.shm.unlink()
+            except Exception:  # noqa: BLE001
+                pass
+        self._rings.clear()

@@ -560,9 +560,11 @@ def train_and_evaluate(
     train_dl = create_dataloader(
         data_config, features, pipeline_config.train_input_path,
         mode="train", resume_state=dataloader_state,
+        pack_dense_bf16=compute_dtype == jnp.bfloat16,
     )
     eval_dl = create_dataloader(
-        data_config, features, pipeline_config.eval_input_path, mode="eval"
+        data_config, features, pipeline_config.eval_input_path, mode="eval",
+        pack_dense_bf16=compute_dtype == jnp.bfloat16,
     )
 
     train_step = jax.jit(
@@ -615,16 +617,25 @@ def train_and_evaluate(
         jax.profiler.start_trace(os.path.join(model_dir, "profile"))
 
     def _to_device(b):
+        from torcheasyrec_tpu.datasets.pack import (
+            PackedBatch,
+            pack_and_put,
+            put_packed,
+        )
+
+        if isinstance(b, PackedBatch):  # mp-loader workers pre-pack
+            if mesh is None:
+                return put_packed(b)
+            b = b.host_batch
         if mesh is not None:
             d = _shard_batch(b, mesh)
             if model.embedding_group.engine.has_host_groups:
                 d.host_batch = b  # numpy originals for the host gather
             return d
-        # single device: coalesce the whole pytree into two buffers —
-        # two H2D calls instead of one per leaf (datasets/pack.py)
-        from torcheasyrec_tpu.datasets.pack import pack_and_put
-
-        return pack_and_put(b)
+        # single device: coalesce the whole pytree into one narrow wire
+        # buffer — ONE H2D call instead of one per leaf, ids in the
+        # smallest dtype that fits them (datasets/pack.py)
+        return pack_and_put(b, dense_bf16=compute_dtype == jnp.bfloat16)
 
     # multi-process SPMD: batches stay host-side in the prefetch thread;
     # the main loop runs ONE dim-sync collective per step (shape
@@ -923,14 +934,26 @@ def _run_eval(
     loss_count = 0
 
     def _put(b):
+        from torcheasyrec_tpu.datasets.pack import (
+            PackedBatch,
+            pack_and_put,
+            put_packed,
+        )
+
+        if isinstance(b, PackedBatch):  # mp-loader workers pre-pack
+            if mesh is None:
+                return put_packed(b)
+            b = b.host_batch
         if mesh is not None:
             d = _shard_batch(b, mesh)
             if model.embedding_group.engine.has_host_groups:
                 d.host_batch = b
             return d
-        from torcheasyrec_tpu.datasets.pack import pack_and_put
-
-        return pack_and_put(b)
+        return pack_and_put(
+            b,
+            dense_bf16=_compute_dtype(pipeline_config.train_config)
+            == jnp.bfloat16,
+        )
 
     multi_process = jax.process_count() > 1
     if multi_process:
@@ -1016,6 +1039,7 @@ def evaluate(
     eval_dl = create_dataloader(
         pipeline_config.data_config, features,
         pipeline_config.eval_input_path, mode="eval",
+        pack_dense_bf16=compute_dtype == jnp.bfloat16,
     )
     eval_step = jax.jit(make_eval_step(model, compute_dtype))
     step = int(jax.device_get(state["step"]))
