@@ -37,6 +37,11 @@ FEATURES = [
     """overlap_feature { feature_name: 'ovb' method: 'is_contain'
        expression: ['user:query', 'item:title']
        boundaries: [0.5] embedding_dim: 4 }""",
+    """kv_dot_product { feature_name: 'kvd'
+       expression: ['user:ukv', 'item:ikv'] }""",
+    """kv_dot_product { feature_name: 'kvdb'
+       expression: ['user:ukv', 'item:ikv']
+       boundaries: [1.0, 5.0] embedding_dim: 4 }""",
 ]
 
 
@@ -78,6 +83,14 @@ def _data():
         # nulls, full containment
         "query": pa.array(["a\x1db\x1da", "", "x\x1dy", None, "q"]),
         "title": pa.array(["b\x1dc", "z", "x\x1dy\x1dw", "t", "q"]),
+        # kv-dot probes: dup keys (last wins), unparseable values
+        # (skipped), empty/null rows, disjoint key sets
+        "ukv": pa.array(
+            ["a:2\x1db:3\x1da:4", "a:1", "", "a:zz\x1db:2", None]
+        ),
+        "ikv": pa.array(
+            ["a:10\x1dc:5", "a:3xy\x1da:", "b:1", "b:4\x1da:6", "a:1"]
+        ),
     }
 
 
@@ -87,7 +100,7 @@ def test_dag_matches_python_paths():
     dag = FgDag(feats)
     handled = {f.name for f in feats if dag.handles(f.name)}
     assert handled == {"cat", "tags", "price", "ctr", "cat_x_cty", "kv",
-                       "m", "ov", "ovb"}
+                       "m", "ov", "ovb", "kvd", "kvdb"}
 
     native = dag.parse(data, False)
     for f in feats:
@@ -191,12 +204,21 @@ def test_dag_match_kv_randomized_parity():
                expression: ['user:query', 'item:title'] }""",
             """overlap_feature { feature_name: 'ove' method: 'is_equal'
                expression: ['user:query', 'item:title'] }""",
+            """kv_dot_product { feature_name: 'kvd'
+               expression: ['user:kv_map', 'item:kv_map2'] }""",
         ]
     ]
+    data["kv_map2"] = pa.array([
+        None if rng.random() < 0.1 else "\x1d".join(
+            f"{keys[rng.integers(0, len(keys))]}:{rand_val()}"
+            for _ in range(rng.integers(0, 5))
+        ) for _ in range(n)
+    ])
     feats = create_features(cfgs, fg_mode=FgMode.FG_NORMAL)
     dag = FgDag(feats)
     assert dag.handles("m") and dag.handles("kv")
     assert dag.handles("ov") and dag.handles("ove")
+    assert dag.handles("kvd")
     native = dag.parse(data, False)
     for f in feats:
         ref = f.parse(data, False)

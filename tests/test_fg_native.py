@@ -103,3 +103,47 @@ def test_seq_split_hash_matches_python():
     np.testing.assert_array_equal(got.seq_lengths, ref.seq_lengths)
     np.testing.assert_array_equal(got.lengths, ref.lengths)
     np.testing.assert_array_equal(got.values, ref.values)
+
+
+def test_int_id_vectorized_matches_string_path():
+    import pyarrow as pa
+    """FG_NORMAL integer id columns (vectorized, no per-row python)
+    must produce the same ids as the same values fed as strings."""
+    from google.protobuf import text_format
+
+    from torcheasyrec_tpu.features import create_features
+    from torcheasyrec_tpu.protos import feature_pb2
+    from torcheasyrec_tpu.protos.data_pb2 import FgMode
+
+    rng = np.random.default_rng(3)
+    ints = rng.integers(-5, 10**9, 500)
+    for spec in (
+        "id_feature { feature_name: 'x' expression: 'item:x' "
+        "hash_bucket_size: 777 embedding_dim: 4 }",
+        "id_feature { feature_name: 'x' expression: 'item:x' "
+        "num_buckets: 1000 embedding_dim: 4 }",
+    ):
+        cfg = text_format.Parse(spec, feature_pb2.FeatureConfig())
+        (feat,) = create_features([cfg], fg_mode=FgMode.FG_NORMAL)
+        got = feat.parse({"x": pa.array(ints)}, False)
+        ref = feat.parse(
+            {"x": pa.array([str(v) for v in ints])}, False
+        )
+        np.testing.assert_array_equal(got.lengths, ref.lengths, err_msg=spec)
+        np.testing.assert_array_equal(got.values, ref.values, err_msg=spec)
+
+    # nulls: no default -> dropped rows; with default -> filled
+    cfg = text_format.Parse(
+        "id_feature { feature_name: 'x' expression: 'item:x' "
+        "num_buckets: 100 embedding_dim: 4 }",
+        feature_pb2.FeatureConfig(),
+    )
+    (feat,) = create_features([cfg], fg_mode=FgMode.FG_NORMAL)
+    got = feat.parse({"x": pa.array([5, None, 7])}, False)
+    np.testing.assert_array_equal(got.lengths, [1, 0, 1])
+    np.testing.assert_array_equal(got.values, [5, 7])
+    cfg.id_feature.default_value = "9"
+    (feat,) = create_features([cfg], fg_mode=FgMode.FG_NORMAL)
+    got = feat.parse({"x": pa.array([5, None, 7])}, False)
+    np.testing.assert_array_equal(got.lengths, [1, 1, 1])
+    np.testing.assert_array_equal(got.values, [5, 9, 7])

@@ -66,14 +66,98 @@ class DataParser:
         # batches stay jagged forever so the traced representation is
         # stable (flip-flopping fixed<->jagged would retrace every jit)
         self._force_jagged: set = set()
+        # vectorized FG_NONE fast paths: the overwhelmingly common case
+        # (non-null scalar numeric columns) is parsed as ONE matrix per
+        # column-group instead of ~40 python call chains per batch; any
+        # feature whose column fails the preconditions at runtime falls
+        # back to its regular parse (reference hot path:
+        # /root/reference/tzrec/datasets/data_parser.py:184-277)
+        from torcheasyrec_tpu.protos.data_pb2 import FgMode
+
+        self._fast_sparse: List[Any] = []  # (feature_name, column_name)
+        self._fast_dense: List[Any] = []
+        if not input_tile:
+            for f in features:
+                try:
+                    if f._fg_mode != FgMode.FG_NONE or f.is_sequence:
+                        continue
+                    if f.is_sparse:
+                        if not getattr(f, "is_weighted", False):
+                            self._fast_sparse.append((f.name, f.inputs[0]))
+                    elif f._fg_encoded_default() is None:
+                        self._fast_dense.append((f.name, f.inputs[0]))
+                except Exception:  # noqa: BLE001 - conservative opt-in
+                    continue
+
+    def _fast_parse(self, input_data: Dict[str, pa.Array]) -> Dict[str, Any]:
+        """Matrix-vectorized parse of plain scalar columns.
+
+        Sparse: groups all non-null integer id columns of equal length
+        into one [B, n] int32 matrix (one downcast pass per column) and
+        emits fixed [B, 1] SparseField views. Dense: one [B, n] float32
+        matrix with a single shared nan_to_num pass. Emits final Field
+        objects that ``to_batch`` passes through untouched.
+        """
+        out: Dict[str, Any] = {}
+        groups: Dict[int, list] = {}
+        for name, cname in self._fast_sparse:
+            if name in self._force_jagged:
+                continue
+            col = input_data.get(cname)
+            if (
+                isinstance(col, pa.ChunkedArray)
+                and col.num_chunks == 1
+            ):
+                col = col.chunk(0)
+            if (
+                not isinstance(col, pa.Array)
+                or not pa.types.is_integer(col.type)
+                or col.null_count
+            ):
+                continue
+            groups.setdefault(len(col), []).append((name, col))
+        for b, cols in groups.items():
+            # transposed (n, B) so each column lands contiguously
+            mat = np.empty((len(cols), b), np.int32)
+            for j, (_, col) in enumerate(cols):
+                mat[j] = col.to_numpy(zero_copy_only=True)
+            for j, (name, _) in enumerate(cols):
+                out[name] = SparseField(values=mat[j, :, None])
+        dgroups: Dict[int, list] = {}
+        for name, cname in self._fast_dense:
+            col = input_data.get(cname)
+            if (
+                isinstance(col, pa.ChunkedArray)
+                and col.num_chunks == 1
+            ):
+                col = col.chunk(0)
+            if not isinstance(col, pa.Array) or col.null_count or not (
+                pa.types.is_floating(col.type) or pa.types.is_integer(col.type)
+            ):
+                continue
+            dgroups.setdefault(len(col), []).append((name, col))
+        for b, cols in dgroups.items():
+            mat = np.empty((len(cols), b), np.float32)
+            for j, (_, col) in enumerate(cols):
+                mat[j] = col.to_numpy(zero_copy_only=True)
+            np.nan_to_num(mat, copy=False)
+            for j, (name, _) in enumerate(cols):
+                out[name] = DenseField(values=mat[j, :, None])
+        return out
 
     def parse(self, input_data: Dict[str, pa.Array]) -> Dict[str, Any]:
         """Run every feature's parse; returns name -> ParsedData."""
         out: Dict[str, Any] = {}
+        if not self._input_tile and (self._fast_sparse or self._fast_dense):
+            try:
+                out.update(self._fast_parse(input_data))
+            except Exception:  # noqa: BLE001 - fall back per feature
+                out = {}
         dag = self._fg_dag
         if dag is not None and not self._input_tile:
             try:
-                out.update(dag.parse(input_data, self._is_training))
+                for k, v in dag.parse(input_data, self._is_training).items():
+                    out.setdefault(k, v)
             except Exception:  # noqa: BLE001 - fall back per feature
                 pass
         for feature in self._features:
@@ -118,6 +202,12 @@ class DataParser:
             if data is None:
                 continue
             name = feature.name
+            if isinstance(data, SparseField):
+                batch.sparse_features[name] = data
+                continue
+            if isinstance(data, DenseField):
+                batch.dense_features[name] = data
+                continue
             if isinstance(data, SparseData):
                 if (
                     name not in self._force_jagged

@@ -115,6 +115,36 @@ class IdFeature(BaseFeature):
                     [float(p[1]) if len(p) > 1 else 1.0 for p in pairs],
                     dtype=np.float32,
                 )
+        elif pa.types.is_integer(feat.type) and (
+            getattr(c, "num_buckets", 0) or getattr(c, "hash_bucket_size", 0)
+        ):
+            # vectorized integer-id path: no per-row python. num_buckets
+            # clips (python int(t) semantics); hash_bucket hashes the
+            # DECIMAL string bytes in C++ (fg_hash64_ints_mod) so ids
+            # are identical to the str()+FNV python path.
+            if default:
+                try:
+                    feat = feat.cast(pa.int64()).fill_null(int(default))
+                except (ValueError, pa.ArrowInvalid):
+                    pass
+            nulls = feat.is_null().to_numpy(zero_copy_only=False)
+            lengths = (~nulls).astype(np.int32)
+            vals = (
+                feat.drop_null().cast(pa.int64()).to_numpy(
+                    zero_copy_only=False
+                )
+                if nulls.any()
+                else feat.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            )
+            if getattr(c, "num_buckets", 0):
+                ids = np.clip(vals, 0, int(c.num_buckets) - 1)
+            else:
+                from torcheasyrec_tpu import fg as fg_native
+
+                ids = fg_native.hash_ints_mod(
+                    vals, int(c.hash_bucket_size)
+                )
+            return SparseData(self.name, ids, lengths, None)
         else:
             if default:
                 feat = feat.fill_null(default)

@@ -369,11 +369,17 @@ class KvDotProduct(BaseFeature):
         out = np.zeros((n,), np.float32)
 
         def _kv(s):
-            return {
-                k: float(v)
-                for k, _, v in (p.partition(":") for p in (s or "").split(sep))
-                if v
-            }
+            # skip pairs with an empty or unparseable value (same
+            # semantics as the native kv_pairs kernel, fg_ops.cc)
+            out = {}
+            for p in (s or "").split(sep):
+                k, _, v = p.partition(":")
+                if v:
+                    try:
+                        out[k] = float(v)
+                    except ValueError:
+                        pass
+            return out
 
         for i in range(n):
             kv1, kv2 = _kv(a1[i]), _kv(a2[i])

@@ -112,6 +112,32 @@ def hash_strings_mod(tokens, num_buckets: int, threads: int = 4) -> np.ndarray:
     return out
 
 
+def hash_ints_mod(values: np.ndarray, num_buckets: int,
+                  threads: int = 4) -> np.ndarray:
+    """FNV-1a hash of each integer's DECIMAL string mod num_buckets ->
+    int64 [n] (identical bytes to ``hash_strings_mod(str(v))``)."""
+    values = np.ascontiguousarray(values, np.int64)
+    lib = _load()
+    if lib is None or len(values) == 0:
+        return _np_hash_mod(values.tolist(), num_buckets)
+    if not hasattr(lib, "_ints_mod_configured"):
+        lib.fg_hash64_ints_mod.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.c_uint64, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int,
+        ]
+        lib._ints_mod_configured = True
+    out = np.empty(len(values), np.int64)
+    lib.fg_hash64_ints_mod(
+        values.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(len(values)),
+        ctypes.c_uint64(num_buckets),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int(threads),
+    )
+    return out
+
+
 def bucketize(values: np.ndarray, boundaries: np.ndarray,
               threads: int = 4) -> np.ndarray:
     """searchsorted-right of values into boundaries -> int64 [n]."""

@@ -15,6 +15,7 @@
 #include <atomic>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <algorithm>
@@ -127,6 +128,22 @@ int64_t fg_split_hash(const int32_t* offsets, const char* data, int64_t n,
   return total;
 }
 
+// Hash int64 values by their DECIMAL STRING representation (the python
+// FG_NORMAL path str()s integer id columns before FNV hashing, so the
+// vectorized path must hash identical bytes), modulo bucket count.
+void fg_hash64_ints_mod(const int64_t* values, int64_t n,
+                        uint64_t num_buckets, int64_t* out, int threads) {
+  parallel_for(n, threads, [&](int64_t lo, int64_t hi) {
+    char buf[24];
+    for (int64_t i = lo; i < hi; ++i) {
+      int len = snprintf(buf, sizeof(buf), "%lld",
+                         static_cast<long long>(values[i]));
+      uint64_t h = fnv1a(buf, len);
+      out[i] = static_cast<int64_t>(h % num_buckets);
+    }
+  });
+}
+
 // log10 normalizer with threshold/default (reference raw_feature
 // normalizer "method=log10").
 void fg_normalize_log10(const float* values, int64_t n, float threshold,
@@ -159,6 +176,7 @@ enum FgTaskKind {
   FG_TASK_KV_LOOKUP = 3,  // map "k:v,k:v" column + key column -> float
   FG_TASK_MATCH_LOOKUP = 4, // nested "pk^k:v,k:v|pk2^..." + pkey + skey
   FG_TASK_OVERLAP = 5,      // query/title token-set overlap ratios
+  FG_TASK_KV_DOT = 6,       // weighted dot of two "k:v<sep>k:v" columns
 };
 
 typedef struct {
@@ -445,6 +463,102 @@ void run_overlap(FgTask& t) {
   t.out_total = t.n_rows;
 }
 
+// Parse "k:v<sep>k:v" into up to `cap` DISTINCT keys; python-dict
+// semantics: a later duplicate key REPLACES the earlier value; pairs
+// whose value part does not parse as a full float are skipped (the
+// python comprehension's `if v` filter for empty values; unparseable
+// values are skipped rather than raised). Returns count or -1 on
+// overflow.
+inline int kv_pairs(const char* s, int64_t len, char sep, const char** key,
+                    int64_t* key_len, double* val, int cap) {
+  int n = 0;
+  const char* p = s;
+  const char* end = s + len;
+  while (p <= end) {
+    const char* next = static_cast<const char*>(
+        p < end ? memchr(p, sep, end - p) : nullptr);
+    const char* pair_end = next ? next : end;
+    const char* colon = static_cast<const char*>(
+        p < pair_end ? memchr(p, ':', pair_end - p) : nullptr);
+    if (colon && pair_end - colon > 1) {
+      char tmp_end = 0;
+      (void)tmp_end;
+      char buf[64];
+      int64_t vl = pair_end - colon - 1;
+      if (vl <= 63) {
+        std::memcpy(buf, colon + 1, vl);
+        buf[vl] = '\0';
+        char* e = nullptr;
+        double v = strtod(buf, &e);
+        if (e == buf + vl) {
+          int64_t kl = colon - p;
+          bool dup = false;
+          for (int j = 0; j < n; ++j) {
+            if (key_len[j] == kl && std::memcmp(key[j], p, kl) == 0) {
+              val[j] = v;  // last duplicate key wins
+              dup = true;
+              break;
+            }
+          }
+          if (!dup) {
+            if (n >= cap) return -1;
+            key[n] = p;
+            key_len[n] = kl;
+            val[n] = v;
+            ++n;
+          }
+        }
+      }
+    }
+    if (!next) break;
+    p = next + 1;
+  }
+  return n;
+}
+
+void run_kv_dot(FgTask& t) {
+  // inputs[0]/[1] = kv columns; dot product over the key intersection.
+  // Optional boundaries bucketize the value (sparse variant).
+  constexpr int kCap = 256;
+  const char* k1[kCap];
+  int64_t l1[kCap];
+  double v1[kCap];
+  const char* k2[kCap];
+  int64_t l2[kCap];
+  double v2[kCap];
+  char sep = static_cast<char>(t.sep);
+  for (int64_t i = 0; i < t.n_rows; ++i) {
+    int n1 = kv_pairs(t.data[0] + t.offsets[0][i],
+                      t.offsets[0][i + 1] - t.offsets[0][i], sep,
+                      k1, l1, v1, kCap);
+    int n2 = kv_pairs(t.data[1] + t.offsets[1][i],
+                      t.offsets[1][i + 1] - t.offsets[1][i], sep,
+                      k2, l2, v2, kCap);
+    if (n1 < 0 || n2 < 0) {
+      t.status = -1;  // pair overflow: python fallback
+      return;
+    }
+    double dot = 0.0;
+    for (int a = 0; a < n1; ++a) {
+      for (int b = 0; b < n2; ++b) {
+        if (l1[a] == l2[b] && std::memcmp(k1[a], k2[b], l1[a]) == 0) {
+          dot += v1[a] * v2[b];
+          break;
+        }
+      }
+    }
+    if (t.n_bounds > 0) {
+      t.out_vals[i] = std::upper_bound(t.boundaries,
+                                       t.boundaries + t.n_bounds, dot) -
+                      t.boundaries;
+      t.out_lengths[i] = 1;
+    } else {
+      t.out_fvals[i] = static_cast<float>(dot);
+    }
+  }
+  t.out_total = t.n_rows;
+}
+
 }  // namespace
 
 extern "C" {
@@ -468,6 +582,7 @@ int fg_run_dag(FgTask* tasks, int64_t n_tasks, int threads) {
         case FG_TASK_KV_LOOKUP: run_kv_lookup(t); break;
         case FG_TASK_MATCH_LOOKUP: run_match_lookup(t); break;
         case FG_TASK_OVERLAP: run_overlap(t); break;
+        case FG_TASK_KV_DOT: run_kv_dot(t); break;
         default: t.status = -2;
       }
       if (t.status != 0) errors.fetch_add(1);

@@ -25,6 +25,7 @@ KIND_RAW = 2
 KIND_KV_LOOKUP = 3
 KIND_MATCH_LOOKUP = 4
 KIND_OVERLAP = 5
+KIND_KV_DOT = 6
 _OVERLAP_METHODS = ("query_common_ratio", "title_common_ratio",
                     "is_contain", "is_equal")
 
@@ -181,6 +182,11 @@ class FgDag:
                 and len(f.side_inputs) >= 2
                 and len(getattr(c, "separator", "\x1d") or "\x1d") == 1
             )
+        if tname == "KvDotProduct":
+            return (
+                len(f.side_inputs) >= 2
+                and len(getattr(c, "separator", "\x1d") or "\x1d") == 1
+            )
         return False
 
     def handles(self, name: str) -> bool:
@@ -225,7 +231,8 @@ class FgDag:
                 continue
             kind, n, out_vals, out_fvals, out_lengths = b
             if kind in (KIND_ID_HASH, KIND_COMBO_HASH) or (
-                kind in (KIND_RAW, KIND_OVERLAP) and t.n_bounds > 0
+                kind in (KIND_RAW, KIND_OVERLAP, KIND_KV_DOT)
+                and t.n_bounds > 0
             ):
                 out[f.name] = SparseData(
                     f.name, out_vals[: t.out_total], out_lengths, None
@@ -331,6 +338,26 @@ class FgDag:
                 keepalive.append(out_fvals)
                 t.out_fvals = _np_addr(out_fvals)
             return (KIND_OVERLAP, n, out_vals, out_fvals, out_lengths)
+
+        if tname == "KvDotProduct":
+            t.kind = KIND_KV_DOT
+            t.sep = ord((getattr(c, "separator", "\x1d") or "\x1d")[0])
+            bounds = np.ascontiguousarray(list(c.boundaries), np.float64)
+            out_vals = None
+            out_fvals = None
+            if len(bounds):
+                keepalive.append(bounds)
+                t.boundaries = _np_addr(bounds)
+                t.n_bounds = len(bounds)
+                out_vals = np.empty(n, np.int64)
+                keepalive.append(out_vals)
+                t.out_vals = _np_addr(out_vals)
+                out_lengths[:] = 1
+            else:
+                out_fvals = np.empty(n, np.float32)
+                keepalive.append(out_fvals)
+                t.out_fvals = _np_addr(out_fvals)
+            return (KIND_KV_DOT, n, out_vals, out_fvals, out_lengths)
 
         if tname == "MatchFeature":
             t.kind = KIND_MATCH_LOOKUP
