@@ -141,8 +141,8 @@ def main() -> None:
 
     batch = parser.parse_to_batch(cols)
     if mesh is None:
-        # coalesced two-buffer transfer (the production single-chip path)
-        batch = pack_and_put(batch)
+        # coalesced narrow-buffer transfer (production single-chip path)
+        batch = pack_and_put(batch, dense_bf16=True)
     else:
         batch = _shard_batch(batch, mesh)
 
@@ -195,37 +195,42 @@ def main() -> None:
     import queue as _queue
     import threading as _threading
 
-    from torcheasyrec_tpu.datasets.pack import pack_batch
+    from torcheasyrec_tpu.datasets.pack import pack_batch, put_packed
 
     n_pipe = 24
     all_cols = [_gen_cols(i) for i in range(n_pipe)]  # pregenerated (a
     # real reader's decode cost is measured by the parse step below)
 
     # stage-split pipeline: ONE parse+pack thread (more threads contend
-    # on the GIL and the device-client lock and run ~3x slower), H2D +
-    # step dispatch on the main thread. Steady state = max(parse, put).
+    # on the GIL and run slower), ONE H2D-put thread, step dispatch on
+    # the main thread. Steady state = the serialized GIL-bound host
+    # work; the put thread still buys ~15% by hiding queue latency.
     def _pipe_round():
         nonlocal state  # thread the live state: inputs are donated
         q: "_queue.Queue" = _queue.Queue(maxsize=8)
+        q2: "_queue.Queue" = _queue.Queue(maxsize=8)
 
         def _producer():
             for i in range(n_pipe):
                 b = parser.parse_to_batch(all_cols[i])
-                q.put(pack_batch(b) if mesh is None else b)
+                q.put(pack_batch(b, dense_bf16=True) if mesh is None else b)
 
-        th = _threading.Thread(target=_producer, daemon=True)
+        def _putter():
+            for _ in range(n_pipe):
+                p = q.get()
+                q2.put(
+                    put_packed(p) if mesh is None else _shard_batch(p, mesh)
+                )
+
+        ths = [
+            _threading.Thread(target=_producer, daemon=True),
+            _threading.Thread(target=_putter, daemon=True),
+        ]
         t0 = time.perf_counter()
-        th.start()
+        for th in ths:
+            th.start()
         for _ in range(n_pipe):
-            p = q.get()
-            if mesh is None:
-                from torcheasyrec_tpu.datasets.pack import PackedBatch
-
-                ints, floats = jax.device_put((p.ints, p.floats))
-                b = PackedBatch(ints, floats, p.spec)
-            else:
-                b = _shard_batch(p, mesh)
-            state, m, _ = train_step(state, b, step_rng)
+            state, m, _ = train_step(state, q2.get(), step_rng)
         jax.block_until_ready(m["total_loss"])
         return time.perf_counter() - t0
 

@@ -13,8 +13,8 @@ import os
 from torcheasyrec_tpu.benchmark.synthetic import CRITEO_BUCKETS, N_DENSE
 
 DATA_ROOT = "/tmp/tzrec_bench_data"
-TRAIN = f"{DATA_ROOT}/criteo_synth_train_262144.parquet"
-EVAL = f"{DATA_ROOT}/criteo_synth_eval_65536.parquet"
+TRAIN = f"{DATA_ROOT}/criteo_synth_train_262144_v2.parquet"
+EVAL = f"{DATA_ROOT}/criteo_synth_eval_65536_v2.parquet"
 
 CATS = [f"cat_{j}" for j in range(len(CRITEO_BUCKETS))]
 INTS = [f"int_{i}" for i in range(N_DENSE)]
@@ -24,7 +24,7 @@ def _names(names):
     return "".join(f'    feature_names: "{n}"\n' for n in names)
 
 
-def _header(model_name: str, labels) -> str:
+def _header(model_name: str, labels, with_seq: bool = False) -> str:
     label_lines = "".join(f'  label_fields: "{la}"\n' for la in labels)
     feats = []
     for j, b in enumerate(CRITEO_BUCKETS):
@@ -35,6 +35,21 @@ def _header(model_name: str, labels) -> str:
     for i in range(N_DENSE):
         feats.append(
             f'feature_configs {{ raw_feature {{ feature_name: "int_{i}" }} }}'
+        )
+    if with_seq:
+        from torcheasyrec_tpu.benchmark.synthetic import N_ITEMS, SEQ_LEN
+
+        feats.append(
+            'feature_configs { id_feature { feature_name: "tgt_item" '
+            f"num_buckets: {N_ITEMS} embedding_dim: 16 "
+            'embedding_name: "item_emb" } }'
+        )
+        feats.append(
+            "feature_configs { sequence_id_feature { "
+            'feature_name: "click_seq" '
+            f"num_buckets: {N_ITEMS} embedding_dim: 16 "
+            f"sequence_length: {SEQ_LEN} "
+            'embedding_name: "item_emb" } }'
         )
     return (
         f'train_input_path: "{TRAIN}"\n'
@@ -92,6 +107,22 @@ _TAIL_RANK = (
 )
 
 _TASKS = """  task_towers { tower_name: "ctr" label_name: "label"
+    mlp { hidden_units: [128, 64] }
+    losses { binary_cross_entropy {} } metrics { auc {} } }
+  task_towers { tower_name: "cvr" label_name: "conversion"
+    mlp { hidden_units: [128, 64] }
+    losses { binary_cross_entropy {} } metrics { auc {} } }
+"""
+
+_SEQ_GROUPS = (
+    "  feature_groups {\n"
+    '    group_name: "seq"\n'
+    '    feature_names: "tgt_item"\n'
+    '    feature_names: "click_seq"\n'
+    "    group_type: SEQUENCE\n  }\n"
+)
+
+_TASKS_SEQ = """  task_towers { tower_name: "ctr" label_name: "label_seq"
     mlp { hidden_units: [128, 64] }
     losses { binary_cross_entropy {} } metrics { auc {} } }
   task_towers { tower_name: "cvr" label_name: "conversion"
@@ -165,6 +196,34 @@ MODELS = {
         )
         + "  }\n",
     ),
+    # sequence-signal configs (label_seq head): DIN target attention
+    # over the planted click history vs a plain deep model — the
+    # dbmtl_has_sequence / mmoe_has_sequence benchmark analogue
+    "multi_tower_din": (
+        ["label_seq"],
+        _DEEP_GROUP + _SEQ_GROUPS
+        + "  multi_tower_din {\n"
+        '    towers { input: "all" mlp { hidden_units: [256, 128] } }\n'
+        '    din_towers { input: "seq"\n'
+        "      attn_mlp { hidden_units: [64, 32] } }\n"
+        "    final { hidden_units: [128, 64] }\n  }\n"
+        "  num_class: 1\n"
+        "  losses { binary_cross_entropy {} }\n"
+        "  metrics { auc {} }\n",
+        True,
+    ),
+    "mmoe_has_sequence": (
+        ["label_seq", "conversion"],
+        _DEEP_GROUP + _SEQ_GROUPS.replace(
+            "group_type: SEQUENCE",
+            "group_type: SEQUENCE\n"
+            "    sequence_encoders { din_encoder "
+            '{ input: "seq" attn_mlp { hidden_units: [64, 32] } } }',
+        )
+        + "  mmoe {\n    expert_mlp { hidden_units: [256, 128] }\n"
+        "    num_expert: 4\n" + _TASKS_SEQ + "  }\n",
+        True,
+    ),
 }
 
 
@@ -172,9 +231,11 @@ def main() -> None:
     out_dir = os.path.join(os.path.dirname(__file__), "configs",
                            "criteo_synth")
     os.makedirs(out_dir, exist_ok=True)
-    for name, (labels, model_body) in MODELS.items():
+    for name, spec in MODELS.items():
+        labels, model_body = spec[0], spec[1]
+        with_seq = bool(spec[2]) if len(spec) > 2 else False
         txt = (
-            _header(name, labels)
+            _header(name, labels, with_seq)
             + "model_config {\n" + model_body + "}\n"
         )
         with open(os.path.join(out_dir, f"{name}.config"), "w") as f:

@@ -17,7 +17,14 @@ Label structure (deterministic given seed):
   models that learn feature interactions (FM/cross nets) beat plain
   linear models by a margin, which the pinned labels encode;
 - a second head ("conversion") with different coefficients is emitted
-  for multi-task models, observed only when clicked (CVR-style).
+  for multi-task models, observed only when clicked (CVR-style);
+- a SEQUENCE signal: each row carries a click-history column
+  (``click_seq``, encoded "id;id;...") drawn from a latent user-taste
+  cluster plus a target item (``tgt_item``); the ``label_seq`` head's
+  strongest term is the cluster-similarity between target and history,
+  so attention/sequence models (DIN) beat pooling/no-sequence models
+  on it by construction (the dbmtl_has_sequence / mmoe_has_sequence
+  benchmark analogue, reference base_eval_metric.json).
 """
 
 import os
@@ -36,6 +43,12 @@ CRITEO_BUCKETS: List[int] = [min(n, _CAP) for n in [
     40000000, 590152, 12973, 108, 36,
 ]]
 N_DENSE = 13
+
+# sequence-signal vocabulary: N_ITEMS ids in N_CLUSTERS taste clusters
+N_ITEMS = 2000
+N_CLUSTERS = 50
+_STRIDE = N_ITEMS // N_CLUSTERS
+SEQ_LEN = 30
 
 
 def _latent(values: np.ndarray, feat_idx: int, scale: float,
@@ -104,6 +117,42 @@ def generate(
     p_conv = 1.0 / (1.0 + np.exp(-z2))
     conversion = click * (rng.random(n) < p_conv).astype(np.float32)
 
+    # ---- sequence signal (label_seq head) ----
+    taste = rng.integers(0, N_CLUSTERS, n)
+    seq_lens = rng.integers(5, SEQ_LEN + 1, n)
+    in_cluster = (rng.random((n, SEQ_LEN)) ** 1.8 * _STRIDE).astype(
+        np.int64
+    )
+    hist = taste[:, None] * _STRIDE + in_cluster
+    noise_mask = rng.random((n, SEQ_LEN)) < 0.2
+    hist = np.where(
+        noise_mask, rng.integers(0, N_ITEMS, (n, SEQ_LEN)), hist
+    )
+    tgt_from_taste = rng.random(n) < 0.65
+    tgt = np.where(
+        tgt_from_taste,
+        taste * _STRIDE
+        + (rng.random(n) ** 1.8 * _STRIDE).astype(np.int64),
+        rng.integers(0, N_ITEMS, n),
+    )
+    # graded similarity: fraction of (valid) history in the target's
+    # cluster — an attention model can measure this, a no-sequence
+    # model cannot
+    valid = np.arange(SEQ_LEN)[None, :] < seq_lens[:, None]
+    same = (hist // _STRIDE == (tgt // _STRIDE)[:, None]) & valid
+    sim = same.sum(axis=1) / np.maximum(seq_lens, 1)
+    logit3 = 2.6 * sim.astype(np.float32)
+    logit3 += _latent(tgt, 104, 0.45)       # weak direct item effect
+    logit3 += 0.3 * dense[0] + _latent(cats[4], 105, 0.3)
+    z3 = (logit3 - logit3.mean()) / max(logit3.std(), 1e-6) * 1.5 - 0.9
+    label_seq = (
+        rng.random(n) < 1.0 / (1.0 + np.exp(-z3))
+    ).astype(np.float32)
+    seq_strs = [
+        ";".join(map(str, row[:ln]))
+        for row, ln in zip(hist.tolist(), seq_lens.tolist())
+    ]
+
     cols: Dict[str, pa.Array] = {}
     for i, x in enumerate(dense):
         cols[f"int_{i}"] = pa.array(x)
@@ -111,6 +160,9 @@ def generate(
         cols[f"cat_{j}"] = pa.array(c)
     cols["label"] = pa.array(click)
     cols["conversion"] = pa.array(conversion)
+    cols["tgt_item"] = pa.array(tgt)
+    cols["click_seq"] = pa.array(seq_strs)
+    cols["label_seq"] = pa.array(label_seq)
     # grouping key for grouped metrics: user-ish id
     cols["group_id"] = pa.array(cats[10])
     table = pa.table(cols)
@@ -131,8 +183,9 @@ def generate(
 def ensure_dataset(root: str, train_rows: int = 262144,
                    eval_rows: int = 65536) -> Dict[str, str]:
     """Idempotently materialize train/eval shards under ``root``."""
-    train = os.path.join(root, f"criteo_synth_train_{train_rows}.parquet")
-    evalp = os.path.join(root, f"criteo_synth_eval_{eval_rows}.parquet")
+    # v2: + sequence-signal columns (tgt_item / click_seq / label_seq)
+    train = os.path.join(root, f"criteo_synth_train_{train_rows}_v2.parquet")
+    evalp = os.path.join(root, f"criteo_synth_eval_{eval_rows}_v2.parquet")
     if not os.path.exists(train):
         generate(train, train_rows, seed=1)
     if not os.path.exists(evalp):
