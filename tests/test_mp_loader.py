@@ -173,3 +173,45 @@ def test_mp_loader_worker_error_propagates(tmp_path):
             next(loader)
     finally:
         loader.close()
+
+
+def test_mp_loader_spawn_start_method(tmp_path, monkeypatch):
+    """Spawn workers (fresh interpreters; the production mode whenever
+    the TPU client is live in the parent) produce the same row union as
+    the single-process stream — requires the dataset factory and every
+    captured object (protos, features, sampler state) to pickle."""
+    monkeypatch.setenv("TZREC_MP_START", "spawn")
+    cfg_path, cfg = _cfg(tmp_path)
+    _write_data(os.path.join(str(tmp_path), "train.parquet"), 1024)
+    features = create_features(list(cfg.feature_configs))
+    dc = cfg.data_config
+    dc.label_fields.append("row_key")
+    dc.drop_remainder = False
+    dc.num_workers = 2
+    dl = create_dataloader(
+        dc, features, os.path.join(str(tmp_path), "train.parquet"),
+        mode="eval",
+    )
+    keys = []
+    for batch, info in dl():
+        hb = getattr(batch, "host_batch", None) or batch
+        keys.extend(np.asarray(hb.labels["row_key"]).tolist())
+    assert sorted(keys) == list(map(float, range(1024)))
+
+
+def test_mp_loader_dead_worker_raises(tmp_path):
+    """A worker dying without reporting (the spawn-without-__main__-
+    guard failure mode) must raise, not block the consumer forever."""
+    from torcheasyrec_tpu.datasets.mp_loader import MpBatchLoader
+
+    def _factory(w):
+        os._exit(3)  # simulate a hard crash before any message
+
+    loader = MpBatchLoader(_factory, 2)
+    try:
+        import pytest
+
+        with pytest.raises(RuntimeError, match="died without reporting"):
+            next(loader)
+    finally:
+        loader.close()

@@ -388,6 +388,64 @@ def _infer_type(input_path: str) -> int:
     return data_pb2.DatasetType.ParquetDataset
 
 
+class _MpDatasetFactory:
+    """Picklable per-worker dataset builder for the mp loader.
+
+    Spawn-safe: carries only protos, feature objects, sampler state and
+    primitives (all pickle cleanly), so workers can be fresh
+    interpreters — required when the parent has already initialized a
+    non-CPU jax backend, where fork() inherits locked client mutexes.
+    Worker w of k builds global shard (base_wid*k + w) of (base_nw*k):
+    rows stay disjoint across both hosts and workers.
+    """
+
+    def __init__(
+        self, data_config, features, input_path, mode, sampler,
+        debug_level, reserved_columns, selected_cols, batch_size,
+        resume_state, base_wid, base_nw, k,
+    ) -> None:
+        self.data_config = data_config
+        self.features = features
+        self.input_path = input_path
+        self.mode = mode
+        self.sampler = sampler
+        self.debug_level = debug_level
+        self.reserved_columns = list(reserved_columns or [])
+        self.selected_cols = selected_cols
+        self.batch_size = batch_size
+        self.resume_state = resume_state
+        self.base_wid = base_wid
+        self.base_nw = base_nw
+        self.k = k
+
+    def __call__(self, w: int):
+        dc = self.data_config
+        reader = create_reader(
+            self.input_path,
+            self.batch_size,
+            selected_cols=self.selected_cols,
+            dataset_type=dc.dataset_type,
+            drop_remainder=dc.drop_remainder or (self.mode == "train"),
+            shuffle=dc.shuffle and self.mode == "train",
+            shuffle_buffer_size=dc.shuffle_buffer_size,
+            delimiter=dc.delimiter,
+            with_header=dc.with_header,
+            input_fields=list(dc.input_fields),
+            sample_cost_field=dc.sample_cost_field or None,
+            batch_cost_size=dc.batch_cost_size,
+        )
+        if self.resume_state:
+            reader.load_state(self.resume_state)
+        ds = BaseDataset(
+            dc, self.features, self.input_path, reader, self.mode,
+            self.sampler, self.debug_level,
+            worker_id=self.base_wid * self.k + w,
+            num_workers=self.base_nw * self.k,
+        )
+        ds._reserved_columns = self.reserved_columns
+        return ds
+
+
 def create_dataloader(
     data_config: Any,
     features: List[BaseFeature],
@@ -408,9 +466,9 @@ def create_dataloader(
     (replaces torch DataLoader + persistent workers,
     reference dataset.py:753-852). When ``data_config.num_workers`` is
     explicitly set (or TZREC_MP_LOADER=<n>), batches are produced by
-    that many forked worker processes (datasets/mp_loader.py) instead
-    of a prefetch thread — each worker owns a disjoint input shard
-    (process_index*K + w of process_count*K).
+    that many worker processes (datasets/mp_loader.py; fork or spawn,
+    auto-detected) instead of a prefetch thread — each worker owns a
+    disjoint input shard (process_index*K + w of process_count*K).
     """
     from torcheasyrec_tpu.protos import data_pb2
 
@@ -485,15 +543,13 @@ def create_dataloader(
         if mp_workers > 1:
             from torcheasyrec_tpu.datasets.mp_loader import MpBatchLoader
 
-            wid, nw = worker_id, num_workers  # process-level shard
-
-            def _factory(w: int):
-                # global shard w of (hosts x workers): rows disjoint
-                # across both axes
-                return _build_dataset(wid * mp_workers + w, nw * mp_workers)
-
+            factory = _MpDatasetFactory(
+                data_config, features, input_path, mode, sampler,
+                debug_level, reserved_columns, selected_cols, batch_size,
+                resume_state, worker_id, num_workers, mp_workers,
+            )
             return MpBatchLoader(
-                _factory, mp_workers, dense_bf16=pack_dense_bf16,
+                factory, mp_workers, dense_bf16=pack_dense_bf16,
                 device_put_fn=device_put_fn,
             )
         return PrefetchIterator(

@@ -17,10 +17,20 @@ consumer copies the slot into a private buffer (a ~0.1 ms memcpy for a
 PackedBatch (plus host-side views for metrics/delta-dump consumers)
 from the private copy — so no shm lifetime leaks into user code.
 
-Workers are forked, so dataset factories may be closures; each worker
-w of K slices the input with the SAME worker-slice machinery used for
-multi-host sharding: global shard (process_index*K + w) of
-(process_count*K) — rows stay disjoint across both hosts and workers.
+Each worker w of K slices the input with the SAME worker-slice
+machinery used for multi-host sharding: global shard
+(process_index*K + w) of (process_count*K) — rows stay disjoint across
+both hosts and workers.
+
+Start method: fork is cheapest, but fork() in a process that already
+initialized a non-CPU jax backend inherits the device client's locked
+mutexes/atfork handlers and can deadlock — exactly the situation in the
+CLI driver, which builds the model (initializing the TPU client) before
+the first dataloader iterator. So the default auto-detects: spawn when
+a non-CPU backend is live, fork otherwise (tests, pure-host pipelines).
+Spawn workers get a sanitized environment (JAX_PLATFORMS=cpu, device
+pool vars cleared) — they only do host work and must never grab the
+accelerator. TZREC_MP_START=fork|spawn|forkserver overrides.
 """
 
 import multiprocessing as mp
@@ -59,6 +69,26 @@ def mp_loader_enabled(data_config: Any, mode: str = "train") -> int:
     except Exception:  # noqa: BLE001 - configs without the field
         pass
     return 0
+
+
+def _pick_start_method() -> str:
+    env = os.environ.get("TZREC_MP_START", "")
+    if env in ("fork", "spawn", "forkserver"):
+        return env
+    try:  # non-CPU backend already initialized -> fork may deadlock
+        from jax._src import xla_bridge
+
+        backends = getattr(xla_bridge, "_backends", {}) or {}
+        if any(p != "cpu" for p in backends):
+            return "spawn"
+    except Exception:  # noqa: BLE001 - internal layout changed
+        pass
+    return "fork"
+
+
+# env vars that would make a spawned worker try to claim the
+# accelerator at import time (sitecustomize keys off these)
+_DEVICE_ENV_VARS = ("PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE")
 
 
 class _WorkerRing:
@@ -157,7 +187,8 @@ class MpBatchLoader:
         nslots: int = 4,
     ) -> None:
         assert num_workers >= 1
-        ctx = mp.get_context("fork")
+        method = _pick_start_method()
+        ctx = mp.get_context(method)
         self._device_put_fn = device_put_fn
         self._stop = ctx.Event()
         self._full_q = ctx.Queue()
@@ -167,21 +198,37 @@ class MpBatchLoader:
         self._ended = 0
         self._n = num_workers
         self._finished = False
-        for w in range(num_workers):
-            fq = ctx.Queue()
-            for s in range(nslots):
-                fq.put(s)
-            self._free_qs.append(fq)
-            p = ctx.Process(
-                target=_worker_main,
-                args=(
-                    w, dataset_factory, dense_bf16, nslots, self._full_q,
-                    fq, self._stop,
-                ),
-                daemon=True,
-            )
-            p.start()
-            self._procs.append(p)
+        saved_env: dict = {}
+        if method != "fork":
+            # children re-exec python and inherit os.environ as of
+            # start(): force host-only jax so workers never touch the
+            # accelerator (and never hang on a device pool at import)
+            for k in _DEVICE_ENV_VARS:
+                saved_env[k] = os.environ.pop(k, None)
+            saved_env["JAX_PLATFORMS"] = os.environ.get("JAX_PLATFORMS")
+            os.environ["JAX_PLATFORMS"] = "cpu"
+        try:
+            for w in range(num_workers):
+                fq = ctx.Queue()
+                for s in range(nslots):
+                    fq.put(s)
+                self._free_qs.append(fq)
+                p = ctx.Process(
+                    target=_worker_main,
+                    args=(
+                        w, dataset_factory, dense_bf16, nslots,
+                        self._full_q, fq, self._stop,
+                    ),
+                    daemon=True,
+                )
+                p.start()
+                self._procs.append(p)
+        finally:
+            for k, v in saved_env.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
 
     def __iter__(self) -> Iterator:
         return self
@@ -190,7 +237,27 @@ class MpBatchLoader:
         if self._finished:
             raise StopIteration
         while True:
-            msg = self._full_q.get()
+            try:
+                msg = self._full_q.get(timeout=2.0)
+            except queue_mod.Empty:
+                # fail loudly instead of blocking forever when workers
+                # died without reporting (e.g. spawn re-imported a
+                # __main__ without the if-__name__ guard)
+                dead = [
+                    (p.pid, p.exitcode)
+                    for p in self._procs
+                    if not p.is_alive() and p.exitcode != 0
+                ]
+                if len(dead) + self._ended >= self._n and dead:
+                    self._finished = True
+                    self.close()
+                    raise RuntimeError(
+                        f"mp data workers died without reporting "
+                        f"(pid, exitcode)={dead}. If using the spawn "
+                        f"start method, the program's entry point must "
+                        f"be guarded by `if __name__ == '__main__':`."
+                    )
+                continue
             tag = msg[0]
             if tag == "shm":
                 _, w, name, nslots, slot_bytes = msg
