@@ -108,6 +108,38 @@ def build_config():
     )
 
 
+class _BenchDatasetFactory:
+    """Picklable mp-loader factory: each worker regenerates its own
+    column stream (seeded per worker) and parses it — so the measured
+    mp pipeline includes column synthesis + feature parse + batch pack
+    in the workers, like a production reader shard."""
+
+    def __init__(self, features, n_batches: int) -> None:
+        self.features = features
+        self.n_batches = n_batches
+
+    def __call__(self, w: int):
+        import pyarrow as pa
+
+        from torcheasyrec_tpu.datasets.data_parser import DataParser
+        from torcheasyrec_tpu.datasets.utils import BatchInfo
+
+        parser = DataParser(self.features, labels=["label"])
+        for i in range(self.n_batches):
+            r = np.random.default_rng(w * 100_003 + i)
+            c = {"label": pa.array(
+                (r.random(BATCH_SIZE) > 0.5).astype(np.float32))}
+            for j in range(13):
+                c[f"int_{j}"] = pa.array(
+                    r.normal(size=BATCH_SIZE).astype(np.float32)
+                )
+            for j, n in enumerate(CRITEO_BUCKETS):
+                c[f"cat_{j}"] = pa.array(r.integers(0, n, BATCH_SIZE))
+            yield parser.parse_to_batch(c), BatchInfo(
+                batch_size=BATCH_SIZE
+            )
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -237,9 +269,43 @@ def main() -> None:
     pipe_dt = min(_pipe_round() for _ in range(2))
     pipeline_eps = BATCH_SIZE * n_pipe / pipe_dt
 
+    # multi-process pipeline: K worker processes own column synthesis +
+    # parse + pack (the GIL-bound host path); the consumer only does
+    # device_put + step dispatch. This is the production loader
+    # (data_config.num_workers, datasets/mp_loader.py).
+    mp_pipeline_eps = None
+    if mesh is None:
+        try:
+            from torcheasyrec_tpu.datasets.mp_loader import MpBatchLoader
+
+            n_workers = 3
+            per_worker = 20
+            loader = MpBatchLoader(
+                _BenchDatasetFactory(features, per_worker),
+                n_workers,
+                dense_bf16=True,
+                device_put_fn=put_packed,
+            )
+            # warm: one batch per worker (covers spawn import cost)
+            for _ in range(n_workers):
+                b, _info = next(loader)
+                state, m, _ = train_step(state, b, step_rng)
+            n_done = 0
+            t0 = time.perf_counter()
+            for b, _info in loader:
+                state, m, _ = train_step(state, b, step_rng)
+                n_done += 1
+            jax.block_until_ready(m["total_loss"])
+            mp_dt = time.perf_counter() - t0
+            if n_done:
+                mp_pipeline_eps = BATCH_SIZE * n_done / mp_dt
+        except Exception as e:  # noqa: BLE001 - bench must not die here
+            print(f"mp pipeline stage skipped: {e!r}", file=sys.stderr)
+
     n_dev = len(jax.devices())
     compute_eps = BATCH_SIZE * STEPS / dt / n_dev
-    per_chip = pipeline_eps / n_dev
+    best_pipeline = max(pipeline_eps, mp_pipeline_eps or 0.0)
+    per_chip = best_pipeline / n_dev
     result = {
         "metric": "deepfm_criteo_train_examples_per_sec_per_chip",
         "value": round(per_chip, 1),
@@ -247,12 +313,17 @@ def main() -> None:
         "vs_baseline": round(per_chip / A100_BASELINE_EXAMPLES_PER_SEC, 3),
         "compute_path_examples_per_sec": round(compute_eps, 1),
         "compute_step_ms": round(dt / STEPS * 1000, 3),
+        "thread_pipeline_examples_per_sec": round(pipeline_eps, 1),
+        "mp_pipeline_examples_per_sec": (
+            round(mp_pipeline_eps, 1) if mp_pipeline_eps else None
+        ),
         "n_devices": n_dev,
         "batch_size": BATCH_SIZE,
-        "methodology": "value = end-to-end pipeline (host Arrow parse + "
-                       "tunnel H2D + jitted train step, overlapped); "
-                       "compute_path = device-resident batches, the "
-                       "per-chip ceiling",
+        "methodology": "value = best end-to-end pipeline (host synth + "
+                       "Arrow parse + pack in loader workers or a "
+                       "prefetch thread, tunnel H2D, jitted train step, "
+                       "overlapped); compute_path = device-resident "
+                       "batches, the per-chip ceiling",
         "platform": jax.devices()[0].platform,
     }
     print(json.dumps(result))

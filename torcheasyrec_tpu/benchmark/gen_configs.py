@@ -28,6 +28,8 @@ def _header(model_name: str, labels, with_seq: bool = False) -> str:
     label_lines = "".join(f'  label_fields: "{la}"\n' for la in labels)
     feats = []
     for j, b in enumerate(CRITEO_BUCKETS):
+        if with_seq and b > 50_000:
+            continue  # see LOWCARD_CATS
         feats.append(
             f'feature_configs {{ id_feature {{ feature_name: "cat_{j}" '
             f"num_buckets: {b} embedding_dim: 16 }} }}"
@@ -96,6 +98,21 @@ _DLRM_GROUPS = (
 _DEEP_GROUP = (
     "  feature_groups {\n"
     '    group_name: "all"\n' + _names(CATS + INTS)
+    + "    group_type: DEEP\n  }\n"
+)
+
+# sequence configs use only the LOW-cardinality cats: at 262k rows the
+# 100k-bucket embeddings see ~2.6 rows/bucket and act as pure row
+# memorizers, drowning the planted sequence signal the configs exist
+# to regression-test (measured: full-cat DIN overfits past 1 epoch,
+# eval BCE 0.64 -> 2.8)
+LOWCARD_CATS = [
+    f"cat_{j}" for j, b in enumerate(CRITEO_BUCKETS) if b <= 50_000
+]
+
+_DEEP_GROUP_SEQ = (
+    "  feature_groups {\n"
+    '    group_name: "all"\n' + _names(LOWCARD_CATS + INTS)
     + "    group_type: DEEP\n  }\n"
 )
 
@@ -201,7 +218,7 @@ MODELS = {
     # dbmtl_has_sequence / mmoe_has_sequence benchmark analogue
     "multi_tower_din": (
         ["label_seq"],
-        _DEEP_GROUP + _SEQ_GROUPS
+        _DEEP_GROUP_SEQ + _SEQ_GROUPS
         + "  multi_tower_din {\n"
         '    towers { input: "all" mlp { hidden_units: [256, 128] } }\n'
         '    din_towers { input: "seq"\n'
@@ -214,7 +231,7 @@ MODELS = {
     ),
     "mmoe_has_sequence": (
         ["label_seq", "conversion"],
-        _DEEP_GROUP + _SEQ_GROUPS.replace(
+        _DEEP_GROUP_SEQ + _SEQ_GROUPS.replace(
             "group_type: SEQUENCE",
             "group_type: SEQUENCE\n"
             "    sequence_encoders { din_encoder "

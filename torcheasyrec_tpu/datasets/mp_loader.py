@@ -143,6 +143,18 @@ def _worker_main(
                 full_q.put(
                     ("shm", worker_idx, shm.name, nslots, slot_bytes)
                 )
+                # lifetime ownership transfers to the consumer (its
+                # close() unlinks): drop this process's tracker entry
+                # so a spawn worker's own resource_tracker doesn't
+                # warn about (and double-unlink) the ring at exit
+                try:
+                    from multiprocessing import resource_tracker
+
+                    resource_tracker.unregister(
+                        shm._name, "shared_memory"
+                    )
+                except Exception:  # noqa: BLE001 - cosmetic only
+                    pass
             if wire.nbytes > slot_bytes:
                 # oversized batch: fall back to queue transport
                 full_q.put(("big", worker_idx, wire.tobytes(), payload))
