@@ -286,8 +286,10 @@ def main() -> None:
                 dense_bf16=True,
                 device_put_fn=put_packed,
             )
-            # warm: one batch per worker (covers spawn import cost)
-            for _ in range(n_workers):
+            # warm: 2 batches per worker count — the shared queue gives
+            # no per-worker guarantee, so leave slack to keep slow
+            # workers' first-spec compiles out of the timed region
+            for _ in range(2 * n_workers):
                 b, _info = next(loader)
                 state, m, _ = train_step(state, b, step_rng)
             n_done = 0

@@ -226,3 +226,44 @@ def test_dag_match_kv_randomized_parity():
             native[f.name].values, ref.values, rtol=1e-6, atol=1e-7,
             err_msg=f.name,
         )
+
+
+def test_kv_dot_parity_bail_falls_back_to_python():
+    """Values outside plain decimal/scientific notation (hex floats,
+    whitespace — where strtod and python float() disagree) make the
+    native kv-dot task bail; through DataParser the python path must
+    produce the feature with python semantics."""
+    import pyarrow as pa
+    from google.protobuf import text_format
+
+    from torcheasyrec_tpu.datasets.data_parser import DataParser
+    from torcheasyrec_tpu.features import create_features
+    from torcheasyrec_tpu.fg.dag import FgDag
+    from torcheasyrec_tpu.protos import feature_pb2
+    from torcheasyrec_tpu.protos.data_pb2 import FgMode
+
+    cfg = text_format.Parse(
+        """kv_dot_product { feature_name: 'kvd'
+           expression: ['user:ukv', 'item:ikv'] }""",
+        feature_pb2.FeatureConfig(),
+    )
+    (feat,) = create_features([cfg], fg_mode=FgMode.FG_NORMAL)
+    data = {
+        # 0x10: strtod parses 16.0, python float() raises -> pair skipped
+        "ukv": pa.array(["a:2\x1db:3", "a:0x10", "a: 1"]),
+        "ikv": pa.array(["a:10", "a:2", "a:5"]),
+    }
+    dag = FgDag([feat])
+    assert dag.handles("kvd")
+    native = dag.parse(data, False)
+    # python semantics: float('0x10') raises -> pair skipped (dot 0),
+    # float(' 1') = 1.0 (whitespace tolerated) -> 1*5
+    np.testing.assert_allclose(
+        np.asarray(native["kvd"].values).ravel(), [20.0, 0.0, 5.0],
+        rtol=1e-6,
+    )
+
+    parser = DataParser([feat])
+    batch = parser.parse_to_batch(data)
+    got = np.asarray(batch.dense_features["kvd"].values).ravel()
+    np.testing.assert_allclose(got, [20.0, 0.0, 5.0], rtol=1e-6)

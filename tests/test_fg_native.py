@@ -147,3 +147,28 @@ def test_int_id_vectorized_matches_string_path():
     got = feat.parse({"x": pa.array([5, None, 7])}, False)
     np.testing.assert_array_equal(got.lengths, [1, 1, 1])
     np.testing.assert_array_equal(got.values, [5, 9, 7])
+
+
+def test_int_id_vocab_precedence_over_buckets():
+    """vocab_list + num_buckets on an integer column: the vocab mapping
+    must win (the vectorized bucket path only fires when buckets alone
+    decide the mapping, matching _vocab_to_ids precedence)."""
+    import pyarrow as pa
+    from google.protobuf import text_format
+
+    from torcheasyrec_tpu.features import create_features
+    from torcheasyrec_tpu.protos import feature_pb2
+    from torcheasyrec_tpu.protos.data_pb2 import FgMode
+
+    cfg = text_format.Parse(
+        "id_feature { feature_name: 'x' expression: 'item:x' "
+        "vocab_list: ['7', '42'] num_buckets: 1000 embedding_dim: 4 }",
+        feature_pb2.FeatureConfig(),
+    )
+    (feat,) = create_features([cfg], fg_mode=FgMode.FG_NORMAL)
+    ints = np.array([7, 42, 999])
+    got = feat.parse({"x": pa.array(ints)}, False)
+    ref = feat.parse({"x": pa.array([str(v) for v in ints])}, False)
+    np.testing.assert_array_equal(got.values, ref.values)
+    # vocab semantics, not clip-to-bucket: 7 -> 2, 42 -> 3, OOV -> 1
+    np.testing.assert_array_equal(np.asarray(got.values), [2, 3, 1])

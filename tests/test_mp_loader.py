@@ -215,3 +215,28 @@ def test_mp_loader_dead_worker_raises(tmp_path):
             next(loader)
     finally:
         loader.close()
+
+
+def test_mp_loader_deferred_on_resume(tmp_path):
+    """A mid-epoch resume watermark is single-stream: the resumed
+    epoch's iterator must be the thread loader (workers would skip a
+    slower worker's unread rows); the NEXT epoch re-enables workers."""
+    from torcheasyrec_tpu.datasets.dataset import PrefetchIterator
+    from torcheasyrec_tpu.datasets.mp_loader import MpBatchLoader
+
+    cfg_path, cfg = _cfg(tmp_path)
+    _write_data(os.path.join(str(tmp_path), "train.parquet"), 1024)
+    features = create_features(list(cfg.feature_configs))
+    dc = cfg.data_config
+    dc.num_workers = 2
+    dl = create_dataloader(
+        dc, features, os.path.join(str(tmp_path), "train.parquet"),
+        mode="eval", resume_state={0: 256},
+    )
+    first = dl()
+    assert isinstance(first, PrefetchIterator)
+    n_resumed = sum(1 for _ in first)
+    second = dl()
+    assert isinstance(second, MpBatchLoader)
+    n_fresh = sum(1 for _ in second)
+    assert n_fresh > n_resumed  # fresh epoch reads from the start

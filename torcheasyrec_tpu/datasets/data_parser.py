@@ -117,7 +117,9 @@ class DataParser:
                 continue
             groups.setdefault(len(col), []).append((name, col))
         for b, cols in groups.items():
-            # transposed (n, B) so each column lands contiguously
+            # transposed (n, B) so each column lands contiguously.
+            # int32 downcast matches the per-feature path's to_batch
+            # convention (ids are pre-bucketed below 2^31 everywhere)
             mat = np.empty((len(cols), b), np.int32)
             for j, (_, col) in enumerate(cols):
                 mat[j] = col.to_numpy(zero_copy_only=True)

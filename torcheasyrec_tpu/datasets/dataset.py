@@ -388,6 +388,32 @@ def _infer_type(input_path: str) -> int:
     return data_pb2.DatasetType.ParquetDataset
 
 
+def _reader_for(
+    data_config, input_path: str, batch_size: int, selected_cols, mode: str,
+    resume_state=None,
+) -> BaseReader:
+    """The ONE place reader construction options are derived from a
+    data_config — used by both the in-process loader and mp workers so
+    the two paths cannot drift."""
+    r = create_reader(
+        input_path,
+        batch_size,
+        selected_cols=selected_cols,
+        dataset_type=data_config.dataset_type,
+        drop_remainder=data_config.drop_remainder or (mode == "train"),
+        shuffle=data_config.shuffle and mode == "train",
+        shuffle_buffer_size=data_config.shuffle_buffer_size,
+        delimiter=data_config.delimiter,
+        with_header=data_config.with_header,
+        input_fields=list(data_config.input_fields),
+        sample_cost_field=data_config.sample_cost_field or None,
+        batch_cost_size=data_config.batch_cost_size,
+    )
+    if resume_state:
+        r.load_state(resume_state)
+    return r
+
+
 class _MpDatasetFactory:
     """Picklable per-worker dataset builder for the mp loader.
 
@@ -402,7 +428,7 @@ class _MpDatasetFactory:
     def __init__(
         self, data_config, features, input_path, mode, sampler,
         debug_level, reserved_columns, selected_cols, batch_size,
-        resume_state, base_wid, base_nw, k,
+        base_wid, base_nw, k,
     ) -> None:
         self.data_config = data_config
         self.features = features
@@ -413,32 +439,18 @@ class _MpDatasetFactory:
         self.reserved_columns = list(reserved_columns or [])
         self.selected_cols = selected_cols
         self.batch_size = batch_size
-        self.resume_state = resume_state
         self.base_wid = base_wid
         self.base_nw = base_nw
         self.k = k
 
     def __call__(self, w: int):
-        dc = self.data_config
-        reader = create_reader(
-            self.input_path,
-            self.batch_size,
-            selected_cols=self.selected_cols,
-            dataset_type=dc.dataset_type,
-            drop_remainder=dc.drop_remainder or (self.mode == "train"),
-            shuffle=dc.shuffle and self.mode == "train",
-            shuffle_buffer_size=dc.shuffle_buffer_size,
-            delimiter=dc.delimiter,
-            with_header=dc.with_header,
-            input_fields=list(dc.input_fields),
-            sample_cost_field=dc.sample_cost_field or None,
-            batch_cost_size=dc.batch_cost_size,
+        reader = _reader_for(
+            self.data_config, self.input_path, self.batch_size,
+            self.selected_cols, self.mode,
         )
-        if self.resume_state:
-            reader.load_state(self.resume_state)
         ds = BaseDataset(
-            dc, self.features, self.input_path, reader, self.mode,
-            self.sampler, self.debug_level,
+            self.data_config, self.features, self.input_path, reader,
+            self.mode, self.sampler, self.debug_level,
             worker_id=self.base_wid * self.k + w,
             num_workers=self.base_nw * self.k,
         )
@@ -496,26 +508,10 @@ def create_dataloader(
             **extra,
         )
 
-    def _build_reader() -> BaseReader:
-        r = create_reader(
-            input_path,
-            batch_size,
-            selected_cols=selected_cols,
-            dataset_type=data_config.dataset_type,
-            drop_remainder=data_config.drop_remainder or (mode == "train"),
-            shuffle=data_config.shuffle and mode == "train",
-            shuffle_buffer_size=data_config.shuffle_buffer_size,
-            delimiter=data_config.delimiter,
-            with_header=data_config.with_header,
-            input_fields=list(data_config.input_fields),
-            sample_cost_field=data_config.sample_cost_field or None,
-            batch_cost_size=data_config.batch_cost_size,
-        )
-        if resume_state:
-            r.load_state(resume_state)
-        return r
-
-    reader = _build_reader()
+    reader = _reader_for(
+        data_config, input_path, batch_size, selected_cols, mode,
+        resume_state,
+    )
 
     # default input shard = this jax process (multi-host: disjoint rows
     # per host; single-process: whole input)
@@ -525,33 +521,51 @@ def create_dataloader(
         worker_id = jax.process_index()
         num_workers = jax.process_count()
 
-    def _build_dataset(wid: int, nw: int, rdr: Optional[BaseReader] = None):
-        ds = BaseDataset(
-            data_config, features, input_path, rdr or _build_reader(),
-            mode, sampler, debug_level, worker_id=wid, num_workers=nw,
-        )
-        ds._reserved_columns = list(reserved_columns or [])
-        return ds
-
-    dataset = _build_dataset(worker_id, num_workers, reader)
+    dataset = BaseDataset(
+        data_config, features, input_path, reader, mode, sampler,
+        debug_level, worker_id=worker_id, num_workers=num_workers,
+    )
+    dataset._reserved_columns = list(reserved_columns or [])
 
     from torcheasyrec_tpu.datasets.mp_loader import mp_loader_enabled
 
     mp_workers = mp_loader_enabled(data_config, mode)
+    # mid-epoch resume replays ONE consumer-side watermark; pushing it
+    # into K differently-lagged worker readers would skip rows a slower
+    # worker never produced. The RESUMED epoch runs single-stream (the
+    # reader already carries the loaded positions); fresh epochs after
+    # it re-enable the worker pool.
+    resumed_epoch_pending = [bool(resume_state) and mp_workers > 1]
+    if resumed_epoch_pending[0]:
+        logger.info(
+            "mp loader deferred to the next epoch: the resumed epoch "
+            "replays the single-stream dataloader watermark"
+        )
+    if mp_workers > 1 and num_workers > 1:
+        # the multi-host shape-sync path operates on raw Batch pytrees
+        # (pad/dim-sync/global assembly); mp workers pre-pack to a wire
+        # buffer. Until workers ship raw batches under multihost, keep
+        # the thread loader there.
+        logger.info(
+            "mp loader disabled under multi-host training (pre-packed "
+            "wire batches are incompatible with the shape-sync path)"
+        )
+        mp_workers = 0
 
     def _make_iter(device_put_fn=None):
-        if mp_workers > 1:
+        if mp_workers > 1 and not resumed_epoch_pending[0]:
             from torcheasyrec_tpu.datasets.mp_loader import MpBatchLoader
 
             factory = _MpDatasetFactory(
                 data_config, features, input_path, mode, sampler,
                 debug_level, reserved_columns, selected_cols, batch_size,
-                resume_state, worker_id, num_workers, mp_workers,
+                worker_id, num_workers, mp_workers,
             )
             return MpBatchLoader(
                 factory, mp_workers, dense_bf16=pack_dense_bf16,
                 device_put_fn=device_put_fn,
             )
+        resumed_epoch_pending[0] = False
         return PrefetchIterator(
             iter(dataset), prefetch=prefetch, device_put_fn=device_put_fn
         )

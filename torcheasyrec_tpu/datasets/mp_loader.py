@@ -299,7 +299,11 @@ class MpBatchLoader:
                 self._free_qs[w].put(slot)
             spec, info = pickle.loads(payload)
             host = PackedBatch(wire, spec)
-            # host-side views for metrics/delta-dump/ZCH consumers
+            # host-side views for metrics/delta-dump/ZCH consumers —
+            # reconstructed from the wire, so ids are int32 (the
+            # framework-wide device convention; all ids are pre-
+            # bucketed below 2^31) and, under dense_bf16, dense
+            # features are bf16-rounded (labels/weights stay f32)
             host.host_batch = unpack_batch(host)
             item = (host, info)
             if self._device_put_fn is not None:

@@ -23,6 +23,50 @@ class IdFeature(BaseFeature):
     def is_sparse(self) -> bool:
         return True
 
+    def _int_ids_vectorized(self, feat, default):
+        """Vectorized integer-id mapping (no per-row python), or None
+        to fall back to the generic token path.
+
+        Only valid when buckets alone decide the mapping: any vocab
+        config takes precedence in _vocab_to_ids and must keep the
+        token path. num_buckets clips (python int(t) semantics);
+        hash_bucket hashes the DECIMAL string bytes in C++
+        (fg_hash64_ints_mod) so ids are identical to the str()+FNV
+        python path.
+        """
+        c = self.config
+        if (
+            len(getattr(c, "vocab_list", []))
+            or len(getattr(c, "vocab_dict", {}))
+            or getattr(c, "vocab_file", "")
+        ):
+            return None
+        if not (
+            getattr(c, "num_buckets", 0) or getattr(c, "hash_bucket_size", 0)
+        ):
+            return None
+        try:
+            if default:
+                feat = feat.cast(pa.int64()).fill_null(int(default))
+            nulls = feat.is_null().to_numpy(zero_copy_only=False)
+            lengths = (~nulls).astype(np.int32)
+            vals = (
+                feat.drop_null().cast(pa.int64()).to_numpy(
+                    zero_copy_only=False
+                )
+                if nulls.any()
+                else feat.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            )
+        except (ValueError, pa.ArrowInvalid):
+            return None  # e.g. uint64 overflowing int64: token path
+        if getattr(c, "num_buckets", 0):
+            ids = np.clip(vals, 0, int(c.num_buckets) - 1)
+        else:
+            from torcheasyrec_tpu import fg as fg_native
+
+            ids = fg_native.hash_ints_mod(vals, int(c.hash_bucket_size))
+        return SparseData(self.name, ids, lengths, None)
+
     def _parse_fg(self, input_data: Dict[str, pa.Array], is_training: bool) -> Any:
         feat = self._input_column(input_data)
         c = self.config
@@ -115,37 +159,11 @@ class IdFeature(BaseFeature):
                     [float(p[1]) if len(p) > 1 else 1.0 for p in pairs],
                     dtype=np.float32,
                 )
-        elif pa.types.is_integer(feat.type) and (
-            getattr(c, "num_buckets", 0) or getattr(c, "hash_bucket_size", 0)
-        ):
-            # vectorized integer-id path: no per-row python. num_buckets
-            # clips (python int(t) semantics); hash_bucket hashes the
-            # DECIMAL string bytes in C++ (fg_hash64_ints_mod) so ids
-            # are identical to the str()+FNV python path.
-            if default:
-                try:
-                    feat = feat.cast(pa.int64()).fill_null(int(default))
-                except (ValueError, pa.ArrowInvalid):
-                    pass
-            nulls = feat.is_null().to_numpy(zero_copy_only=False)
-            lengths = (~nulls).astype(np.int32)
-            vals = (
-                feat.drop_null().cast(pa.int64()).to_numpy(
-                    zero_copy_only=False
-                )
-                if nulls.any()
-                else feat.cast(pa.int64()).to_numpy(zero_copy_only=False)
-            )
-            if getattr(c, "num_buckets", 0):
-                ids = np.clip(vals, 0, int(c.num_buckets) - 1)
-            else:
-                from torcheasyrec_tpu import fg as fg_native
-
-                ids = fg_native.hash_ints_mod(
-                    vals, int(c.hash_bucket_size)
-                )
-            return SparseData(self.name, ids, lengths, None)
         else:
+            if pa.types.is_integer(feat.type):
+                fast = self._int_ids_vectorized(feat, default)
+                if fast is not None:
+                    return fast
             if default:
                 feat = feat.fill_null(default)
             vals = feat.to_pylist()

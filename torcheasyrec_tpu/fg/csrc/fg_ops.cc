@@ -481,11 +481,20 @@ inline int kv_pairs(const char* s, int64_t len, char sep, const char** key,
     const char* colon = static_cast<const char*>(
         p < pair_end ? memchr(p, ':', pair_end - p) : nullptr);
     if (colon && pair_end - colon > 1) {
-      char tmp_end = 0;
-      (void)tmp_end;
       char buf[64];
       int64_t vl = pair_end - colon - 1;
-      if (vl <= 63) {
+      if (vl > 63) return -2;  // parity unknown: python fallback
+      {
+        // python float() parity guard: bail to the python path on any
+        // value char outside plain decimal/scientific notation (hex
+        // floats, underscores, whitespace, inf/nan all behave
+        // differently between strtod and float())
+        for (int64_t q = 0; q < vl; ++q) {
+          char ch = colon[1 + q];
+          if (!((ch >= '0' && ch <= '9') || ch == '+' || ch == '-' ||
+                ch == '.' || ch == 'e' || ch == 'E'))
+            return -2;
+        }
         std::memcpy(buf, colon + 1, vl);
         buf[vl] = '\0';
         char* e = nullptr;
@@ -535,7 +544,7 @@ void run_kv_dot(FgTask& t) {
                       t.offsets[1][i + 1] - t.offsets[1][i], sep,
                       k2, l2, v2, kCap);
     if (n1 < 0 || n2 < 0) {
-      t.status = -1;  // pair overflow: python fallback
+      t.status = -1;  // overflow or parity-unknown value: python fallback
       return;
     }
     double dot = 0.0;
@@ -548,8 +557,12 @@ void run_kv_dot(FgTask& t) {
       }
     }
     if (t.n_bounds > 0) {
+      // the python path stores the dot into a float32 array before
+      // bucketizing; round identically so boundary-adjacent values
+      // land in the same bucket on both paths
+      double dot_f32 = static_cast<double>(static_cast<float>(dot));
       t.out_vals[i] = std::upper_bound(t.boundaries,
-                                       t.boundaries + t.n_bounds, dot) -
+                                       t.boundaries + t.n_bounds, dot_f32) -
                       t.boundaries;
       t.out_lengths[i] = 1;
     } else {

@@ -670,7 +670,8 @@ def train_and_evaluate(
         train_iter = iter(train_dl(
             device_put_fn=None if multi_process else _to_device
         ))
-        while True:
+        try:
+          while True:
             try:
                 batch, info = next(train_iter)
                 have = True
@@ -791,8 +792,12 @@ def train_and_evaluate(
             if num_steps and step >= num_steps:
                 stop = True
                 break
-        if hasattr(train_iter, "close"):
-            train_iter.close()  # stop the prefetch thread on early exit
+        finally:
+          # stop prefetch threads / worker processes even when the
+          # step raises (device OOM, KeyboardInterrupt): the mp
+          # loader's close() also unlinks its /dev/shm rings
+          if hasattr(train_iter, "close"):
+            train_iter.close()
         if not stop:
             # epoch completed
             if train_config.save_checkpoints_epochs and (
