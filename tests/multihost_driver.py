@@ -18,7 +18,7 @@ import sys
 def main() -> None:
     mode = sys.argv[1]
     tmp = sys.argv[2]
-    if mode == "multi":
+    if mode.startswith("multi"):
         pid, nproc, port = int(sys.argv[3]), int(sys.argv[4]), sys.argv[5]
         local_devices = 8 // nproc
     else:
@@ -35,7 +35,7 @@ def main() -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    if mode == "multi":
+    if mode.startswith("multi"):
         jax.distributed.initialize(
             f"localhost:{port}", num_processes=nproc, process_id=pid
         )

@@ -376,3 +376,69 @@ def test_two_process_train_matches_single(tmp_path):
     # multi-host checkpoint was written collectively
     mdir = os.path.join(tmp, "model_multi")
     assert any(n.startswith("model.ckpt-") for n in os.listdir(mdir))
+
+
+@pytest.mark.slow
+def test_two_process_mp_loader_train(tmp_path):
+    """2 hosts x 2 mp-loader workers: pre-packed wire batches flow
+    through the multi-host shape-sync path (the consumer unwraps the
+    host-side views), the 4 global worker shards are disjoint at
+    row-group granularity, both processes report the same global AUC,
+    and the model learns."""
+    from torcheasyrec_tpu.utils.test_util import generate_mock_table
+
+    tmp = str(tmp_path)
+    cfg_text = DEEPFM_TMPL.format(
+        train=os.path.join(tmp, "f0.parquet") + ","
+        + os.path.join(tmp, "f1.parquet"),
+        eval=os.path.join(tmp, "e0.parquet") + ","
+        + os.path.join(tmp, "e1.parquet"),
+        model_dir=os.path.join(tmp, "model_multimp"),
+        batch_size=64,
+    ).replace(
+        'label_fields: "label"',
+        'label_fields: "label"\n    num_workers: 2',
+    )
+    with open(os.path.join(tmp, "pipeline_multimp.config"), "w") as f:
+        f.write(cfg_text)
+
+    from google.protobuf import text_format
+
+    from torcheasyrec_tpu.protos import pipeline_pb2
+
+    cfg = text_format.Parse(cfg_text, pipeline_pb2.EasyRecConfig())
+    features = create_features(list(cfg.feature_configs))
+    # many row groups per file so all 4 (host x worker) shards own rows
+    for name, n, seed in (
+        ("f0", 384, 0), ("f1", 384, 17), ("e0", 256, 3), ("e1", 256, 4),
+    ):
+        tbl = generate_mock_table(features, n, ["label"], seed)
+        pq.write_table(
+            tbl, os.path.join(tmp, f"{name}.parquet"), row_group_size=64
+        )
+
+    driver = os.path.join(os.path.dirname(__file__), "multihost_driver.py")
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(driver))
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = str(s.getsockname()[1])
+    procs = [
+        subprocess.Popen(
+            [sys.executable, driver, "multimp", tmp, str(i), "2", port],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out.decode()[-4000:]
+
+    with open(os.path.join(tmp, "result_multimp_p0.json")) as f:
+        r0 = json.load(f)
+    with open(os.path.join(tmp, "result_multimp_p1.json")) as f:
+        r1 = json.load(f)
+    assert abs(r0["auc"] - r1["auc"]) < 1e-9
+    assert r0["auc"] > 0.6, r0

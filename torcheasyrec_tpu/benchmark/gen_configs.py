@@ -13,8 +13,9 @@ import os
 from torcheasyrec_tpu.benchmark.synthetic import CRITEO_BUCKETS, N_DENSE
 
 DATA_ROOT = "/tmp/tzrec_bench_data"
-TRAIN = f"{DATA_ROOT}/criteo_synth_train_262144_v2.parquet"
-EVAL = f"{DATA_ROOT}/criteo_synth_eval_65536_v2.parquet"
+TRAIN = f"{DATA_ROOT}/criteo_synth_train_262144_v3.parquet"
+EVAL = f"{DATA_ROOT}/criteo_synth_eval_65536_v3.parquet"
+ITEMS = f"{DATA_ROOT}/criteo_synth_items.parquet"
 
 CATS = [f"cat_{j}" for j in range(len(CRITEO_BUCKETS))]
 INTS = [f"int_{i}" for i in range(N_DENSE)]
@@ -213,6 +214,38 @@ MODELS = {
         )
         + "  }\n",
     ),
+    "rocket_launching": (
+        ["label"],
+        _DEEP_GROUP
+        + "  rocket_launching {\n"
+        "    share_mlp { hidden_units: [256, 128] }\n"
+        "    booster_mlp { hidden_units: [128, 64] }\n"
+        "    light_mlp { hidden_units: [64] }\n"
+        "    feature_based_distillation: true\n  }\n" + _TAIL_RANK,
+    ),
+    # DBMTL with the ctr tower trained by JRC (session = cat_10, the
+    # user-ish grouping column) — the taobao dbmtl_jrc analogue
+    "dbmtl_jrc": (
+        ["label", "conversion"],
+        _DEEP_GROUP
+        + "  dbmtl {\n    bottom_mlp { hidden_units: [512] }\n"
+        "    expert_mlp { hidden_units: [256, 128] }\n    num_expert: 4\n"
+        + _TASKS.replace(
+            'tower_name: "ctr" label_name: "label"\n'
+            "    mlp { hidden_units: [128, 64] }\n"
+            "    losses { binary_cross_entropy {} }",
+            'tower_name: "ctr" label_name: "label"\n'
+            "    num_class: 2\n"
+            "    mlp { hidden_units: [128, 64] }\n"
+            '    losses { jrc_loss { session_name: "cat_12" } }',
+        ).replace(
+            'tower_name: "cvr" label_name: "conversion"',
+            'tower_name: "cvr" label_name: "conversion"\n'
+            '    relation_tower_names: "ctr"\n'
+            "    relation_mlp { hidden_units: [64] }",
+        )
+        + "  }\n",
+    ),
     # sequence-signal configs (label_seq head): DIN target attention
     # over the planted click history vs a plain deep model — the
     # dbmtl_has_sequence / mmoe_has_sequence benchmark analogue
@@ -258,6 +291,73 @@ def main() -> None:
         with open(os.path.join(out_dir, f"{name}.config"), "w") as f:
             f.write(txt)
         print(f"wrote {name}.config")
+    with open(os.path.join(out_dir, "dssm.config"), "w") as f:
+        f.write(_dssm_config())
+    print("wrote dssm.config")
+
+
+def _dssm_config() -> str:
+    """Two-tower match benchmark (the taobao dssm analogue): user taste
+    vs clicked item with 32 sampled negatives; recall@k is the pinned
+    metric. Signal: 80% of clicked items come from the user's taste
+    cluster (benchmark/synthetic.py)."""
+    from torcheasyrec_tpu.benchmark.synthetic import (
+        N_CLUSTERS,
+        N_ITEMS,
+    )
+
+    return f"""train_input_path: "{TRAIN}"
+eval_input_path: "{EVAL}"
+model_dir: "/tmp/tzrec_bench_model/dssm"
+train_config {{
+  sparse_optimizer {{ adagrad_optimizer {{ lr: 0.05 }} constant_learning_rate {{}} }}
+  dense_optimizer {{ adam_optimizer {{ lr: 0.001 }} constant_learning_rate {{}} }}
+  num_epochs: 1
+  save_checkpoints_steps: 100000
+  log_step_count_steps: 20
+}}
+eval_config {{}}
+data_config {{
+  batch_size: 4096
+  dataset_type: ParquetDataset
+  fg_mode: FG_NONE
+  label_fields: "pos_label"
+  negative_sampler {{
+    input_path: "{ITEMS}"
+    num_sample: 32
+    attr_fields: "item_id"
+    attr_fields: "item_cluster"
+    item_id_field: "item_id"
+  }}
+}}
+feature_configs {{ id_feature {{ feature_name: "user_taste" expression: "user:user_taste" num_buckets: {N_CLUSTERS} embedding_dim: 16 }} }}
+feature_configs {{ raw_feature {{ feature_name: "int_0" expression: "user:int_0" }} }}
+feature_configs {{ id_feature {{ feature_name: "item_id" expression: "item:item_id" num_buckets: {N_ITEMS} embedding_dim: 16 }} }}
+feature_configs {{ id_feature {{ feature_name: "item_cluster" expression: "item:item_cluster" num_buckets: {N_CLUSTERS} embedding_dim: 8 }} }}
+model_config {{
+  feature_groups {{
+    group_name: "user"
+    feature_names: "user_taste"
+    feature_names: "int_0"
+    group_type: DEEP
+  }}
+  feature_groups {{
+    group_name: "item"
+    feature_names: "item_id"
+    feature_names: "item_cluster"
+    group_type: DEEP
+  }}
+  dssm {{
+    user_tower {{ input: "user" mlp {{ hidden_units: [64, 32] }} }}
+    item_tower {{ input: "item" mlp {{ hidden_units: [64, 32] }} }}
+    output_dim: 16
+    temperature: 0.2
+  }}
+  metrics {{ recall_at_k {{ top_k: 1 }} }}
+  metrics {{ recall_at_k {{ top_k: 5 }} }}
+  losses {{ softmax_cross_entropy {{}} }}
+}}
+"""
 
 
 if __name__ == "__main__":

@@ -153,6 +153,19 @@ def generate(
         for row, ln in zip(hist.tolist(), seq_lens.tolist())
     ]
 
+    # ---- match-model signal (dssm benchmark): each row carries a
+    # CLICKED item, drawn from the user's taste cluster 80% of the
+    # time, plus the user's taste id as a user-side feature — a
+    # two-tower model must align taste and item embeddings to rank the
+    # positive above sampled negatives (drawn after all other streams
+    # so earlier pinned labels stay valid) ----
+    pos_in_cluster = rng.random(n) < 0.8
+    pos_in_draw = rng.integers(0, _STRIDE, n)
+    pos_uniform = rng.integers(0, N_ITEMS, n)
+    item_id = np.where(
+        pos_in_cluster, taste * _STRIDE + pos_in_draw, pos_uniform
+    )
+
     cols: Dict[str, pa.Array] = {}
     for i, x in enumerate(dense):
         cols[f"int_{i}"] = pa.array(x)
@@ -163,6 +176,10 @@ def generate(
     cols["tgt_item"] = pa.array(tgt)
     cols["click_seq"] = pa.array(seq_strs)
     cols["label_seq"] = pa.array(label_seq)
+    cols["user_taste"] = pa.array(taste)
+    cols["item_id"] = pa.array(item_id)
+    cols["item_cluster"] = pa.array(item_id // _STRIDE)
+    cols["pos_label"] = pa.array(np.ones(n, np.float32))
     # grouping key for grouped metrics: user-ish id
     cols["group_id"] = pa.array(cats[10])
     table = pa.table(cols)
@@ -182,12 +199,32 @@ def generate(
 
 def ensure_dataset(root: str, train_rows: int = 262144,
                    eval_rows: int = 65536) -> Dict[str, str]:
-    """Idempotently materialize train/eval shards under ``root``."""
-    # v2: + sequence-signal columns (tgt_item / click_seq / label_seq)
-    train = os.path.join(root, f"criteo_synth_train_{train_rows}_v2.parquet")
-    evalp = os.path.join(root, f"criteo_synth_eval_{eval_rows}_v2.parquet")
+    """Idempotently materialize train/eval shards under ``root``.
+
+    v2 added the sequence-signal columns (tgt_item/click_seq/label_seq);
+    v3 adds the match-model columns (user_taste/item_id/item_cluster/
+    pos_label) and the sampler item table. New columns are drawn AFTER
+    all earlier streams under the same seed, so labels pinned on older
+    versions remain valid.
+    """
+    train = os.path.join(root, f"criteo_synth_train_{train_rows}_v3.parquet")
+    evalp = os.path.join(root, f"criteo_synth_eval_{eval_rows}_v3.parquet")
+    items = os.path.join(root, "criteo_synth_items.parquet")
     if not os.path.exists(train):
         generate(train, train_rows, seed=1)
     if not os.path.exists(evalp):
         generate(evalp, eval_rows, seed=2)
-    return {"train": train, "eval": evalp}
+    if not os.path.exists(items):
+        # graphlearn-layout item table for the negative sampler:
+        # id | weight | attrs ("item_id:item_cluster")
+        ids = np.arange(N_ITEMS)
+        tbl = pa.table({
+            "id": pa.array(ids),
+            "weight": pa.array(np.ones(N_ITEMS)),
+            "attrs": pa.array(
+                [f"{i}:{i // _STRIDE}" for i in range(N_ITEMS)]
+            ),
+        })
+        os.makedirs(root, exist_ok=True)
+        pq.write_table(tbl, items)
+    return {"train": train, "eval": evalp, "items": items}

@@ -541,17 +541,6 @@ def create_dataloader(
             "mp loader deferred to the next epoch: the resumed epoch "
             "replays the single-stream dataloader watermark"
         )
-    if mp_workers > 1 and num_workers > 1:
-        # the multi-host shape-sync path operates on raw Batch pytrees
-        # (pad/dim-sync/global assembly); mp workers pre-pack to a wire
-        # buffer. Until workers ship raw batches under multihost, keep
-        # the thread loader there.
-        logger.info(
-            "mp loader disabled under multi-host training (pre-packed "
-            "wire batches are incompatible with the shape-sync path)"
-        )
-        mp_workers = 0
-
     def _make_iter(device_put_fn=None):
         if mp_workers > 1 and not resumed_epoch_pending[0]:
             from torcheasyrec_tpu.datasets.mp_loader import MpBatchLoader

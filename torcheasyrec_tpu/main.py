@@ -681,8 +681,14 @@ def train_and_evaluate(
             if batch is not None and hasattr(batch, "host_batch"):
                 host_batch = batch.host_batch
             if multi_process:
+                from torcheasyrec_tpu.datasets.pack import PackedBatch
                 from torcheasyrec_tpu.utils import multihost as mh
 
+                if isinstance(batch, PackedBatch):
+                    # mp-loader workers pre-pack; the shape-sync path
+                    # needs the raw host pytree (host_batch = numpy
+                    # views over the wire)
+                    batch = host_batch = batch.host_batch
                 all_have, _, _, min_ts, target = mh.sync_batch_dims(
                     mh.batch_dims_vector(
                         batch, have,
@@ -883,6 +889,8 @@ def _run_eval_multiprocess(
     Returns the number of global steps executed (== loss count)."""
     from torcheasyrec_tpu.utils import multihost as mh
 
+    from torcheasyrec_tpu.datasets.pack import PackedBatch
+
     it = iter(eval_dl(device_put_fn=None))
     last: Optional[Tuple[Any, Any]] = None
     n_global = 0
@@ -892,6 +900,8 @@ def _run_eval_multiprocess(
             have = True
         except StopIteration:
             batch, info, have = None, None, False
+        if isinstance(batch, PackedBatch):  # mp-loader workers pre-pack
+            batch = batch.host_batch
         feed = batch if have else (last[0] if last is not None else None)
         _, any_have, all_cont, _, target = mh.sync_batch_dims(
             mh.batch_dims_vector(

@@ -44,6 +44,17 @@ class MultiTaskRank(RankModel):
             self._task_loss_fns[t.tower_name] = [
                 create_loss_fn(c) for c in t.losses
             ]
+            for lf in self._task_loss_fns[t.tower_name]:
+                need = int(lf.get("num_class", 1))
+                have = int(getattr(t, "num_class", 1) or 1)
+                if need > max(have, 1):
+                    # e.g. jrc_loss reads logits[:, 1]; a 1-wide head
+                    # would silently clamp the index and train nothing
+                    raise ValueError(
+                        f"task tower '{t.tower_name}': loss "
+                        f"{lf['name']} needs num_class >= {need}, "
+                        f"config has {have}"
+                    )
 
     def _task_label(self, t, idx: int) -> str:
         return t.label_name if t.label_name else self._labels[idx]

@@ -115,12 +115,18 @@ class RocketLaunching(RankModel):
     def update_metrics(self, metrics, predictions, batch: Batch) -> None:
         import numpy as np
 
+        from torcheasyrec_tpu.models.model import _grouping_value
+
         label = np.asarray(batch.labels[self._label_name])
         for m in metrics:
             # metric names follow reference: auc reported on the light net,
             # plus auc_booster
+            kw = {}
+            gk = m["config"].get("grouping_key")
+            if gk:
+                kw["grouping_key"] = _grouping_value(batch, gk)
             m["metric"].update(
-                np.asarray(predictions["probs_light"]), label
+                np.asarray(predictions["probs_light"]), label, **kw
             )
 
     def init_metrics(self):
