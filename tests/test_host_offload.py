@@ -288,3 +288,93 @@ def test_planner_dcn_prefers_twrw_for_hot_tables():
     assert by["table_row_wise"].time_cost < by["table_wise"].time_cost
     assert by[HOST_OFFLOAD].ddr_bytes > 0
     assert by[HOST_OFFLOAD].mem_bytes < by["row_wise"].mem_bytes
+
+
+def test_host_prefetch_overlap_exact(tmp_path, monkeypatch):
+    """The overlapped host-row gather (rows for step N+1 fetched while
+    step N runs, repaired after host_apply) must be bit-identical to
+    the synchronous gather — heavy id overlap across consecutive
+    batches stresses the repair path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from torcheasyrec_tpu import main as tzrec_main
+
+    tmp = str(tmp_path)
+    rng = np.random.default_rng(1)
+    n = 1024
+    ids = rng.integers(0, 60, n)  # tiny vocab -> every batch collides
+    labels = (rng.random(n) < 0.5).astype(np.float32)
+    tbl = pa.table({
+        "item_id": pa.array(ids.astype(np.int64)),
+        "label": pa.array(labels),
+    })
+    pq.write_table(tbl.slice(0, 768), os.path.join(tmp, "train.parquet"))
+    pq.write_table(tbl.slice(768), os.path.join(tmp, "eval.parquet"))
+    cfg_tmpl = """
+train_input_path: "{tmp}/train.parquet"
+eval_input_path: "{tmp}/eval.parquet"
+model_dir: "{tmp}/{mdir}"
+train_config {{
+    sparse_optimizer {{ adagrad_optimizer {{ lr: 0.1 }}
+                        constant_learning_rate {{}} }}
+    dense_optimizer {{ adam_optimizer {{ lr: 0.01 }}
+                       constant_learning_rate {{}} }}
+    num_epochs: 3
+    save_checkpoints_steps: 10000
+}}
+data_config {{
+    batch_size: 128
+    dataset_type: ParquetDataset
+    fg_mode: FG_NONE
+    label_fields: "label"
+}}
+feature_configs {{
+    id_feature {{
+        feature_name: "item_id"
+        num_buckets: 60
+        embedding_dim: 8
+        embedding_constraints {{ sharding_types: "host_offload" }}
+    }}
+}}
+model_config {{
+    feature_groups {{ group_name: "deep" feature_names: "item_id"
+                      group_type: DEEP }}
+    feature_groups {{ group_name: "wide" feature_names: "item_id"
+                      group_type: WIDE }}
+    deepfm {{ deep {{ hidden_units: [16] }} }}
+    losses {{ binary_cross_entropy {{}} }}
+    metrics {{ auc {{}} }}
+}}
+"""
+
+    def _run(mdir, prefetch):
+        monkeypatch.setenv("TZREC_HOST_PREFETCH", prefetch)
+        p = os.path.join(tmp, f"{mdir}.config")
+        with open(p, "w") as f:
+            f.write(cfg_tmpl.format(tmp=tmp, mdir=mdir))
+        res = tzrec_main.train_and_evaluate(p)
+        model, _, _ = tzrec_main._build_model_and_optim(
+            config_util_load(p), None
+        )
+        return res, model
+
+    res_sync, m1 = _run("m_sync", "0")
+    res_pre, m2 = _run("m_pre", "1")
+    assert res_sync["auc"] == res_pre["auc"], (res_sync, res_pre)
+
+    from torcheasyrec_tpu.utils import checkpoint_util
+
+    tables = []
+    for mdir, model in (("m_sync", m1), ("m_pre", m2)):
+        ckpt = checkpoint_util.latest_checkpoint(os.path.join(tmp, mdir))
+        dense, tbls, so = tzrec_main._init_state(model, None)
+        state = {"dense": dense, "tables": tbls, "sparse_opt": so,
+                 "step": jnp.zeros((), jnp.int32)}
+        state = checkpoint_util.restore_train_state(ckpt, model, state)
+        tables.append(
+            np.array(model.embedding_group.engine.extract_table(
+                {}, "item_id_emb"
+            ))
+        )
+    np.testing.assert_array_equal(tables[0], tables[1])

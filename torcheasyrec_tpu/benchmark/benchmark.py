@@ -56,6 +56,12 @@ def run_benchmark(
             synthetic.ensure_dataset(
                 os.environ.get("TZREC_BENCH_DATA", "/tmp/tzrec_bench_data")
             )
+        if spec.get("synthetic_hstu"):
+            from torcheasyrec_tpu.benchmark import synthetic
+
+            synthetic.ensure_hstu_dataset(
+                os.environ.get("TZREC_BENCH_DATA", "/tmp/tzrec_bench_data")
+            )
         agg: Dict[str, float] = {}
         for i in range(run_cnt):
             # fresh model_dir per run: pinned labels assume

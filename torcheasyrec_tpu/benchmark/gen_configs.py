@@ -294,6 +294,97 @@ def main() -> None:
     with open(os.path.join(out_dir, "dssm.config"), "w") as f:
         f.write(_dssm_config())
     print("wrote dssm.config")
+    hstu_dir = os.path.join(os.path.dirname(__file__), "configs",
+                            "hstu_synth")
+    os.makedirs(hstu_dir, exist_ok=True)
+    with open(os.path.join(hstu_dir, "dlrm_hstu.config"), "w") as f:
+        f.write(_dlrm_hstu_config())
+    print("wrote hstu_synth/dlrm_hstu.config")
+
+
+def _dlrm_hstu_config() -> str:
+    """Generative recommender benchmark (the kuairand dlrm_hstu
+    analogue): HSTU over per-user interaction histories with a
+    multi-task fusion tower (is_click / is_like action bitmask)."""
+    return f"""train_input_path: "{DATA_ROOT}/hstu_synth_train_20480.parquet"
+eval_input_path: "{DATA_ROOT}/hstu_synth_eval_4096.parquet"
+model_dir: "/tmp/tzrec_bench_model/dlrm_hstu"
+train_config {{
+  sparse_optimizer {{ rowwise_adagrad_optimizer {{ lr: 0.05 }} constant_learning_rate {{}} }}
+  dense_optimizer {{ adam_optimizer {{ lr: 0.002 }} constant_learning_rate {{}} }}
+  num_epochs: 2
+  save_checkpoints_steps: 100000
+  log_step_count_steps: 20
+}}
+eval_config {{}}
+data_config {{
+  batch_size: 128
+  dataset_type: ParquetDataset
+  fg_mode: FG_NONE
+  label_fields: "unused_label"
+}}
+feature_configs {{ id_feature {{ feature_name: "user_id" num_buckets: 2000 embedding_dim: 32 }} }}
+feature_configs {{ sequence_id_feature {{ feature_name: "video_id" num_buckets: 5000 embedding_dim: 64 sequence_length: 32 }} }}
+feature_configs {{ sequence_id_feature {{ feature_name: "item_video_id" num_buckets: 5000 embedding_dim: 64 sequence_length: 10 embedding_name: "video_id_emb" }} }}
+feature_configs {{ sequence_raw_feature {{ feature_name: "action_weight" sequence_length: 32 }} }}
+feature_configs {{ sequence_raw_feature {{ feature_name: "action_timestamp" sequence_length: 32 }} }}
+feature_configs {{ sequence_raw_feature {{ feature_name: "item_query_time" sequence_length: 10 }} }}
+feature_configs {{ sequence_raw_feature {{ feature_name: "item_action_weight" sequence_length: 10 }} }}
+model_config {{
+  feature_groups {{ group_name: "contextual" feature_names: "user_id" group_type: DEEP }}
+  feature_groups {{ group_name: "uih" feature_names: "video_id" group_type: JAGGED_SEQUENCE }}
+  feature_groups {{ group_name: "candidate" feature_names: "item_video_id" group_type: JAGGED_SEQUENCE }}
+  feature_groups {{ group_name: "uih_action" feature_names: "action_weight" group_type: JAGGED_SEQUENCE }}
+  feature_groups {{ group_name: "uih_timestamp" feature_names: "action_timestamp" group_type: JAGGED_SEQUENCE }}
+  feature_groups {{ group_name: "candidate_timestamp" feature_names: "item_query_time" group_type: JAGGED_SEQUENCE }}
+  dlrm_hstu {{
+    hstu {{
+      stu {{
+        embedding_dim: 128
+        hidden_dim: 32
+        attention_dim: 32
+        num_heads: 4
+        num_layers: 3
+      }}
+      positional_encoder {{
+        num_position_buckets: 128
+        num_time_buckets: 64
+        use_time_encoding: true
+      }}
+      input_preprocessor {{
+        contextual_preprocessor {{
+          action_encoder {{
+            simple_action_encoder {{
+              action_embedding_dim: 16
+              action_weights: [1, 2]
+            }}
+          }}
+        }}
+      }}
+      output_postprocessor {{ layernorm_postprocessor {{}} }}
+    }}
+    fusion_mtl_tower {{
+      mlp {{ hidden_units: [128] }}
+      task_configs {{
+        task_name: "is_click"
+        label_name: "item_action_weight"
+        task_bitmask: 1
+        losses {{ binary_cross_entropy {{}} }}
+        metrics {{ auc {{}} }}
+      }}
+      task_configs {{
+        task_name: "is_like"
+        label_name: "item_action_weight"
+        task_bitmask: 2
+        losses {{ binary_cross_entropy {{}} }}
+        metrics {{ auc {{}} }}
+      }}
+    }}
+    max_seq_len: 48
+    item_embedding_hidden_dim: 128
+  }}
+}}
+"""
 
 
 def _dssm_config() -> str:

@@ -212,6 +212,82 @@ def _host_rows_for(model, batch):
     return rows, ids
 
 
+class _HostRowPrefetcher:
+    """Overlapped HOST_OFFLOAD gather (exact).
+
+    Rows for step N+1 are gathered from the host-DDR tables in a worker
+    thread while the device runs step N; after step N's host_apply, any
+    prefetched row whose id step N updated is re-read
+    (engine.host_refresh), so results are bit-identical to the
+    synchronous gather. Disable with TZREC_HOST_PREFETCH=0.
+    """
+
+    def __init__(self, model) -> None:
+        self.engine = model.embedding_group.engine
+        self.enabled = (
+            os.environ.get("TZREC_HOST_PREFETCH", "1") != "0"
+        )
+        self._thread = None
+        self._batch = None
+        self._out: Optional[Tuple[Any, Any]] = None
+
+    def _gather_np(self, batch):
+        hb = getattr(batch, "host_batch", None)
+        if hb is None:
+            raise ValueError(
+                "host_offload tables need the numpy host batch; the "
+                "device_put wrapper must keep a host_batch reference"
+            )
+        return self.engine.host_prefetch(
+            hb.sparse_features, hb.sequence_sparse_features
+        )
+
+    def start(self, batch) -> None:
+        """Begin gathering `batch`'s rows in the background (called
+        right after the current step was dispatched, before its
+        host_apply sync point)."""
+        if not self.enabled or batch is None:
+            return
+        import threading
+
+        def _run():
+            self._out = self._gather_np(batch)
+
+        self._batch = batch
+        self._out = None
+        self._thread = threading.Thread(target=_run, daemon=True)
+        self._thread.start()
+
+    def repair(self, touched_ids) -> None:
+        """After host_apply: re-read prefetched rows whose ids were just
+        updated."""
+        if self._thread is None:
+            return
+        self._thread.join()
+        self._thread = None
+        if self._out is not None and touched_ids:
+            rows, ids = self._out
+            self.engine.host_refresh(rows, ids, touched_ids)
+
+    def rows_for(self, batch):
+        """Device rows + host ids for `batch`: the repaired prefetch
+        when it matches, else a synchronous gather."""
+        if not self.engine.has_host_groups:
+            return {}, None
+        if self._thread is not None:  # repair() not reached (no apply)
+            self._thread.join()
+            self._thread = None
+        if self._batch is batch and self._out is not None:
+            rows, ids = self._out
+            self._batch, self._out = None, None
+        else:
+            rows, ids = self._gather_np(batch)
+        rows = jax.device_put(
+            {f"__host_rows__{gk}": v for gk, v in rows.items()}
+        )
+        return rows, ids
+
+
 def _inject_host_rows(model, batch):
     """Predict-path HOST_OFFLOAD support: batches reach jit as host
     numpy pytrees there, so the gathered rows ride inside
@@ -575,6 +651,7 @@ def train_and_evaluate(
         donate_argnums=(0,),
     )
     eval_step = jax.jit(make_eval_step(model, compute_dtype))
+    host_pipe = _HostRowPrefetcher(model)
 
     num_steps = train_config.num_steps or 0
     num_epochs = train_config.num_epochs or (1 if not num_steps else 10 ** 9)
@@ -670,13 +747,18 @@ def train_and_evaluate(
         train_iter = iter(train_dl(
             device_put_fn=None if multi_process else _to_device
         ))
+        _pending = ()  # one-item lookahead (filled by the host pipeline)
         try:
           while True:
-            try:
-                batch, info = next(train_iter)
-                have = True
-            except StopIteration:
-                batch, info, have = None, None, False
+            if _pending:
+                batch, info, have = _pending
+                _pending = ()
+            else:
+                try:
+                    batch, info = next(train_iter)
+                    have = True
+                except StopIteration:
+                    batch, info, have = None, None, False
             host_batch = batch
             if batch is not None and hasattr(batch, "host_batch"):
                 host_batch = batch.host_batch
@@ -710,11 +792,22 @@ def train_and_evaluate(
             elif not have:
                 break
             step_rng = jax.random.fold_in(rng, step)
-            host_rows, host_ids = _host_rows_for(model, batch)
+            host_rows, host_ids = host_pipe.rows_for(batch)
             state, metrics, state_updates = train_step(
                 state, batch, step_rng, host_rows
             )
             if host_ids is not None:
+                # overlap: fetch batch N+1 and gather its host rows in a
+                # worker thread while the device runs step N (the
+                # device_get below is the sync point); rows step N
+                # updates are repaired after host_apply
+                if not multi_process and host_pipe.enabled:
+                    try:
+                        _nb, _ni = next(train_iter)
+                        _pending = (_nb, _ni, True)
+                    except StopIteration:
+                        _pending = (None, None, False)
+                    host_pipe.start(_pending[0])
                 engine = model.embedding_group.engine
                 engine.host_apply(
                     jax.device_get(metrics.pop("__host_grads")),
@@ -723,6 +816,7 @@ def train_and_evaluate(
                         metrics.pop("__host_lr_scale")
                     )),
                 )
+                host_pipe.repair(host_ids)
             if state_updates:
                 state["dense"] = apply_state_updates(
                     state["dense"], jax.device_get(state_updates)

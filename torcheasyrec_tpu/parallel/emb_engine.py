@@ -799,6 +799,27 @@ class EmbeddingEngine:
             ids_out[gk] = flat
         return rows_out, ids_out
 
+    def host_refresh(self, rows, ids, touched) -> None:
+        """Re-read prefetched host rows whose ids were updated AFTER the
+        prefetch (staleness repair for the overlapped gather: rows for
+        step N+1 are gathered while step N runs; any id step N then
+        updated is re-read here, so the overlap is exact)."""
+        import numpy as np_
+
+        for gk, flat in ids.items():
+            t = touched.get(gk)
+            if t is None:
+                continue
+            t = t[t >= 0]
+            if not t.size:
+                continue
+            m = (flat >= 0) & np_.isin(flat, t)
+            if m.any():
+                w = self.host_tables[gk]
+                rows[gk][m] = w[
+                    np_.clip(flat[m], 0, w.shape[0] - 1)
+                ].astype(np_.float32)
+
     def host_row_grads(
         self, residuals: Dict[str, Any], out_grads: Dict[str, jnp.ndarray]
     ) -> Dict[str, jnp.ndarray]:
