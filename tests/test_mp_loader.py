@@ -240,3 +240,29 @@ def test_mp_loader_deferred_on_resume(tmp_path):
     assert isinstance(second, MpBatchLoader)
     n_fresh = sum(1 for _ in second)
     assert n_fresh > n_resumed  # fresh epoch reads from the start
+
+
+def test_mp_loader_oversized_batch_queue_fallback():
+    """A batch whose wire outgrows the shm slot (sized 2x the first
+    batch, >= 1MB floor) must arrive intact via the queue fallback."""
+    from torcheasyrec_tpu.datasets.mp_loader import MpBatchLoader
+    from torcheasyrec_tpu.datasets.utils import BatchInfo
+
+    def _factory(w):
+        def _gen():
+            yield {"x": np.arange(10, dtype=np.float32)}, BatchInfo()
+            # > 1MB wire: exceeds the slot floor -> "big" path
+            yield {"x": np.arange(400_000, dtype=np.float32)}, BatchInfo()
+            yield {"x": np.arange(7, dtype=np.float32)}, BatchInfo()
+
+        return _gen()
+
+    loader = MpBatchLoader(_factory, 1)
+    sizes = []
+    for packed, info in loader:
+        x = packed.host_batch["x"]
+        sizes.append(x.size)
+        np.testing.assert_array_equal(
+            np.asarray(x), np.arange(x.size, dtype=np.float32)
+        )
+    assert sizes == [10, 400_000, 7]
