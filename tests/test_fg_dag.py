@@ -267,3 +267,66 @@ def test_kv_dot_parity_bail_falls_back_to_python():
     batch = parser.parse_to_batch(data)
     got = np.asarray(batch.dense_features["kvd"].values).ravel()
     np.testing.assert_allclose(got, [20.0, 0.0, 5.0], rtol=1e-6)
+
+
+def test_id_vocab_native_matches_python():
+    """The ID_VOCAB kernel (sorted-blob bsearch) must reproduce
+    table.get(str(t), oov) exactly: dbv layouts, default_value
+    mapping, unicode byte-order, empty strings, int columns, nulls
+    with default; null-without-default bails to the python path."""
+    specs = [
+        # vocab_list, reference layout (default->0, OOV->1, toks i+2)
+        """id_feature { feature_name: 'v1' expression: 'item:s'
+           default_value: 'bb' embedding_dim: 4
+           vocab_list: ['aa', 'bb', 'zz', 'é中'] }""",
+        # vocab_list with default_bucketize_value (raw positions)
+        """id_feature { feature_name: 'v2' expression: 'item:s'
+           default_bucketize_value: 9 embedding_dim: 4
+           vocab_list: ['aa', 'bb', 'zz', 'é中'] }""",
+        # vocab_dict
+        """id_feature { feature_name: 'v3' expression: 'item:s'
+           embedding_dim: 4
+           vocab_dict { key: 'aa' value: 3 } vocab_dict { key: '' value: 5 }
+           vocab_dict { key: 'zzz' value: 7 } }""",
+        # integer column through a vocab (str(t) semantics)
+        """id_feature { feature_name: 'v4' expression: 'item:i'
+           embedding_dim: 4 default_value: '7'
+           vocab_list: ['7', '42', '100'] }""",
+    ]
+    cfgs = [
+        text_format.Parse(t, feature_pb2.FeatureConfig()) for t in specs
+    ]
+    feats = create_features(cfgs, fg_mode=FgMode.FG_NORMAL)
+    data = {
+        "s": pa.array(["aa", "zz", "", "é中", "missing", None,
+                       "a", "zzz", "bb"]),
+        "i": pa.array([7, 42, 101, None, 0, 42, 7, 9, 100]),
+    }
+    dag = FgDag(feats)
+    for f in feats:
+        assert dag.handles(f.name), f.name
+    native = dag.parse(data, False)
+    for f in feats:
+        ref = f.parse(data, False)
+        got = native[f.name]
+        np.testing.assert_array_equal(
+            got.values, ref.values, err_msg=f.name
+        )
+        np.testing.assert_array_equal(
+            got.lengths, ref.lengths, err_msg=f.name
+        )
+
+    # nulls WITHOUT default_value: python drops the row (length 0) —
+    # the native task must bail and the DataParser fallback must agree
+    cfg = text_format.Parse(
+        """id_feature { feature_name: 'v5' expression: 'item:s'
+           embedding_dim: 4 vocab_list: ['aa', 'bb'] }""",
+        feature_pb2.FeatureConfig(),
+    )
+    (f5,) = create_features([cfg], fg_mode=FgMode.FG_NORMAL)
+    dag5 = FgDag([f5])
+    native5 = dag5.parse(data, False)
+    ref5 = f5.parse(data, False)
+    np.testing.assert_array_equal(native5["v5"].values, ref5.values)
+    np.testing.assert_array_equal(native5["v5"].lengths, ref5.lengths)
+    assert (ref5.lengths == 0).any()  # the null row was dropped

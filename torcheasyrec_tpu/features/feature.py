@@ -654,7 +654,11 @@ class BaseFeature(metaclass=_meta_cls):
 
     # -- vocab / bucketize helpers for FG_NORMAL subclasses ----------------
 
-    def _vocab_to_ids(self, tokens: np.ndarray) -> np.ndarray:
+    def vocab_table_and_oov(self):
+        """(token→id table, oov id) when this feature maps through a
+        vocab (list/dict/file), else None — the ONE place the vocab
+        mapping semantics live (used by _vocab_to_ids and the native
+        FG DAG kernel)."""
         c = self.config
         has_dbv = _has_field_safe(c, "default_bucketize_value")
         default_bkt = int(getattr(c, "default_bucketize_value", 0) or 0)
@@ -662,20 +666,15 @@ class BaseFeature(metaclass=_meta_cls):
             if has_dbv:
                 # raw positions, OOV -> default_bucketize_value (matches
                 # the reference/pyfg layout when dbv is configured)
-                table = {t: i for i, t in enumerate(c.vocab_list)}
-                oov = default_bkt
-            else:
-                # reference vocab_list property: effective vocab =
-                # [default_value, '<OOV>'] + vocab_list, so the
-                # configured default maps to 0, OOV to 1, tokens to i+2
-                table = {t: i + 2 for i, t in enumerate(c.vocab_list)}
-                dv = str(getattr(c, "default_value", "") or "")
-                if dv:
-                    table.setdefault(dv, 0)
-                oov = 1
-            return np.array(
-                [table.get(str(t), oov) for t in tokens], dtype=np.int64
-            )
+                return {t: i for i, t in enumerate(c.vocab_list)}, default_bkt
+            # reference vocab_list property: effective vocab =
+            # [default_value, '<OOV>'] + vocab_list, so the
+            # configured default maps to 0, OOV to 1, tokens to i+2
+            table = {t: i + 2 for i, t in enumerate(c.vocab_list)}
+            dv = str(getattr(c, "default_value", "") or "")
+            if dv:
+                table.setdefault(dv, 0)
+            return table, 1
         if len(getattr(c, "vocab_dict", {})):
             table = dict(c.vocab_dict)
             if not has_dbv:
@@ -684,20 +683,21 @@ class BaseFeature(metaclass=_meta_cls):
                 dv = str(getattr(c, "default_value", "") or "")
                 if dv:
                     table[dv] = 0
-                oov = 1
-            else:
-                oov = default_bkt
-            return np.array(
-                [table.get(str(t), oov) for t in tokens], dtype=np.int64
-            )
+                return table, 1
+            return table, default_bkt
         if getattr(c, "vocab_file", ""):
-            table = self._load_vocab_file()
             # reference requires default_bucketize_value for vocab_file
             # and uses raw file indices; OOV -> dbv (default 1)
-            oov = default_bkt if has_dbv else 1
-            return np.array(
-                [table.get(str(t), oov) for t in tokens], dtype=np.int64
+            return self._load_vocab_file(), (
+                default_bkt if has_dbv else 1
             )
+        return None
+
+    def _vocab_to_ids(self, tokens: np.ndarray) -> np.ndarray:
+        c = self.config
+        got = self.vocab_table_and_oov()
+        if got is not None:
+            return self._map_vocab(got[0], tokens, got[1])
         if getattr(c, "hash_bucket_size", 0):
             from torcheasyrec_tpu import fg as fg_native
 
@@ -713,6 +713,28 @@ class BaseFeature(metaclass=_meta_cls):
         raise ValueError(f"feature {self.name}: no id-mapping config")
 
     _vocab_cache: Optional[Dict[str, int]] = None
+    _vocab_arr_cache = None
+
+    def _map_vocab(self, table, tokens, oov: int) -> np.ndarray:
+        """Vectorized token→id mapping: binary search over the sorted
+        key array (no per-token python; same semantics as
+        ``table.get(str(t), oov)``). The sorted arrays are cached —
+        the table is config-derived and identical every call."""
+        cache = self._vocab_arr_cache
+        if cache is None:
+            keys = np.array([str(k) for k in table], dtype=np.str_)
+            vals = np.array(list(table.values()), dtype=np.int64)
+            order = np.argsort(keys)
+            cache = (keys[order], vals[order])
+            self._vocab_arr_cache = cache
+        keys, vals = cache
+        if not len(tokens) or not len(keys):
+            return np.full((len(tokens),), oov, np.int64)
+        toks = np.asarray(tokens).astype(np.str_)
+        pos = np.searchsorted(keys, toks)
+        pos = np.minimum(pos, len(keys) - 1)
+        match = keys[pos] == toks
+        return np.where(match, vals[pos], oov)
 
     def _load_vocab_file(self) -> Dict[str, int]:
         """'token' lines map to their 0-based position; 'token index'

@@ -165,7 +165,12 @@ class IdFeature(BaseFeature):
                 if fast is not None:
                     return fast
             if default:
-                feat = feat.fill_null(default)
+                try:
+                    feat = feat.fill_null(default)
+                except (pa.ArrowInvalid, pa.ArrowTypeError):
+                    # non-string column with a string default: compare
+                    # in string space (str(t) semantics)
+                    feat = feat.cast(pa.string()).fill_null(default)
             vals = feat.to_pylist()
             keep = [v is not None for v in vals]
             tokens = np.asarray([v for v in vals if v is not None], dtype=object)

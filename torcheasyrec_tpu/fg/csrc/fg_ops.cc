@@ -177,6 +177,7 @@ enum FgTaskKind {
   FG_TASK_MATCH_LOOKUP = 4, // nested "pk^k:v,k:v|pk2^..." + pkey + skey
   FG_TASK_OVERLAP = 5,      // query/title token-set overlap ratios
   FG_TASK_KV_DOT = 6,       // weighted dot of two "k:v<sep>k:v" columns
+  FG_TASK_ID_VOCAB = 7,     // whole-cell token -> sorted-vocab bsearch
 };
 
 typedef struct {
@@ -202,6 +203,10 @@ typedef struct {
   int32_t status;      // 0 ok; -1 capacity; -2 bad task
   int32_t sep;         // multi-value separator char for ID_HASH
   int32_t _pad;
+  // ID_VOCAB: sorted key blob rides inputs[1]; ids + OOV id below
+  const int64_t* aux_vals;
+  int64_t n_aux;
+  int64_t oov_val;
 } FgTask;
 
 }  // extern "C"
@@ -572,6 +577,42 @@ void run_kv_dot(FgTask& t) {
   t.out_total = t.n_rows;
 }
 
+// Whole-cell token -> id through a SORTED vocab (keys as a string
+// blob in inputs[1], ids in aux_vals, miss -> oov_val). Sorted by
+// UTF-8 bytes == python str (code point) order, so memcmp bsearch
+// reproduces table.get(str(t), oov) exactly. No splitting: the python
+// vocab path treats the whole cell as one token.
+void run_id_vocab(FgTask& t) {
+  const int32_t* ko = t.offsets[1] ? reinterpret_cast<const int32_t*>(
+      t.offsets[1]) : nullptr;
+  const char* kd = t.data[1];
+  int64_t nk = t.n_aux;
+  if (!ko || !kd || !t.aux_vals) { t.status = -2; return; }
+  for (int64_t i = 0; i < t.n_rows; ++i) {
+    const char* tok = t.data[0] + t.offsets[0][i];
+    int64_t tl = t.offsets[0][i + 1] - t.offsets[0][i];
+    int64_t lo = 0, hi = nk;
+    while (lo < hi) {  // lower_bound by (bytes, length)
+      int64_t mid = (lo + hi) >> 1;
+      const char* k = kd + ko[mid];
+      int64_t kl = ko[mid + 1] - ko[mid];
+      int c = std::memcmp(k, tok, static_cast<size_t>(std::min(kl, tl)));
+      if (c < 0 || (c == 0 && kl < tl)) lo = mid + 1;
+      else hi = mid;
+    }
+    int64_t out = t.oov_val;
+    if (lo < nk) {
+      const char* k = kd + ko[lo];
+      int64_t kl = ko[lo + 1] - ko[lo];
+      if (kl == tl && std::memcmp(k, tok, static_cast<size_t>(tl)) == 0)
+        out = t.aux_vals[lo];
+    }
+    t.out_vals[i] = out;
+    t.out_lengths[i] = 1;
+  }
+  t.out_total = t.n_rows;
+}
+
 }  // namespace
 
 extern "C" {
@@ -596,6 +637,7 @@ int fg_run_dag(FgTask* tasks, int64_t n_tasks, int threads) {
         case FG_TASK_MATCH_LOOKUP: run_match_lookup(t); break;
         case FG_TASK_OVERLAP: run_overlap(t); break;
         case FG_TASK_KV_DOT: run_kv_dot(t); break;
+        case FG_TASK_ID_VOCAB: run_id_vocab(t); break;
         default: t.status = -2;
       }
       if (t.status != 0) errors.fetch_add(1);

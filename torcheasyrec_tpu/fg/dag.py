@@ -26,6 +26,7 @@ KIND_KV_LOOKUP = 3
 KIND_MATCH_LOOKUP = 4
 KIND_OVERLAP = 5
 KIND_KV_DOT = 6
+KIND_ID_VOCAB = 7
 _OVERLAP_METHODS = ("query_common_ratio", "title_common_ratio",
                     "is_contain", "is_equal")
 
@@ -56,6 +57,9 @@ class _FgTask(ctypes.Structure):
         ("status", ctypes.c_int32),
         ("sep", ctypes.c_int32),
         ("_pad", ctypes.c_int32),
+        ("aux_vals", ctypes.c_void_p),
+        ("n_aux", ctypes.c_int64),
+        ("oov_val", ctypes.c_int64),
     ]
 
 
@@ -116,6 +120,7 @@ class FgDag:
         self._threads = threads
         self._lib = _load()
         self._native: List[Any] = []
+        self._vocab_blobs: dict = {}  # feature -> sorted vocab buffers
         if self._lib is None:
             return
         if not hasattr(self._lib, "fg_run_dag_configured"):
@@ -140,13 +145,17 @@ class FgDag:
         if getattr(f, "is_sequence", False):
             return False
         if tname == "IdFeature":
-            return (
-                int(getattr(c, "hash_bucket_size", 0)) > 0
-                and not getattr(f, "is_weighted", False)
-                and len(getattr(c, "separator", "\x1d") or "\x1d") == 1
+            base_ok = (
+                not getattr(f, "is_weighted", False)
                 and not c.HasField("zch")
                 and not c.HasField("dynamicemb")
             )
+            if int(getattr(c, "hash_bucket_size", 0)) > 0:
+                return base_ok and len(
+                    getattr(c, "separator", "\x1d") or "\x1d"
+                ) == 1
+            # vocab mapping: whole-cell token -> sorted-key bsearch
+            return base_ok and f.vocab_table_and_oov() is not None
         if tname == "ComboFeature":
             return (
                 int(getattr(c, "hash_bucket_size", 0)) > 0
@@ -230,7 +239,8 @@ class FgDag:
                 out[f.name] = f.parse(input_data, is_training)
                 continue
             kind, n, out_vals, out_fvals, out_lengths = b
-            if kind in (KIND_ID_HASH, KIND_COMBO_HASH) or (
+            if kind in (KIND_ID_HASH, KIND_COMBO_HASH,
+                        KIND_ID_VOCAB) or (
                 kind in (KIND_RAW, KIND_OVERLAP, KIND_KV_DOT)
                 and t.n_bounds > 0
             ):
@@ -295,6 +305,50 @@ class FgDag:
         out_lengths = np.zeros(n, np.int32)
         keepalive.append(out_lengths)
         t.out_lengths = _np_addr(out_lengths)
+
+        if tname == "IdFeature" and not int(
+            getattr(c, "hash_bucket_size", 0)
+        ):
+            # vocab path. Nulls are only representable when a
+            # default_value fills them (the python path DROPS null rows
+            # while genuine "" maps to oov) — else python fallback.
+            raw = input_data[cols[0]]
+            nulls = (
+                raw.null_count if hasattr(raw, "null_count") else 0
+            )
+            if nulls and not str(getattr(c, "default_value", "") or ""):
+                raise ValueError("null vocab cells need default_value")
+            blob = self._vocab_blobs.get(f.name)
+            if blob is None:
+                table, oov = f.vocab_table_and_oov()
+                table = {str(k): int(v) for k, v in table.items()}
+                keys = sorted(table)
+                enc = [k.encode("utf-8") for k in keys]
+                off = np.zeros(len(enc) + 1, np.int32)
+                np.cumsum([len(e) for e in enc], out=off[1:])
+                data = b"".join(enc)
+                vals = np.asarray(
+                    [int(table[k]) for k in keys], np.int64
+                )
+                blob = (off, data, vals, int(oov))
+                self._vocab_blobs[f.name] = blob
+            off, data, vals, oov = blob
+            t.kind = KIND_ID_VOCAB
+            t.offsets[1] = _np_addr(off)
+            t.data[1] = ctypes.cast(
+                ctypes.c_char_p(data), ctypes.c_void_p
+            ).value or 0
+            keepalive.append(off)
+            keepalive.append(data)
+            keepalive.append(vals)
+            t.aux_vals = _np_addr(vals)
+            t.n_aux = len(vals)
+            t.oov_val = oov
+            out_vals = np.empty(n, np.int64)
+            keepalive.append(out_vals)
+            t.out_vals = _np_addr(out_vals)
+            t.max_tokens = n
+            return (KIND_ID_VOCAB, n, out_vals, None, out_lengths)
 
         if tname == "IdFeature":
             t.kind = KIND_ID_HASH
