@@ -34,6 +34,24 @@ def compare(value: float, baseline: float, threshold: float) -> str:
     return BALANCE
 
 
+_DEFAULT_DATA_ROOT = "/tmp/tzrec_bench_data"
+
+
+def _retarget_config(config_path: str, data_root: str, tmp_dir: str) -> str:
+    """Rewrite hardcoded default data-root paths when TZREC_BENCH_DATA
+    points elsewhere (the shipped configs pin /tmp/tzrec_bench_data)."""
+    if data_root == _DEFAULT_DATA_ROOT:
+        return config_path
+    with open(config_path) as f:
+        text = f.read()
+    if _DEFAULT_DATA_ROOT not in text:
+        return config_path
+    out = os.path.join(tmp_dir, os.path.basename(config_path))
+    with open(out, "w") as f:
+        f.write(text.replace(_DEFAULT_DATA_ROOT, data_root))
+    return out
+
+
 def run_benchmark(
     baseline_path: str,
     edit_config_json: str = None,
@@ -43,6 +61,7 @@ def run_benchmark(
 
     from torcheasyrec_tpu import main as tzrec_main
 
+    data_root = os.environ.get("TZREC_BENCH_DATA", _DEFAULT_DATA_ROOT)
     with open(baseline_path) as f:
         baselines = json.load(f)
     report: Dict[str, Dict[str, str]] = {}
@@ -53,26 +72,23 @@ def run_benchmark(
             # point at (benchmark/synthetic.py)
             from torcheasyrec_tpu.benchmark import synthetic
 
-            synthetic.ensure_dataset(
-                os.environ.get("TZREC_BENCH_DATA", "/tmp/tzrec_bench_data")
-            )
+            synthetic.ensure_dataset(data_root)
         if spec.get("synthetic_hstu"):
             from torcheasyrec_tpu.benchmark import synthetic
 
-            synthetic.ensure_hstu_dataset(
-                os.environ.get("TZREC_BENCH_DATA", "/tmp/tzrec_bench_data")
-            )
+            synthetic.ensure_hstu_dataset(data_root)
         agg: Dict[str, float] = {}
         for i in range(run_cnt):
             # fresh model_dir per run: pinned labels assume
             # from-scratch training
             run_dir = tempfile.mkdtemp(prefix="tzrec_bench_")
+            run_config = _retarget_config(config_path, data_root, run_dir)
             edits = dict(json.loads(edit_config_json)
                          if edit_config_json else {})
             edits["model_dir"] = run_dir
             try:
                 result = tzrec_main.train_and_evaluate(
-                    config_path, edit_config_json=json.dumps(edits)
+                    run_config, edit_config_json=json.dumps(edits)
                 )
             finally:
                 shutil.rmtree(run_dir, ignore_errors=True)
