@@ -246,3 +246,78 @@ def test_dlrm_hstu_with_sla_and_truncation(tmp_path):
     result = tzrec_main.train_and_evaluate(cfg_path)
     assert result["auc_is_click"] > 0.6, result
     assert np.isfinite(result["loss_bce_is_like"])
+
+
+INTERLEAVE_PRE = """input_preprocessor {{
+                contextual_interleave_preprocessor {{
+                    action_encoder {{
+                        simple_action_encoder {{
+                            action_embedding_dim: 8
+                            action_weights: [1, 2]
+                        }}
+                    }}
+                    action_mlp {{ simple_mlp {{ hidden_dim: 32 }} }}
+                    content_encoder {{ slice_content_encoder {{}} }}
+                    content_mlp {{ {content_mlp} }}
+                }}
+            }}"""
+
+
+def _interleave_cfg(tmp_path, content_mlp):
+    train, evalp = _gen(tmp_path)
+    cfg_text = CONFIG.format(
+        train=train, eval=evalp, model_dir=os.path.join(tmp_path, "model")
+    )
+    start = cfg_text.index("input_preprocessor {")
+    depth = 0
+    for i in range(start, len(cfg_text)):
+        if cfg_text[i] == "{":
+            depth += 1
+        elif cfg_text[i] == "}":
+            depth -= 1
+            if depth == 0:
+                end = i + 1
+                break
+    cfg_text = (
+        cfg_text[:start]
+        + INTERLEAVE_PRE.format(content_mlp=content_mlp)
+        + cfg_text[end:]
+    )
+    # interleaving doubles the token count per step
+    cfg_text = cfg_text.replace("max_seq_len: 40", "max_seq_len: 80")
+    return cfg_text
+
+
+def test_dlrm_hstu_interleave_end_to_end(tmp_path):
+    """Full content/action-MLP family with target interleaving trains
+    end-to-end (reference ContextualInterleavePreprocessor path)."""
+    tmp_path = str(tmp_path)
+    cfg_text = _interleave_cfg(tmp_path, "simple_mlp { hidden_dim: 32 }")
+    cfg_path = os.path.join(tmp_path, "pipeline.config")
+    with open(cfg_path, "w") as f:
+        f.write(cfg_text)
+    text_format.Parse(cfg_text, pipeline_pb2.EasyRecConfig())
+
+    from torcheasyrec_tpu import main as tzrec_main
+
+    result = tzrec_main.train_and_evaluate(cfg_path)
+    assert result["auc_is_click"] > 0.6, result
+    assert np.isfinite(result["loss_bce_is_like"])
+
+
+def test_dlrm_hstu_parameterized_mlp_builds_and_steps(tmp_path):
+    """Parameterized contextualized MLP (per-sample generated weights)
+    through a real forward+loss on one batch."""
+    tmp_path = str(tmp_path)
+    cfg_text = _interleave_cfg(
+        tmp_path, "parameterized_mlp { hidden_dim: 32 }"
+    )
+    cfg_text = cfg_text.replace("num_epochs: 6", "num_epochs: 1")
+    cfg_path = os.path.join(tmp_path, "pipeline.config")
+    with open(cfg_path, "w") as f:
+        f.write(cfg_text)
+
+    from torcheasyrec_tpu import main as tzrec_main
+
+    result = tzrec_main.train_and_evaluate(cfg_path)
+    assert np.isfinite(result["loss_bce_is_click"])

@@ -33,6 +33,9 @@ from torcheasyrec_tpu.modules.gr.hstu_transducer import (
     HSTUTransducer,
     extract_candidates,
 )
+from torcheasyrec_tpu.modules.gr.preprocessors import (
+    preprocessor_from_config,
+)
 from torcheasyrec_tpu.modules.gr.stu import stu_from_config
 from torcheasyrec_tpu.modules.mlp import mlp_from_config
 from torcheasyrec_tpu.utils.config_util import config_to_kwargs
@@ -71,41 +74,62 @@ class DlrmHSTU(BaseModel):
                          "candidate_timestamp")
         }
 
-        action_encoder = None
         pre_cfg = hstu_cfg.input_preprocessor
         which_pre = pre_cfg.WhichOneof("input_preprocessor")
         input_dropout = float(hstu_cfg.input_dropout_ratio)
-        if which_pre is not None:
-            pcfg = getattr(pre_cfg, which_pre)
-            if pcfg.HasField("action_encoder") and (
-                pcfg.action_encoder.WhichOneof("action_encoder")
-            ):
-                ac = pcfg.action_encoder.simple_action_encoder
-                action_encoder = SimpleActionEncoder(
-                    action_embedding_dim=int(
-                        ac.action_embedding_dim or 8
-                    ),
-                    action_weights=list(ac.action_weights) or [1],
-                    watchtime_to_action_thresholds=list(
-                        ac.watchtime_to_action_thresholds
-                    ),
-                    watchtime_to_action_weights=list(
-                        ac.watchtime_to_action_weights
-                    ),
-                    embedding_init_std=float(ac.embedding_init_std or 0.1),
-                )
-
-        pre = ContextualPreprocessor(
-            embedding_dim=self._e,
-            uih_content_dim=uih_dim,
-            cand_content_dim=cand_dim,
-            contextual_dim=ctx_dim,
-            # one token per contextual feature (reference
-            # preprocessors.py:105 max_contextual_seq_len = feature num)
-            n_contextual_tokens=n_ctx_features,
-            action_encoder=action_encoder,
-            input_dropout_ratio=input_dropout,
-        )
+        pre = None
+        if which_pre in (
+            "contextual_preprocessor", "contextual_interleave_preprocessor"
+        ) and getattr(pre_cfg, which_pre).content_mlp.WhichOneof(
+            "contextualized_mlp"
+        ):
+            # full content/action-MLP family (reference
+            # preprocessors.py:93; factory :721-747)
+            pre = preprocessor_from_config(
+                pre_cfg,
+                embedding_dim=self._e,
+                uih_content_dim=uih_dim,
+                cand_content_dim=cand_dim,
+                contextual_dim=ctx_dim,
+                n_contextual_tokens=n_ctx_features,
+                input_dropout_ratio=input_dropout,
+            )
+        if pre is None:
+            action_encoder = None
+            if which_pre is not None:
+                pcfg = getattr(pre_cfg, which_pre)
+                if pcfg.HasField("action_encoder") and (
+                    pcfg.action_encoder.WhichOneof("action_encoder")
+                ):
+                    ac = pcfg.action_encoder.simple_action_encoder
+                    action_encoder = SimpleActionEncoder(
+                        action_embedding_dim=int(
+                            ac.action_embedding_dim or 8
+                        ),
+                        action_weights=list(ac.action_weights) or [1],
+                        watchtime_to_action_thresholds=list(
+                            ac.watchtime_to_action_thresholds
+                        ),
+                        watchtime_to_action_weights=list(
+                            ac.watchtime_to_action_weights
+                        ),
+                        embedding_init_std=float(
+                            ac.embedding_init_std or 0.1
+                        ),
+                    )
+            pre = ContextualPreprocessor(
+                embedding_dim=self._e,
+                uih_content_dim=uih_dim,
+                cand_content_dim=cand_dim,
+                contextual_dim=ctx_dim,
+                # one token per contextual feature (reference
+                # preprocessors.py:105 max_contextual_seq_len = feature
+                # num)
+                n_contextual_tokens=n_ctx_features,
+                action_encoder=action_encoder,
+                input_dropout_ratio=input_dropout,
+            )
+        self.pre = pre
         # layer count inside HSTU comes from attn_num_layers unless
         # stu.num_layers is explicitly set (reference hstu.py stacks
         # attn_num_layers STU layers)
@@ -212,9 +236,12 @@ class DlrmHSTU(BaseModel):
         )
         lc_max = cand.shape[1]
         # targets sit at [lengths - num_targets, lengths) in the
-        # RETURNED layout (which truncation may have repacked)
+        # RETURNED layout (which truncation may have repacked); under
+        # target interleaving each candidate owns a [content, action]
+        # token pair and the content token carries the prediction
+        stride = 2 if self.pre.interleave_targets(ctx.training) else 1
         cand_out = extract_candidates(
-            seq_out, 0, lengths - num_targets, lc_max
+            seq_out, 0, lengths - num_targets, lc_max, stride=stride
         )  # [B, Lc, E]
         item_h = jax.nn.silu(
             M.linear_apply(params["item_proj"], cand, ctx)

@@ -56,18 +56,33 @@ def extract_candidates(
     n_ctx: int,
     uih_lengths: jnp.ndarray,
     lc_max: int,
+    stride: int = 1,
 ) -> jnp.ndarray:
-    """Gather candidate-position outputs -> [B, Lc, D]."""
+    """Gather candidate-position outputs -> [B, Lc, D].
+
+    ``stride=2`` selects the content token of each interleaved
+    [content, action] target pair (reference hstu_transducer.py:430-433
+    takes ``candidate_embeddings.view(-1, 2, D)[:, 0]``)."""
     b = seq_out.shape[0]
     lu = uih_lengths.astype(jnp.int32)[:, None]
     c = jnp.arange(lc_max, dtype=jnp.int32)[None, :]
-    idx = jnp.clip(n_ctx + lu + c, 0, seq_out.shape[1] - 1)
+    idx = jnp.clip(n_ctx + lu + stride * c, 0, seq_out.shape[1] - 1)
     return jnp.take_along_axis(seq_out, idx[..., None], axis=1)
 
 
 class ContextualPreprocessor(M.Module):
     """Projects contextual/uih/candidate inputs into E-dim tokens and
-    assembles the combined sequence (reference gr/preprocessors.py:93)."""
+    assembles the combined sequence (reference gr/preprocessors.py:93).
+
+    Legacy linear-projection variant kept for configs that set
+    ``contextual_preprocessor`` without the content/action MLP family;
+    the full-fidelity family lives in gr/preprocessors.py."""
+
+    def interleave_targets(self, training: bool) -> bool:
+        return False
+
+    def uih_multiplier(self) -> int:
+        return 1
 
     def __init__(
         self,
@@ -215,6 +230,8 @@ class HSTUTransducer(M.Module):
                 scaling_seqlen=scaling, end=self.trunc_split,
             )
             max_targets = inputs["cand_emb"].shape[1]
+            if self.pre.interleave_targets(ctx.training):
+                max_targets *= 2
             x, lengths, (safe, valid) = truncate_uih(
                 x, lengths, num_targets, self.trunc_tail,
                 self.pre.n_ctx, max_targets,
