@@ -49,6 +49,23 @@ class DataParser:
         self._sample_weights = sample_weights or []
         self._is_training = is_training
         self._force_base_data_group = force_base_data_group
+        # jagged labels (reference models/hstu.py:392-394 reads
+        # candidate-sequence labels like "cand_seq__action_weight"):
+        # label fields named {sequence_name}__{col} parse as padded
+        # [B, L] float arrays using that sequence group's delim/length
+        seq_groups: Dict[str, Any] = {}
+        for f in features:
+            sn = getattr(f, "sequence_name", None)
+            if sn and sn not in seq_groups:
+                seq_groups[sn] = (
+                    f.sequence_delim or ";",
+                    int(f.sequence_length or 0),
+                )
+        self._label_seq: Dict[str, Any] = {}
+        for lbl in self._labels:
+            sn = lbl.split("__", 1)[0] if "__" in lbl else None
+            if sn in seq_groups:
+                self._label_seq[lbl] = seq_groups[sn]
         # native FG DAG: eligible FG_NORMAL/FG_DAG features run as one
         # C++ task-pool call per batch (fg/dag.py); ineligible features
         # keep their python parse below
@@ -177,6 +194,13 @@ class DataParser:
                 arr = input_data[label]
                 if isinstance(arr, pa.ChunkedArray):
                     arr = arr.combine_chunks()
+                if label in self._label_seq or pa.types.is_list(
+                    arr.type
+                ) or pa.types.is_large_list(arr.type):
+                    out[f"__label__{label}"] = _parse_jagged_label(
+                        arr, *self._label_seq.get(label, (";", 0))
+                    )
+                    continue
                 out[f"__label__{label}"] = np.nan_to_num(
                     arr.cast(pa.float32(), safe=False).to_numpy(
                         zero_copy_only=False
@@ -282,6 +306,36 @@ def _fixed_single(data: SparseData) -> SparseField:
         w = np.zeros((b, 1), np.float32)
         w[rows, 0] = data.weights
     return SparseField(values=vals, weights=w)
+
+
+def _parse_jagged_label(
+    arr: pa.Array, delim: str = ";", max_len: int = 0
+) -> np.ndarray:
+    """Per-row multi-value label -> padded [B, L] float32 (keeps the
+    LAST steps, matching _pad_sequence_* truncation)."""
+    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        rows = [
+            [] if v is None else [float(x) for x in v]
+            for v in arr.to_pylist()
+        ]
+    else:
+        rows = []
+        for s in arr.cast(pa.string()).to_pylist():
+            if not s:
+                rows.append([])
+                continue
+            rows.append([float(t) if t else 0.0 for t in s.split(delim)])
+    b = len(rows)
+    if max_len <= 0:
+        max_len = bucketize_size(
+            max((len(r) for r in rows), default=1), minimum=1
+        )
+    out = np.zeros((b, max_len), dtype=np.float32)
+    for i, r in enumerate(rows):
+        take = min(len(r), max_len)
+        if take:
+            out[i, :take] = r[len(r) - take:]
+    return np.nan_to_num(out)
 
 
 def _pad_sequence_sparse(

@@ -500,6 +500,15 @@ def create_dataloader(
         extra = {}
         if cls_name == "TDMSampler" and len(data_config.label_fields):
             extra["label_field"] = data_config.label_fields[0]
+        # sequence mode: item_id_field names a grouped-sequence
+        # sub-feature -> its column holds delim-joined positives per row
+        for f in features:
+            if (
+                f.name == sampler_cfg.item_id_field
+                and getattr(f, "sequence_name", None)
+            ):
+                extra["seq_delim"] = f.sequence_delim or ";"
+                break
         sampler = sampler_mod.BaseSampler.create_class(cls_name)(
             sampler_cfg,
             fields=None,

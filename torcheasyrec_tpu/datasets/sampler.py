@@ -68,6 +68,7 @@ class BaseSampler(metaclass=_meta):
         fields: Optional[List[Any]] = None,
         batch_size: int = 1024,
         is_training: bool = True,
+        seq_delim: Optional[str] = None,
     ) -> None:
         self._config = config
         self._batch_size = batch_size
@@ -78,6 +79,11 @@ class BaseSampler(metaclass=_meta):
         self._attr_fields = list(config.attr_fields)
         self._attr_delim = getattr(config, "attr_delimiter", ":") or ":"
         self._item_id_field = config.item_id_field
+        # sequence mode (reference dataset.py:399-405 build_sampler_input
+        # flattens multi-positive candidate sequences): the item_id_field
+        # is a grouped-sequence sub-feature whose column holds
+        # delimiter-joined positive ids per row
+        self._seq_delim = seq_delim
         self._rng = np.random.default_rng(0)
         self._inited = False
 
@@ -97,6 +103,43 @@ class BaseSampler(metaclass=_meta):
         raise NotImplementedError
 
     # -- shared helpers -----------------------------------------------------
+
+    def _pos_id_set(self, columns: Dict[str, pa.Array]) -> set:
+        """Distinct positive item ids in this batch, flattening
+        multi-positive candidate sequences (list columns or
+        ``seq_delim``-joined strings) like the reference's
+        build_sampler_input (dataset.py:399-405, utils.py:588-634)."""
+        col = columns.get(self._item_id_field)
+        if col is None:
+            return set()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            flat = col.flatten()
+            return set(
+                flat.cast(pa.int64(), safe=False).to_pylist()
+            )
+        if self._seq_delim and pa.types.is_string(col.type):
+            out: set = set()
+            for s in col.to_pylist():
+                if not s:
+                    continue
+                for tok in s.split(self._seq_delim):
+                    try:
+                        out.add(int(float(tok)))
+                    except ValueError:
+                        continue
+            return out
+        try:
+            return set(col.cast(pa.int64(), safe=False).to_pylist())
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            out = set()
+            for s in col.cast(pa.string()).to_pylist():
+                try:
+                    out.add(int(float(s)))
+                except (TypeError, ValueError):
+                    continue
+            return out
 
     def _load_item_table(self, path: str) -> None:
         tbl = _read_table(path)
@@ -166,11 +209,7 @@ class NegativeSampler(BaseSampler):
         rows = self._alias.sample(self._num_sample, self._rng)
         # exclude in-batch positive ids by resampling (best effort, 2 tries)
         if self._item_id_field in columns:
-            pos = set(
-                columns[self._item_id_field]
-                .cast(pa.int64(), safe=False)
-                .to_pylist()
-            )
+            pos = self._pos_id_set(columns)
             for _ in range(2):
                 bad = np.asarray(
                     [int(self._item_ids[r]) in pos for r in rows]
@@ -332,8 +371,9 @@ class TDMSampler(BaseSampler):
     """
 
     def __init__(self, config, fields=None, batch_size=1024,
-                 is_training=True, label_field: str = "label") -> None:
-        super().__init__(config, fields, batch_size, is_training)
+                 is_training=True, label_field: str = "label",
+                 seq_delim: Optional[str] = None) -> None:
+        super().__init__(config, fields, batch_size, is_training, seq_delim)
         self._label_field = label_field
         self._layer_num_sample = list(config.layer_num_sample)
         self._remain_ratio = float(getattr(config, "remain_ratio", 1.0))

@@ -99,6 +99,7 @@ class PositionalEncoder(M.Module):
         lengths: jnp.ndarray,
         timestamps: Optional[jnp.ndarray] = None,  # [B, N] unix secs
         ctx: Optional[M.Context] = None,
+        anchor: Optional[jnp.ndarray] = None,  # [B] request time
     ) -> jnp.ndarray:
         b, n, d = x.shape
         # position measured from the sequence end (recent = low bucket),
@@ -111,11 +112,16 @@ class PositionalEncoder(M.Module):
         out = x + params["pos"][rel].astype(x.dtype)
         if self.use_time and timestamps is not None:
             ts = timestamps.astype(jnp.float32)
-            # delta vs the most recent event; log2 bucketing
-            last_idx = jnp.maximum(lengths.astype(jnp.int32) - 1, 0)
-            last_ts = jnp.take_along_axis(
-                ts, last_idx[:, None], axis=1
-            )
+            if anchor is not None:
+                # per-row request-time anchor (reference models/hstu.py
+                # query_time group feeding the HSTU time bias)
+                last_ts = anchor.astype(jnp.float32).reshape(b, 1)
+            else:
+                # delta vs the most recent event; log2 bucketing
+                last_idx = jnp.maximum(lengths.astype(jnp.int32) - 1, 0)
+                last_ts = jnp.take_along_axis(
+                    ts, last_idx[:, None], axis=1
+                )
             delta = jnp.maximum(last_ts - ts, 0.0)
             bucket = jnp.clip(
                 jnp.floor(jnp.log2(delta + 1.0)).astype(jnp.int32),

@@ -214,11 +214,16 @@ class HSTUTransducer(M.Module):
         self, params: M.Params, ctx: M.Context, **inputs: Any
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """-> (seq_out [B, N, E], lengths, num_targets)."""
+        # per-row time-bias anchor (reference models/hstu.py query_time)
+        time_anchor = inputs.pop("time_anchor", None)
         x, lengths, num_targets, timestamps = self.pre(
             params["pre"], ctx=ctx, **inputs
         )
         if self.pos is not None:
-            x = self.pos(params["pos"], x, lengths, timestamps, ctx)
+            x = self.pos(
+                params["pos"], x, lengths, timestamps, ctx,
+                anchor=time_anchor,
+            )
         scaling = self.max_seq_len or x.shape[1]
         do_trunc = (
             0 < self.trunc_split < self.stack.num_layers
@@ -229,7 +234,8 @@ class HSTUTransducer(M.Module):
                 params["stack"], x, lengths, ctx, num_targets,
                 scaling_seqlen=scaling, end=self.trunc_split,
             )
-            max_targets = inputs["cand_emb"].shape[1]
+            cand = inputs.get("cand_emb")
+            max_targets = cand.shape[1] if cand is not None else 0
             if self.pre.interleave_targets(ctx.training):
                 max_targets *= 2
             x, lengths, (safe, valid) = truncate_uih(
