@@ -251,3 +251,61 @@ def test_tdm_retrieval_end_to_end(tmp_path):
     got = pq.read_table(out_path)
     assert got.num_rows == n_users
     assert all(len(r) == 4 for r in got.column("recall_ids").to_pylist())
+
+
+def test_tdm_predict_sampler_child_expansion(tmp_path):
+    """TDMPredictSampler (reference sampler.py:1082-1168): expand_factor
+    children per node, without replacement; pad nodes emit empty attrs."""
+    from google.protobuf import text_format
+
+    from torcheasyrec_tpu.datasets.sampler import TDMPredictSampler
+    from torcheasyrec_tpu.protos import sampler_pb2
+    from torcheasyrec_tpu.tools.tdm.gen_tree import init_tree
+
+    tmp_path = str(tmp_path)
+    n_items = 16
+    tbl = pa.table({
+        "id": pa.array(np.arange(n_items, dtype=np.int64)),
+        "weight": pa.array(np.ones(n_items)),
+        "attrs": pa.array([str(i) for i in range(n_items)]),
+    })
+    items = os.path.join(tmp_path, "items.parquet")
+    pq.write_table(tbl, items)
+    tree_dir = os.path.join(tmp_path, "tree")
+    init_tree(items, tree_dir, branching=2)
+
+    cfg = text_format.Parse(
+        f"""
+        item_input_path: "{os.path.join(tree_dir, 'node_table.parquet')}"
+        edge_input_path: "{os.path.join(tree_dir, 'edge_table.parquet')}"
+        predict_edge_input_path: "{os.path.join(tree_dir, 'edge_table.parquet')}"
+        attr_fields: "item_id"
+        item_id_field: "item_id"
+        layer_num_sample: [1, 2, 2, 2]
+        """,
+        sampler_pb2.TDMSampler(),
+    )
+    s = TDMPredictSampler(cfg, is_training=False)
+    s.init_sampler(2)
+
+    # find a real parent from the edge table to expand
+    edges = pq.read_table(os.path.join(tree_dir, "edge_table.parquet"))
+    parents = edges.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    children = edges.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+    p0 = int(parents[0])
+    true_children = set(int(c) for pp, c in zip(parents, children)
+                        if int(pp) == p0)
+
+    got = s.get_children_ids(np.asarray([p0, -1], np.int64))
+    assert got.shape == (2, 2)
+    valid = [int(v) for v in got[0] if v >= 0]
+    assert len(valid) == len(set(valid))  # without replacement
+    assert set(valid) <= true_children
+    assert (got[1] == -1).all()  # pad input -> pad children
+
+    # get(): flattened child attr columns, reference contract
+    out = s.get({"item_id": pa.array([p0], type=pa.int64())})
+    assert set(out) == {"item_id"}
+    assert len(out["item_id"]) == 2
+    vals = [v for v in out["item_id"].to_pylist() if v]
+    assert set(int(v) for v in vals) <= true_children

@@ -482,3 +482,97 @@ class TDMSampler(BaseSampler):
             np.asarray(out_labels, np.float32)
         )
         return out
+
+
+class TDMPredictSampler(BaseSampler):
+    """TDM predict-time child expansion (reference sampler.py:1082-1168).
+
+    Given a batch of tree-node ids, samples up to ``expand_factor``
+    children per node (random without replacement) from the tree's
+    parent->child edge table and returns their item-side attr columns —
+    the layer-by-layer expansion primitive that
+    ``tools/tdm/retrieval.py`` drives during beam search. Prediction
+    starts with ``init_sampler(first_layer_width)`` from the root, then
+    re-inits with ``n_cluster`` per inner layer like the reference's
+    ``init_sampler``.
+    """
+
+    def __init__(self, config, fields=None, batch_size=1024,
+                 is_training=False, seq_delim: Optional[str] = None) -> None:
+        super().__init__(config, fields, batch_size, is_training, seq_delim)
+        self._expand_factor = 0
+
+    def _load(self) -> None:
+        self._load_item_table(self._config.item_input_path)
+        edge_path = (
+            getattr(self._config, "predict_edge_input_path", "")
+            or self._config.edge_input_path
+        )
+        edges = _read_table(edge_path)
+        src = edges.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = edges.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+        children: Dict[int, List[int]] = {}
+        for p, c in zip(src, dst):
+            children.setdefault(int(p), []).append(int(c))
+        self._children = children
+        self._max_level = len(list(self._config.layer_num_sample))
+
+    def init_sampler(self, expand_factor: int) -> None:
+        """Set how many children each node expands into (reference
+        sampler.py:1134-1146: root round = first-layer width, inner
+        rounds = n_cluster)."""
+        self.init()
+        self._expand_factor = int(expand_factor)
+
+    def get_children_ids(self, ids: np.ndarray) -> np.ndarray:
+        """[n] node ids -> [n, expand_factor] child ids, -1 padded.
+
+        Sampling is without replacement; nodes with <= expand_factor
+        children return them all (tree fan-out == n_cluster makes this
+        exact on real TDM trees).
+        """
+        self.init()
+        k = self._expand_factor
+        out = np.full((len(ids), k), -1, np.int64)
+        for i, nid in enumerate(np.asarray(ids, np.int64)):
+            if nid < 0:
+                continue
+            ch = self._children.get(int(nid), ())
+            if len(ch) > k:
+                ch = self._rng.choice(
+                    np.asarray(ch, np.int64), size=k, replace=False
+                )
+            out[i, : len(ch)] = np.asarray(ch, np.int64)[: len(ch)]
+        return out
+
+    def get(self, input_data: Dict[str, pa.Array]) -> Dict[str, pa.Array]:
+        """Batch of node ids -> flattened child attr columns
+        ([n * expand_factor] rows, pad children emit empty strings),
+        mirroring the reference's ``get`` -> ``_parse_nodes`` contract.
+        """
+        col = input_data[self._item_id_field]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ids = col.cast(pa.int64(), safe=False).to_numpy(
+            zero_copy_only=False
+        )
+        flat = self.get_children_ids(ids).reshape(-1)
+        return self.node_attr_columns(flat)
+
+    def node_attr_columns(
+        self, node_ids: np.ndarray
+    ) -> Dict[str, pa.Array]:
+        """Flat node ids -> item-side attr columns (pad id -1 -> '')."""
+        self.init()
+        names = self._attr_fields
+        cols: Dict[str, List[str]] = {name: [] for name in names}
+        for nid in np.asarray(node_ids, np.int64):
+            row = self._id_to_row.get(int(nid), -1)
+            vals = (
+                self._attrs[row]
+                if (self._attrs is not None and row >= 0)
+                else ([str(nid)] if nid >= 0 else [""])
+            )
+            for j, name in enumerate(names):
+                cols[name].append(vals[j] if j < len(vals) else "")
+        return {k: pa.array(v, type=pa.string()) for k, v in cols.items()}

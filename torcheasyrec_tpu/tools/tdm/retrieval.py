@@ -36,7 +36,7 @@ def tdm_retrieval(
 ) -> Dict[str, float]:
     """Returns {"recall": fraction, "total": n_users}."""
     from torcheasyrec_tpu.datasets.data_parser import DataParser
-    from torcheasyrec_tpu.datasets.sampler import TDMSampler
+    from torcheasyrec_tpu.datasets.sampler import TDMPredictSampler, TDMSampler
     from torcheasyrec_tpu.main import (
         _build_model_and_optim,
         _compute_dtype,
@@ -71,24 +71,12 @@ def tdm_retrieval(
     item_id_field = sampler_config.item_id_field
     attr_fields = list(sampler_config.attr_fields)
     max_level = sampler._max_depth
-    children = sampler._children
-    id_to_row = sampler._id_to_row
-    attrs = sampler._attrs
     item_ids_table = sampler._item_ids
-
-    def _node_attr_columns(node_ids: np.ndarray) -> Dict[str, pa.Array]:
-        """Flat node ids -> item-side attr columns (pad id -1 -> '')."""
-        cols: Dict[str, List[str]] = {name: [] for name in attr_fields}
-        for nid in node_ids:
-            row = id_to_row.get(int(nid), -1)
-            vals = (
-                attrs[row]
-                if (attrs is not None and row >= 0)
-                else ([str(nid)] if nid >= 0 else [""])
-            )
-            for j, name in enumerate(attr_fields):
-                cols[name].append(vals[j] if j < len(vals) else "")
-        return {k: pa.array(v, type=pa.string()) for k, v in cols.items()}
+    # child expansion + node attr lookup via the predict sampler
+    # (reference sampler.py:1082-1168 / retrieval.py beam loop)
+    pred_sampler = TDMPredictSampler(sampler_config, is_training=False)
+    pred_sampler.init()
+    _node_attr_columns = pred_sampler.node_attr_columns
 
     first_layer = min(
         max_level,
@@ -163,18 +151,10 @@ def tdm_retrieval(
             top = np.argpartition(-probs, k - 1, axis=1)[:, :k]
             kept = np.take_along_axis(cand, top, axis=1)  # [b, k]
             # expand children into a fixed-width next layer
-            next_w = k * n_cluster
-            nxt = np.full((b, next_w), -1, np.int64)
-            for i in range(b):
-                pos = 0
-                for nid in kept[i]:
-                    if nid < 0:
-                        continue
-                    for ch in children.get(int(nid), ()):
-                        if pos < next_w:
-                            nxt[i, pos] = ch
-                            pos += 1
-            cand = nxt
+            pred_sampler.init_sampler(n_cluster)
+            cand = pred_sampler.get_children_ids(
+                kept.reshape(-1)
+            ).reshape(b, k * n_cluster)
 
         hit = np.asarray([
             int(g) in set(r) for g, r in zip(gt, recall_ids)
