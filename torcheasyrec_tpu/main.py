@@ -1571,23 +1571,72 @@ def predict_checkpoint(
     eval_step = jax.jit(lambda state, batch: _estep(state, batch)[0])
     out_cols = [c.strip() for c in (output_columns or "").split(",")
                 if c.strip()]
-    n = 0
-    for batch, info in dl():
-        batch = _inject_host_rows(model, batch)
-        preds = jax.device_get(eval_step(state, batch))
+
+    def _convert(preds, reserved) -> Dict[str, pa.Array]:
+        preds = jax.device_get(preds)
         out: Dict[str, pa.Array] = {}
         # reserved input columns first so predictions stay joinable
-        for k, col in info.reserved.items():
+        for k, col in reserved.items():
             out[k] = col
         for k, v in preds.items():
             if k.startswith("__") or (out_cols and k not in out_cols):
                 continue
             v = np.asarray(v)
             out[k] = pa.array(v) if v.ndim == 1 else pa.array(list(v))
-        writer.write(out)
+        return out
+
+    aw = _AsyncPredictWriter(writer, _convert)
+    n = 0
+    for batch, info in dl():
+        batch = _inject_host_rows(model, batch)
+        aw.put(eval_step(state, batch), info.reserved)
         n += info.batch_size
-    writer.close()
+    aw.close()
     logger.info(f"predicted {n} examples -> {predict_output_path}")
+
+
+class _AsyncPredictWriter:
+    """Overlap device compute with host IO during batch predict
+    (reference's threaded predict pipeline, main.py:1120-1357): the
+    main loop only dispatches async jitted steps and enqueues the
+    on-device results; this thread device_gets them, converts to Arrow
+    columns, and writes. The bounded queue applies backpressure so at
+    most ``maxsize`` batches of predictions live on device/host."""
+
+    def __init__(self, writer, convert, maxsize: int = 4) -> None:
+        import queue
+        import threading
+
+        self._writer = writer
+        self._convert = convert
+        self._q: Any = queue.Queue(maxsize=maxsize)
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            if self._err is not None:
+                continue  # drain remaining items after a failure
+            try:
+                self._writer.write(self._convert(*item))
+            except BaseException as e:  # noqa: BLE001 — surfaced on close
+                self._err = e
+
+    def put(self, *item: Any) -> None:
+        if self._err is not None:
+            raise self._err
+        self._q.put(item)
+
+    def close(self) -> None:
+        self._q.put(None)
+        self._thread.join()
+        self._writer.close()
+        if self._err is not None:
+            raise self._err
 
 
 def _predict_tower_artifact(
@@ -1656,19 +1705,23 @@ def _predict_tower_artifact(
         "ParquetWriter"
         if not predict_output_path.endswith(".csv") else "CsvWriter",
     )
-    n = 0
-    for batch, info in dl():
-        batch = _inject_host_rows(model, batch)
-        emb = np.asarray(jax.device_get(tower_step(state, batch)))
+    def _convert(emb, reserved, bs) -> Dict[str, pa.Array]:
+        emb = np.asarray(jax.device_get(emb))
         if emb.ndim == 3:  # multi-interest [B, K, D] -> [B, K*D]
             emb = emb.reshape(emb.shape[0], -1)
         out: Dict[str, pa.Array] = {}
-        for k, col in info.reserved.items():
+        for k, col in reserved.items():
             out[k] = col
-        out[out_key] = pa.array(list(emb[: info.batch_size]))
-        writer.write(out)
+        out[out_key] = pa.array(list(emb[:bs]))
+        return out
+
+    aw = _AsyncPredictWriter(writer, _convert)
+    n = 0
+    for batch, info in dl():
+        batch = _inject_host_rows(model, batch)
+        aw.put(tower_step(state, batch), info.reserved, info.batch_size)
         n += info.batch_size
-    writer.close()
+    aw.close()
     logger.info(
         f"predicted {n} {tower}-tower embeddings -> {predict_output_path}"
     )
@@ -1752,12 +1805,11 @@ def predict(
 
     out_cols = [c.strip() for c in (output_columns or "").split(",")
                 if c.strip()]
-    n = 0
-    for batch, info in dl():
-        batch = _inject_host_rows(model, batch)
-        preds = jax.device_get(eval_step(state, batch))
+
+    def _convert(preds, reserved) -> Dict[str, pa.Array]:
+        preds = jax.device_get(preds)
         out: Dict[str, pa.Array] = {}
-        for k, col in info.reserved.items():
+        for k, col in reserved.items():
             out[k] = col
         for k, v in preds.items():
             if k.startswith("__") or (out_cols and k not in out_cols):
@@ -1769,7 +1821,13 @@ def predict(
                 out[k] = pa.array(v)
             else:
                 out[k] = pa.array(list(v))
-        writer.write(out)
+        return out
+
+    aw = _AsyncPredictWriter(writer, _convert)
+    n = 0
+    for batch, info in dl():
+        batch = _inject_host_rows(model, batch)
+        aw.put(eval_step(state, batch), info.reserved)
         n += info.batch_size
-    writer.close()
+    aw.close()
     logger.info(f"predicted {n} examples -> {predict_output_path}")
