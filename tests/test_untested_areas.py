@@ -315,3 +315,42 @@ model_config {{
     for i, p in zip(t["item_id"].to_pylist(), probs):
         by_id.setdefault(i, set()).add(round(float(p), 6))
     assert all(len(v) == 1 for v in by_id.values())
+
+
+def test_async_predict_writer_propagates_errors():
+    """_AsyncPredictWriter: results write in order; a convert/write
+    failure surfaces on put() or close(), never silently."""
+    from torcheasyrec_tpu.main import _AsyncPredictWriter
+
+    class _Writer:
+        def __init__(self):
+            self.rows = []
+            self.closed = False
+
+        def write(self, out):
+            self.rows.append(out)
+
+        def close(self):
+            self.closed = True
+
+    w = _Writer()
+    aw = _AsyncPredictWriter(w, lambda x: {"v": x}, maxsize=2)
+    for i in range(5):
+        aw.put(i)
+    aw.close()
+    assert w.closed and [r["v"] for r in w.rows] == [0, 1, 2, 3, 4]
+
+    def _boom(x):
+        raise ValueError("convert failed")
+
+    w2 = _Writer()
+    aw2 = _AsyncPredictWriter(w2, _boom, maxsize=2)
+    aw2.put(0)
+    import pytest
+
+    with pytest.raises(ValueError, match="convert failed"):
+        # the failure lands on a later put() or on close()
+        for i in range(10):
+            aw2.put(i)
+        aw2.close()
+    assert not w2.rows

@@ -1073,21 +1073,33 @@ def _run_eval(
         loss_count = max(n, 1)
         _sync_metrics(metrics)
     else:
-        for batch, info in eval_dl(device_put_fn=_put):
-            host_rows, _ = _host_rows_for(model, batch)
-            preds, losses = eval_step(state, batch, host_rows)
-            preds = jax.device_get(preds)
+        # one-step software pipeline: dispatch batch N (async under XLA),
+        # then drain batch N-1's host-side metric update while N computes
+        # on device (reference's eval prefetch overlap, main.py:167-233)
+        def _drain(pending) -> None:
+            nonlocal loss_count
+            preds, losses, b = pending
             model.update_metrics(
-                metrics, preds,
-                batch.host_batch if hasattr(batch, "host_batch")
-                else jax.device_get(batch),
+                metrics, jax.device_get(preds),
+                b.host_batch if hasattr(b, "host_batch")
+                else jax.device_get(b),
             )
             for k, v in jax.device_get(losses).items():
                 loss_sums[k] = loss_sums.get(k, 0.0) + float(v)
             loss_count += 1
+
+        pending = None
+        for batch, info in eval_dl(device_put_fn=_put):
+            host_rows, _ = _host_rows_for(model, batch)
+            preds, losses = eval_step(state, batch, host_rows)
+            if pending is not None:
+                _drain(pending)
+            pending = (preds, losses, batch)
             n += 1
             if num_steps and n >= num_steps:
                 break
+        if pending is not None:
+            _drain(pending)
     result = model.compute_metrics(metrics)
     for k, v in loss_sums.items():
         result[f"loss_{k}"] = v / max(loss_count, 1)
