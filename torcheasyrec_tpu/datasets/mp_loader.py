@@ -197,6 +197,7 @@ class MpBatchLoader:
         dense_bf16: bool = False,
         device_put_fn: Optional[Callable[[Any], Any]] = None,
         nslots: int = 4,
+        prefetch: int = 3,
     ) -> None:
         assert num_workers >= 1
         method = _pick_start_method()
@@ -210,6 +211,7 @@ class MpBatchLoader:
         self._ended = 0
         self._n = num_workers
         self._finished = False
+        self._closed = False
         saved_env: dict = {}
         if method != "fork":
             # children re-exec python and inherit os.environ as of
@@ -241,14 +243,71 @@ class MpBatchLoader:
                     os.environ.pop(k, None)
                 else:
                     os.environ[k] = v
+        # consumer-side prefetch thread: slot memcpy, spec unpickle,
+        # host views, and (crucially) the blocking device_put all run
+        # here, overlapped with the main thread's jit dispatch — the
+        # same H2D hiding the thread loader gets from its putter thread
+        import threading
+
+        self._out_q: Any = queue_mod.Queue(maxsize=max(prefetch, 1))
+        self._close_lock = threading.Lock()
+        self._close_done = False
+        self._consumer = threading.Thread(
+            target=self._consume_loop, daemon=True
+        )
+        self._consumer.start()
 
     def __iter__(self) -> Iterator:
         return self
+
+    def _consume_loop(self) -> None:
+        while not self._closed:
+            try:
+                item = self._produce_one()
+            except StopIteration:
+                self._out_q.put(("stop", None))
+                self.close()  # join workers, close+unlink shm
+                return
+            except BaseException as e:  # noqa: BLE001 — re-raised in __next__
+                self._out_q.put(("err", e))
+                self.close()
+                return
+            while not self._closed:
+                try:
+                    self._out_q.put(("ok", item), timeout=0.2)
+                    break
+                except queue_mod.Full:
+                    continue
 
     def __next__(self):
         if self._finished:
             raise StopIteration
         while True:
+            try:
+                tag, val = self._out_q.get(timeout=0.5)
+                break
+            except queue_mod.Empty:
+                if self._closed:  # externally closed mid-iteration
+                    self._finished = True
+                    raise StopIteration from None
+                continue
+        if tag == "stop":
+            self._finished = True
+            # the consumer thread runs close() after the sentinel; wait
+            # so worker join + shm unlink finish before the caller can
+            # exit the process (daemon threads die mid-cleanup otherwise)
+            self._consumer.join(timeout=15.0)
+            raise StopIteration
+        if tag == "err":
+            self._finished = True
+            self._consumer.join(timeout=15.0)
+            raise val
+        return val
+
+    def _produce_one(self):
+        while True:
+            if self._closed:
+                raise StopIteration
             try:
                 msg = self._full_q.get(timeout=2.0)
             except queue_mod.Empty:
@@ -261,8 +320,6 @@ class MpBatchLoader:
                     if not p.is_alive() and p.exitcode != 0
                 ]
                 if len(dead) + self._ended >= self._n and dead:
-                    self._finished = True
-                    self.close()
                     raise RuntimeError(
                         f"mp data workers died without reporting "
                         f"(pid, exitcode)={dead}. If using the spawn "
@@ -278,13 +335,9 @@ class MpBatchLoader:
             if tag == "end":
                 self._ended += 1
                 if self._ended >= self._n:
-                    self._finished = True
-                    self.close()  # join workers, close+unlink shm
                     raise StopIteration
                 continue
             if tag == "err":
-                self._finished = True
-                self.close()
                 raise RuntimeError(
                     f"mp data worker {msg[1]} failed:\n{msg[2]}"
                 )
@@ -324,6 +377,11 @@ class MpBatchLoader:
             pass
 
     def close(self) -> None:
+        with self._close_lock:
+            if self._close_done:
+                return
+            self._close_done = True
+        self._closed = True
         self._stop.set()
         # drain WHILE joining: workers can't exit until their queue
         # feeder flushes, and may announce their shm ring at any point
