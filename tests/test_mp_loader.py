@@ -266,3 +266,39 @@ def test_mp_loader_oversized_batch_queue_fallback():
             np.asarray(x), np.arange(x.size, dtype=np.float32)
         )
     assert sizes == [10, 400_000, 7]
+
+
+def test_unify_spec_stabilizes_cross_worker_kinds():
+    """Two workers packing the same pytree can pick different int wire
+    dtypes (their sticky envelopes see different ids); unify_spec must
+    converge them to one spec, preserving values."""
+    import numpy as np
+
+    from torcheasyrec_tpu.datasets import pack as pack_mod
+    from torcheasyrec_tpu.datasets.pack import pack_batch, unify_spec, unpack_batch
+
+    def _pack_fresh(ids):
+        # fresh envelope state = a separate worker process
+        saved = dict(pack_mod._ENVELOPES)
+        pack_mod._ENVELOPES.clear()
+        try:
+            return pack_batch({"ids": ids, "x": np.float32([1.5, 2.5])})
+        finally:
+            pack_mod._ENVELOPES.clear()
+            pack_mod._ENVELOPES.update(saved)
+
+    small = _pack_fresh(np.int64([1, 2, 3]))       # fits i8/i16
+    big = _pack_fresh(np.int64([1, 70_000, 3]))    # needs i32
+    assert small.spec != big.spec
+
+    state: dict = {}
+    u1 = unify_spec(small, state)
+    u2 = unify_spec(big, state)
+    u3 = unify_spec(_pack_fresh(np.int64([4, 5, 6])), state)
+    assert u2.spec == u3.spec  # stable from the widest batch onward
+
+    for u, ids in ((u1, [1, 2, 3]), (u2, [1, 70_000, 3]), (u3, [4, 5, 6])):
+        got = unpack_batch(u)
+        np.testing.assert_array_equal(np.asarray(got["ids"]), ids)
+        np.testing.assert_allclose(np.asarray(got["x"]), [1.5, 2.5])
+        assert np.asarray(got["ids"]).dtype == np.int32

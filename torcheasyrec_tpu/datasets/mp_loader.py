@@ -44,7 +44,12 @@ from typing import Any, Callable, Iterator, Optional
 
 import numpy as np
 
-from torcheasyrec_tpu.datasets.pack import PackedBatch, pack_batch, unpack_batch
+from torcheasyrec_tpu.datasets.pack import (
+    PackedBatch,
+    pack_batch,
+    unify_spec,
+    unpack_batch,
+)
 
 
 def mp_loader_enabled(data_config: Any, mode: str = "train") -> int:
@@ -212,6 +217,7 @@ class MpBatchLoader:
         self._n = num_workers
         self._finished = False
         self._closed = False
+        self._spec_kinds: dict = {}
         saved_env: dict = {}
         if method != "fork":
             # children re-exec python and inherit os.environ as of
@@ -352,6 +358,9 @@ class MpBatchLoader:
                 self._free_qs[w].put(slot)
             spec, info = pickle.loads(payload)
             host = PackedBatch(wire, spec)
+            # workers pick wire dtypes from their OWN data; widen to
+            # one stable cross-worker spec so jit compiles once
+            host = unify_spec(host, self._spec_kinds)
             # host-side views for metrics/delta-dump/ZCH consumers —
             # reconstructed from the wire, so ids are int32 (the
             # framework-wide device convention; all ids are pre-

@@ -164,6 +164,60 @@ def pack_batch(batch, dense_bf16: bool = False) -> PackedBatch:
     return PackedBatch(wire, (treedef, tuple(metas)), batch)
 
 
+def unify_spec(packed: PackedBatch, kind_state: Dict[Any, list]) -> PackedBatch:
+    """Consumer-side spec stabilizer for multi-process packing.
+
+    Each mp worker carries its own sticky envelopes, so two workers can
+    legally disagree on an int leaf's wire dtype (one saw only small
+    ids); feeding those alternating specs to jit retraces the train
+    step per variant. Track the widest kind seen per (treedef, leaf) in
+    ``kind_state`` and repack any narrower batch to it — int mismatches
+    widen to i32, which is always value-preserving because every
+    restore=="i" leaf unpacks to int32 regardless of wire dtype.
+    """
+    treedef, metas = packed.spec
+    kinds = [m[0] for m in metas]
+    cur = kind_state.get(treedef)
+    if cur is None:
+        kind_state[treedef] = kinds
+        return packed
+    target = [a if a == b else "i32" for a, b in zip(cur, kinds)]
+    kind_state[treedef] = target
+    if target == kinds:
+        return packed
+    return _repack(packed, target)
+
+
+def _repack(packed: PackedBatch, target_kinds: list) -> PackedBatch:
+    """Re-encode a host wire buffer with the given per-leaf kinds."""
+    if not _NP_DTYPES:
+        _init_dtypes()
+    treedef, metas = packed.spec
+    wire = packed.wire
+    order = sorted(
+        range(len(metas)), key=lambda i: -_ITEMSIZE[target_kinds[i]]
+    )
+    new_metas: list = [None] * len(metas)
+    off = 0
+    for i in order:
+        _, _, shape, restore = metas[i]
+        n = int(np.prod(shape)) if shape else 1
+        new_metas[i] = (target_kinds[i], off, shape, restore)
+        off += n * _ITEMSIZE[target_kinds[i]]
+    new_wire = np.empty((off,), np.uint8)
+    for i, (kind, o, shape, restore) in enumerate(metas):
+        n = int(np.prod(shape)) if shape else 1
+        if not n:
+            continue
+        src = wire[o : o + n * _ITEMSIZE[kind]].view(_NP_DTYPES[kind])
+        tk, to, _, _ = new_metas[i]
+        dst = new_wire[to : to + n * _ITEMSIZE[tk]].view(_NP_DTYPES[tk])
+        np.copyto(dst, src, casting="unsafe")
+    return PackedBatch(
+        new_wire, (treedef, tuple(new_metas)), packed.host_batch
+    )
+
+
 def unpack_batch(packed: PackedBatch):
     """Rebuild the Batch pytree from the wire buffer (jnp or numpy).
 
