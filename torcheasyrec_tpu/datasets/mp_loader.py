@@ -266,24 +266,30 @@ class MpBatchLoader:
     def __iter__(self) -> Iterator:
         return self
 
+    def _put_out(self, item) -> None:
+        # bounded put that never blocks forever: a caller that stops
+        # iterating without close() leaves the queue full, and the
+        # in-thread close() below must still get to run
+        while not self._closed:
+            try:
+                self._out_q.put(item, timeout=0.2)
+                return
+            except queue_mod.Full:
+                continue
+
     def _consume_loop(self) -> None:
         while not self._closed:
             try:
                 item = self._produce_one()
             except StopIteration:
-                self._out_q.put(("stop", None))
+                self._put_out(("stop", None))
                 self.close()  # join workers, close+unlink shm
                 return
             except BaseException as e:  # noqa: BLE001 — re-raised in __next__
-                self._out_q.put(("err", e))
+                self._put_out(("err", e))
                 self.close()
                 return
-            while not self._closed:
-                try:
-                    self._out_q.put(("ok", item), timeout=0.2)
-                    break
-                except queue_mod.Full:
-                    continue
+            self._put_out(("ok", item))
 
     def __next__(self):
         if self._finished:
@@ -386,12 +392,20 @@ class MpBatchLoader:
             pass
 
     def close(self) -> None:
+        import threading
+
+        self._closed = True
+        self._stop.set()
+        # an EXTERNAL close must not tear rings down under a consumer
+        # thread mid-_produce_one: it sees _closed within one queue
+        # timeout and exits; join it first (self-join would deadlock
+        # when the consumer thread itself runs close after the sentinel)
+        if threading.current_thread() is not self._consumer:
+            self._consumer.join(timeout=15.0)
         with self._close_lock:
             if self._close_done:
                 return
             self._close_done = True
-        self._closed = True
-        self._stop.set()
         # drain WHILE joining: workers can't exit until their queue
         # feeder flushes, and may announce their shm ring at any point
         # up to exit

@@ -181,7 +181,20 @@ def unify_spec(packed: PackedBatch, kind_state: Dict[Any, list]) -> PackedBatch:
     if cur is None:
         kind_state[treedef] = kinds
         return packed
-    target = [a if a == b else "i32" for a, b in zip(cur, kinds)]
+    target = list(cur)
+    for i, (a, b) in enumerate(zip(cur, kinds)):
+        if a == b:
+            continue
+        # only int leaves (restore=='i') have legally-divergent wire
+        # dtypes (sticky envelopes); a float/bool kind mismatch would
+        # silently value-cast under casting='unsafe' — refuse it
+        if metas[i][3] != "i":
+            raise ValueError(
+                f"pack spec mismatch on non-int leaf {i}: {a} vs {b} "
+                f"(restore={metas[i][3]!r}) — workers disagree on a "
+                "float/bool wire dtype"
+            )
+        target[i] = "i32"
     kind_state[treedef] = target
     if target == kinds:
         return packed

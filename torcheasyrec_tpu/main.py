@@ -981,12 +981,28 @@ def _run_eval_multiprocess(
     over the global batch (replicated scalars), so every host
     accumulates them every step — no cross-host reduction needed.
     Returns the number of global steps executed (== loss count)."""
+    loader = eval_dl(device_put_fn=None)
+    it = iter(loader)
+    last: Optional[Tuple[Any, Any]] = None
+    n_global = 0
+    try:
+        n_global = _run_eval_multiprocess_loop(
+            model, eval_step, state, mesh, metrics, loss_sums, num_steps,
+            it, last,
+        )
+    finally:
+        if hasattr(loader, "close"):
+            loader.close()
+    return n_global
+
+
+def _run_eval_multiprocess_loop(
+    model, eval_step, state, mesh, metrics, loss_sums, num_steps, it, last,
+) -> int:
     from torcheasyrec_tpu.utils import multihost as mh
 
     from torcheasyrec_tpu.datasets.pack import PackedBatch
 
-    it = iter(eval_dl(device_put_fn=None))
-    last: Optional[Tuple[Any, Any]] = None
     n_global = 0
     while True:
         try:
@@ -1089,15 +1105,23 @@ def _run_eval(
             loss_count += 1
 
         pending = None
-        for batch, info in eval_dl(device_put_fn=_put):
-            host_rows, _ = _host_rows_for(model, batch)
-            preds, losses = eval_step(state, batch, host_rows)
-            if pending is not None:
-                _drain(pending)
-            pending = (preds, losses, batch)
-            n += 1
-            if num_steps and n >= num_steps:
-                break
+        eval_iter = eval_dl(device_put_fn=_put)
+        try:
+            for batch, info in eval_iter:
+                host_rows, _ = _host_rows_for(model, batch)
+                preds, losses = eval_step(state, batch, host_rows)
+                if pending is not None:
+                    _drain(pending)
+                pending = (preds, losses, batch)
+                n += 1
+                if num_steps and n >= num_steps:
+                    break
+        finally:
+            # an early break (num_steps) must not leak the loader: the
+            # mp loader pins worker processes + shm rings, the prefetch
+            # thread pins ~prefetch+1 device_put batches in HBM
+            if hasattr(eval_iter, "close"):
+                eval_iter.close()
         if pending is not None:
             _drain(pending)
     result = model.compute_metrics(metrics)
@@ -1646,7 +1670,13 @@ class _AsyncPredictWriter:
     def close(self) -> None:
         self._q.put(None)
         self._thread.join()
-        self._writer.close()
+        try:
+            self._writer.close()
+        except BaseException:  # noqa: BLE001
+            # a writer broken mid-write may raise from close() too;
+            # the first (recorded) failure is the one to propagate
+            if self._err is None:
+                raise
         if self._err is not None:
             raise self._err
 

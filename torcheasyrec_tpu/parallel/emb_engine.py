@@ -11,11 +11,15 @@ TPU-first design:
   ONE segment-sum + ONE pair of collectives per group instead of
   per-feature ops.
 - **Sharding**: ``row_wise`` block-shards megatable rows over the
-  ``"data"`` mesh axis. The per-step exchange is
-  ``all_gather(ids) -> local masked gather -> psum_scatter(rows)``,
-  which is always correct under arbitrary id skew (no all-to-all
-  capacity overflow) and whose backward is the symmetric
-  ``all_gather(row-grads) -> local scatter``. ``data_parallel`` keeps
+  ``"data"`` mesh axis. The DEFAULT per-step exchange is the
+  owner-bucketed all-to-all (``_a2a_exchange`` below): ids are bucketed
+  by owning shard into fixed per-peer capacity, exchanged with
+  ``lax.all_to_all``, gathered locally, and returned the same way; rows
+  whose bucket overflows the static capacity fall back EXACTLY via an
+  ``all_gather(ids) -> local masked gather -> psum_scatter(rows)``
+  pass over just the overflow (so results are correct under arbitrary
+  id skew). ``TZREC_EMB_EXCHANGE=allgather`` selects the plain
+  allgather/psum_scatter exchange everywhere. ``data_parallel`` keeps
   the table replicated and all-gathers (ids, grads) at update time so
   replicas stay in sync.
 - **Fused in-backward optimizer**: update() routes pooled-output grads

@@ -111,8 +111,11 @@ class CheckpointManager:
     """Cadence (steps / epochs / event-time) + retention.
 
     Event-time triggers (reference checkpoint_util.py:404-505): with a
-    single-process runtime the quorum reduction is local; multi-host
-    uses multihost_utils.broadcast... when that runtime lands.
+    single-process runtime the quorum reduction is local; multi-host,
+    the train loop feeds ``should_save`` the GLOBAL min data-timestamp
+    — synced each step through the batch-dim host collective
+    (main.py, sync_batch_dims carries min-timestamp) — so every process
+    reaches the save decision in lockstep.
     """
 
     def __init__(
