@@ -26,6 +26,7 @@ from torcheasyrec_tpu.datasets.utils import (
     HARD_NEG_INDICES,
     Batch,
     BatchInfo,
+    pa_from_numpy,
 )
 from torcheasyrec_tpu.features.feature import BaseFeature
 from torcheasyrec_tpu.utils.load_class import get_register_class_meta
@@ -163,11 +164,13 @@ class BaseReader(metaclass=_reader_meta):
     ) -> pa.RecordBatch:
         n = rb.num_rows
         rb = rb.append_column(
-            CKPT_SOURCE_ID, pa.array(np.full(n, source_id, np.int64))
+            CKPT_SOURCE_ID, pa_from_numpy(np.full(n, source_id, np.int64))
         )
         rb = rb.append_column(
             CKPT_ROW_IDX,
-            pa.array(np.arange(start_row, start_row + n, dtype=np.int64)),
+            pa_from_numpy(
+                np.arange(start_row, start_row + n, dtype=np.int64)
+            ),
         )
         return rb
 

@@ -165,8 +165,10 @@ class KafkaReader(BaseReader):
             rb.schema.get_field_index("__kafka_offset__")
         )
         rb = rb.drop_columns(["__kafka_offset__"])
+        from torcheasyrec_tpu.datasets.utils import pa_from_numpy
+
         rb = rb.append_column(
-            CKPT_SOURCE_ID, pa.array(_np.full(n, source_id, _np.int64))
+            CKPT_SOURCE_ID, pa_from_numpy(_np.full(n, source_id, _np.int64))
         )
         rb = rb.append_column(CKPT_ROW_IDX, offsets.cast(pa.int64()))
         return rb

@@ -16,7 +16,7 @@ from typing import Any, Dict, List, Optional
 import numpy as np
 import pyarrow as pa
 
-from torcheasyrec_tpu.datasets.utils import HARD_NEG_INDICES
+from torcheasyrec_tpu.datasets.utils import HARD_NEG_INDICES, pa_from_numpy
 from torcheasyrec_tpu.utils.load_class import get_register_class_meta
 
 _SAMPLER_CLASS_MAP: Dict[str, type] = {}
@@ -461,10 +461,10 @@ class TDMSampler(BaseSampler):
         for name, col in columns.items():
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            out[name] = col.take(pa.array(rep))
+            out[name] = col.take(pa_from_numpy(rep))
         node_arr = np.asarray(out_nodes, np.int64)
         # overwrite item id + attrs with sampled tree nodes
-        out[self._item_id_field] = pa.array(node_arr)
+        out[self._item_id_field] = pa_from_numpy(node_arr)
         if self._attrs is not None:
             for j, fname in enumerate(self._attr_fields):
                 if fname == self._item_id_field or fname not in columns:

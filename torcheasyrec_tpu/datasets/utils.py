@@ -41,6 +41,21 @@ NEG_DATA_GROUP = "__NEG__"
 TARGET_REPEAT_INTERLEAVE_KEY = "__target_repeat_interleave__"
 
 
+def pa_from_numpy(arr: np.ndarray):
+    """Fast numpy -> pyarrow Array for null-free int/bool columns.
+
+    ``pa.array(ndarray)`` routes through pyarrow's generic converter,
+    measured ~150x slower than ``Array.from_pandas`` (which takes the
+    zero-copy numpy path) on this build — ~0.8 ms vs ~5 us for an
+    8192-row int64 column. from_pandas maps float NaN to null, so this
+    helper is for integer/bool columns only (the per-batch checkpoint
+    side-columns and sampler id paths).
+    """
+    import pyarrow as pa
+
+    return pa.Array.from_pandas(arr)
+
+
 def bucketize_size(n: int, minimum: int = 16) -> int:
     """Round n up to the next power of two (>= minimum)."""
     m = max(int(n), minimum)
