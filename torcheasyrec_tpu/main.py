@@ -507,6 +507,59 @@ def make_train_step(model, tx, sparse_sched, dense_sched, compute_dtype,
     return train_step
 
 
+def make_train_step_scan(model, tx, sparse_sched, dense_sched,
+                         compute_dtype, grad_accum_steps: int = 1,
+                         grad_scaler_cfg=None):
+    """Multi-step dispatch: ONE jitted call runs K consecutive train
+    steps via ``lax.scan`` over a PackedBatchGroup's (K, W) wire.
+
+    Host->device dispatch through a latency-bound link costs a fixed
+    ~0.4 ms per call in this environment; per-batch stepping caps the
+    pipeline at ~2 dispatches/batch (put + step). Scanning K steps per
+    call amortizes that to ~1/K dispatches/batch — the standard TPU
+    host-pipeline pattern (t5x-style) — with bit-identical math: the
+    scan body IS make_train_step's step, and the per-step rng matches
+    the per-batch path's ``fold_in(rng, step)``.
+
+    Returns (state, metrics, state_updates) where metrics are the LAST
+    step's values except ``__preds``, which stays stacked (K, ...) so
+    the host can update exact train metrics for every batch in the
+    group. Not usable with host-offloaded embedding groups (their row
+    gather/apply needs a host hop per step).
+    """
+    from torcheasyrec_tpu.datasets.pack import PackedBatch
+
+    base = make_train_step(
+        model, tx, sparse_sched, dense_sched, compute_dtype,
+        grad_accum_steps=grad_accum_steps, grad_scaler_cfg=grad_scaler_cfg,
+    )
+    if model.embedding_group.engine.has_host_groups:
+        raise ValueError(
+            "steps_per_dispatch > 1 is incompatible with host-offloaded "
+            "embedding groups (per-step host row exchange)"
+        )
+
+    def scan_step(state, group, rng):
+        spec = group.spec
+
+        def body(st, row):
+            step_rng = jax.random.fold_in(rng, st["step"])
+            st, metrics, state_updates = base(
+                st, PackedBatch(row, spec), step_rng
+            )
+            return st, (metrics, state_updates)
+
+        state, (ms, sus) = jax.lax.scan(body, state, group.wire)
+        preds = ms.pop("__preds", None)
+        metrics = jax.tree_util.tree_map(lambda x: x[-1], ms)
+        if preds is not None:
+            metrics["__preds"] = preds  # stacked (K, ...) for the host
+        state_updates = jax.tree_util.tree_map(lambda x: x[-1], sus)
+        return state, metrics, state_updates
+
+    return scan_step
+
+
 def make_eval_step(model, compute_dtype, with_loss: bool = True):
     def eval_step(state, batch: Batch, host_rows=None):
         from torcheasyrec_tpu.datasets.pack import maybe_unpack
