@@ -166,7 +166,7 @@ def test_sla_mask_semantics():
         H = L - T
         for r in range(n):
             for c in range(n):
-                if c >= L:
+                if c >= L or r >= L:  # padded rows output zeros
                     expect = False
                 elif r < H:
                     expect = (c < min(k2, r + 1)) or (

@@ -45,6 +45,11 @@ def valid_attn_mask(
     [max(eff_k2, pos - k1 + 1), pos + 1) where
     eff_k2 = max(sla_k2, contextual_seq_len); target rows attend to
     all history only.
+
+    Rows >= length are masked like columns: padded rows output ZEROS
+    (not unspecified values) and contribute nothing to gradients. The
+    Pallas kernel (ops/pallas/hstu_attention.py) relies on this
+    contract for its jagged-equivalent loop bounds.
     """
     b = lengths.shape[0]
     if row_pos is None:
@@ -53,7 +58,7 @@ def valid_attn_mask(
         rows = row_pos.astype(jnp.int32)[:, :, None]  # [B, R, 1]
     cols = jnp.arange(n, dtype=jnp.int32)[None, None, :]  # [1, 1, N]
     len_b = lengths.astype(jnp.int32).reshape(b, 1, 1)
-    col_valid = cols < len_b
+    col_valid = (cols < len_b) & (rows < len_b)
 
     if sla_k1 > 0 or sla_k2 > 0:
         eff_k2 = max(sla_k2, contextual_seq_len)

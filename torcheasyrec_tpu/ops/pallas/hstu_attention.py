@@ -39,7 +39,14 @@ def _mask_block(
     rows, cols, seq_len, n_targets, causal, max_attn_len,
     contextual_seq_len, min_full_attn_seq_len, sla_k1=0, sla_k2=0,
 ):
-    """[bq, bk] bool mask for true row/col position blocks."""
+    """[bq, bk] bool mask for true row/col position blocks.
+
+    Rows AND cols beyond ``seq_len`` are masked (matching
+    ops/hstu.valid_attn_mask): padded rows produce zeros, never
+    garbage, and contribute nothing to any gradient — which is what
+    makes the seq-len loop bounds below safe regardless of what the
+    upstream gradient carries in padded rows.
+    """
     if sla_k1 > 0 or sla_k2 > 0:
         # Semi-Local Attention REPLACES the standard causal mask
         # (reference hstu_attention_utils.py build_sla_func_tensor):
@@ -57,7 +64,7 @@ def _mask_block(
         # boolean algebra, not where(): mosaic can't truncate i8->i1
         # vectors for select_n on booleans
         mask = (is_hist & hist) | (~is_hist & tgt)
-        return mask & (cols < seq_len)
+        return mask & (cols < seq_len) & (rows < seq_len)
     ids_r, ids_c = rows, cols
     max_ids = seq_len
     if contextual_seq_len > 0:
@@ -82,7 +89,7 @@ def _mask_block(
             mask = mask & (dist <= max_attn_len)
     if contextual_seq_len > 0:
         mask = mask | ((ids_r == 0) & (ids_c < max_ids))
-    mask = mask & (cols < seq_len)
+    mask = mask & (cols < seq_len) & (rows < seq_len)
     return mask
 
 
@@ -121,6 +128,13 @@ def _fwd_kernel(
         num_kb_eff = qi + 1
     else:
         num_kb_eff = num_kb
+    # jagged-equivalent bound: columns >= seq_len are masked in every
+    # mask family, so kv blocks past ceil(seq_len/BK) contribute
+    # nothing — each sample pays only its ACTUAL tokens (the
+    # reference's Triton kernel gets this from jagged seq_offsets,
+    # triton_hstu_attention.py seq_start/seq_end loop bounds)
+    len_kb = (seq_len + BK - 1) // BK
+    num_kb_eff = jnp.minimum(num_kb_eff, len_kb)
     h_bound = seq_len - (n_t if n_t is not None else 0)
 
     def compute(kb, acc):
@@ -142,30 +156,39 @@ def _fwd_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    if sla:
-        # two-phase iteration instead of scanning every causal block:
-        # prefix blocks [0, n_pref) always; then window blocks from
-        # max(n_pref, window_start) — unless this q block holds target
-        # rows (they attend ALL history, so fall back to a full scan)
-        eff_k2 = max(sla_k2, contextual_seq_len)
-        n_pref = jnp.minimum((eff_k2 + BK - 1) // BK, num_kb_eff)
-        win_start = jnp.maximum(
-            (qi * BQ - sla_k1 + 1) // BK, n_pref
-        )
-        has_tgt = (qi * BQ + BQ) > h_bound
-        start2 = jnp.where(has_tgt, n_pref, win_start)
-        acc = jnp.zeros((BQ, v_ref.shape[-1]), jnp.float32)
-        acc = jax.lax.fori_loop(0, n_pref, compute, acc)
-        acc = jax.lax.fori_loop(start2, num_kb_eff, compute, acc)
-        o_ref[0] = acc.astype(o_ref.dtype)
-        return
-    body = compute
+    # q blocks entirely past this sample's length output zeros without
+    # touching kv (the row mask would zero them anyway)
+    live = qi * BQ < seq_len
 
-    acc = jax.lax.fori_loop(
-        0, num_kb_eff, body,
-        jnp.zeros((BQ, v_ref.shape[-1]), jnp.float32),
-    )
-    o_ref[0] = acc.astype(o_ref.dtype)
+    @pl.when(jnp.logical_not(live))
+    def _():
+        o_ref[0] = jnp.zeros_like(o_ref[0])
+
+    @pl.when(live)
+    def _():
+        if sla:
+            # two-phase iteration instead of scanning every causal
+            # block: prefix blocks [0, n_pref) always; then window
+            # blocks from max(n_pref, window_start) — unless this q
+            # block holds target rows (they attend ALL history, so
+            # fall back to a full scan)
+            eff_k2 = max(sla_k2, contextual_seq_len)
+            n_pref = jnp.minimum((eff_k2 + BK - 1) // BK, num_kb_eff)
+            win_start = jnp.maximum(
+                (qi * BQ - sla_k1 + 1) // BK, n_pref
+            )
+            has_tgt = (qi * BQ + BQ) > h_bound
+            start2 = jnp.where(has_tgt, n_pref, win_start)
+            acc = jnp.zeros((BQ, v_ref.shape[-1]), jnp.float32)
+            acc = jax.lax.fori_loop(0, n_pref, compute, acc)
+            acc = jax.lax.fori_loop(start2, num_kb_eff, compute, acc)
+            o_ref[0] = acc.astype(o_ref.dtype)
+        else:
+            acc = jax.lax.fori_loop(
+                0, num_kb_eff, compute,
+                jnp.zeros((BQ, v_ref.shape[-1]), jnp.float32),
+            )
+            o_ref[0] = acc.astype(o_ref.dtype)
 
 
 def _bwd_dv_dk_kernel(
@@ -193,6 +216,10 @@ def _bwd_dv_dk_kernel(
     # contextual rows (block 0..) which attend every column (under SLA
     # contextual rows are plain history rows, so causal always holds)
     start_qb = ki if (causal and (contextual_seq_len == 0 or sla)) else 0
+    # rows >= seq_len are masked, so q blocks past ceil(seq_len/BQ)
+    # contribute nothing (jagged-equivalent bound)
+    len_qb = (seq_len + BQ - 1) // BQ
+    end_qb = jnp.minimum(num_qb, len_qb)
     h_bound = seq_len - (n_t if n_t is not None else 0)
 
     def compute_qb(qi, carry):
@@ -228,29 +255,40 @@ def _bwd_dv_dk_kernel(
 
     dv0 = jnp.zeros((BK, vblk.shape[-1]), jnp.float32)
     dk0 = jnp.zeros((BK, kblk.shape[-1]), jnp.float32)
-    if sla:
-        eff_k2 = max(sla_k2, contextual_seq_len)
-        # window: q rows within k1 of these columns, i.e. q blocks
-        # [ki, ceil((ki*BK + BK - 1 + k1) / BQ)); prefix k blocks are
-        # read by EVERY causal q block; then the trailing target
-        # blocks (targets attend all history columns)
-        win_end = jnp.minimum(
-            (ki * BK + BK - 1 + sla_k1) // BQ + 1, num_qb
-        )
-        win_end = jnp.where(ki * BK < eff_k2, num_qb, win_end)
-        tgt_start = jnp.maximum(h_bound // BQ, win_end)
-        carry = jax.lax.fori_loop(
-            start_qb, win_end, compute_qb, (dv0, dk0)
-        )
-        dv, dk = jax.lax.fori_loop(
-            tgt_start, num_qb, compute_qb, carry
-        )
-    else:
-        dv, dk = jax.lax.fori_loop(
-            start_qb, num_qb, compute_qb, (dv0, dk0)
-        )
-    dv_ref[0] = dv.astype(dv_ref.dtype)
-    dk_ref[0] = dk.astype(dk_ref.dtype)
+    # k blocks entirely past this sample's length get zero grads
+    # without touching q/do (their columns are masked everywhere)
+    live = ki * BK < seq_len
+
+    @pl.when(jnp.logical_not(live))
+    def _():
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+
+    @pl.when(live)
+    def _():
+        if sla:
+            eff_k2 = max(sla_k2, contextual_seq_len)
+            # window: q rows within k1 of these columns, i.e. q blocks
+            # [ki, ceil((ki*BK + BK - 1 + k1) / BQ)); prefix k blocks
+            # are read by EVERY causal q block; then the trailing
+            # target blocks (targets attend all history columns)
+            win_end = jnp.minimum(
+                (ki * BK + BK - 1 + sla_k1) // BQ + 1, end_qb
+            )
+            win_end = jnp.where(ki * BK < eff_k2, end_qb, win_end)
+            tgt_start = jnp.maximum(h_bound // BQ, win_end)
+            carry = jax.lax.fori_loop(
+                start_qb, win_end, compute_qb, (dv0, dk0)
+            )
+            dv, dk = jax.lax.fori_loop(
+                tgt_start, end_qb, compute_qb, carry
+            )
+        else:
+            dv, dk = jax.lax.fori_loop(
+                start_qb, end_qb, compute_qb, (dv0, dk0)
+            )
+        dv_ref[0] = dv.astype(dv_ref.dtype)
+        dk_ref[0] = dk.astype(dk_ref.dtype)
 
 
 def _bwd_dq_kernel(
@@ -274,6 +312,8 @@ def _bwd_dq_kernel(
         if (causal and (contextual_seq_len == 0 or sla))
         else (n // BK)
     )
+    # jagged-equivalent bound (cols >= seq_len masked everywhere)
+    num_kb_eff = jnp.minimum(num_kb_eff, (seq_len + BK - 1) // BK)
     h_bound = seq_len - (n_t if n_t is not None else 0)
 
     def compute(kb, dq):
@@ -298,24 +338,32 @@ def _bwd_dq_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    if sla:
-        eff_k2 = max(sla_k2, contextual_seq_len)
-        n_pref = jnp.minimum((eff_k2 + BK - 1) // BK, num_kb_eff)
-        win_start = jnp.maximum(
-            (qi * BQ - sla_k1 + 1) // BK, n_pref
-        )
-        has_tgt = (qi * BQ + BQ) > h_bound
-        start2 = jnp.where(has_tgt, n_pref, win_start)
-        dq = jnp.zeros((BQ, qblk.shape[-1]), jnp.float32)
-        dq = jax.lax.fori_loop(0, n_pref, compute, dq)
-        dq = jax.lax.fori_loop(start2, num_kb_eff, compute, dq)
-        dq_ref[0] = dq.astype(dq_ref.dtype)
-        return
+    live = qi * BQ < seq_len
 
-    dq = jax.lax.fori_loop(
-        0, num_kb_eff, compute, jnp.zeros((BQ, qblk.shape[-1]), jnp.float32)
-    )
-    dq_ref[0] = dq.astype(dq_ref.dtype)
+    @pl.when(jnp.logical_not(live))
+    def _():
+        dq_ref[0] = jnp.zeros_like(dq_ref[0])
+
+    @pl.when(live)
+    def _():
+        if sla:
+            eff_k2 = max(sla_k2, contextual_seq_len)
+            n_pref = jnp.minimum((eff_k2 + BK - 1) // BK, num_kb_eff)
+            win_start = jnp.maximum(
+                (qi * BQ - sla_k1 + 1) // BK, n_pref
+            )
+            has_tgt = (qi * BQ + BQ) > h_bound
+            start2 = jnp.where(has_tgt, n_pref, win_start)
+            dq = jnp.zeros((BQ, qblk.shape[-1]), jnp.float32)
+            dq = jax.lax.fori_loop(0, n_pref, compute, dq)
+            dq = jax.lax.fori_loop(start2, num_kb_eff, compute, dq)
+            dq_ref[0] = dq.astype(dq_ref.dtype)
+        else:
+            dq = jax.lax.fori_loop(
+                0, num_kb_eff, compute,
+                jnp.zeros((BQ, qblk.shape[-1]), jnp.float32),
+            )
+            dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
 def _prep(q, k, v, lengths, num_targets):
