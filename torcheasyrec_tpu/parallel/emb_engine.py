@@ -1197,6 +1197,14 @@ class EmbeddingEngine:
                 )
         return new_tables, new_state if opt_state else opt_state
 
+    def plan_summary(self) -> Dict[str, str]:
+        """{table_name: sharding} for every table (layout histograms,
+        dryrun assertions, plan logging)."""
+        return {
+            name: self.groups[gk].sharding
+            for name, gk in self._table_group.items()
+        }
+
     def table_rows(self, table_name: str) -> Tuple[str, int, int]:
         """(group_key, row_offset, rows) for extracting one table."""
         gk = self._table_group[table_name]
