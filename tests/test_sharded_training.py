@@ -35,6 +35,15 @@ def _make_graft_batch(features, seed):
     return parser.parse_to_batch({
         "cat_a": pa.array(rng.integers(0, 100000, n)),
         "cat_b": pa.array(rng.integers(0, 1000, n)),
+        "cat_c": pa.array(rng.integers(0, 500, n)),
+        "cat_z": pa.array(rng.integers(0, 1 << 40, n)),
+        "tgt_item": pa.array(rng.integers(0, 2000, n)),
+        "click_seq": pa.array([
+            ";".join(
+                map(str, rng.integers(0, 2000, int(rng.integers(1, 8))))
+            )
+            for _ in range(n)
+        ]),
         "num_a": pa.array(rng.normal(size=n).astype(np.float32)),
         "label": pa.array((rng.random(n) > 0.5).astype(np.float32)),
     })
@@ -65,6 +74,8 @@ def _steps(mesh, plan, n_steps=4):
         "dense_opt": tx.init(dense_params),
         "step": jnp.zeros((), jnp.int32),
     }
+    if model.embedding_group.has_zch:
+        state["zch"] = model.embedding_group.init_zch_states()
     step_fn = jax.jit(
         make_train_step(model, tx, sparse_sched, dense_sched, jnp.float32)
     )
