@@ -46,6 +46,8 @@ def _train_and_batch(mesh, plan, n_steps=3):
         "dense_opt": tx.init(dense),
         "step": jnp.zeros((), jnp.int32),
     }
+    if model.embedding_group.has_zch:
+        state["zch"] = model.embedding_group.init_zch_states()
     step_fn = jax.jit(
         make_train_step(model, tx, sparse_sched, dense_sched, jnp.float32)
     )
@@ -60,6 +62,10 @@ def _predict(model, state, batch):
     from torcheasyrec_tpu.modules import module as M
 
     ctx = M.Context(training=False, compute_dtype=jnp.float32)
+    if model.embedding_group.has_zch:
+        batch, _ = model.embedding_group.remap_zch(
+            batch, state["zch"], jnp.zeros((), jnp.int32), training=False
+        )
     preds = model.forward(state["dense"], state["tables"], batch, ctx)
     return np.asarray(jax.device_get(preds["probs"]))
 
@@ -88,6 +94,8 @@ def test_restore_across_worldsize_and_plan(tmp_path, train_layout):
         "dense": dense, "tables": tables, "sparse_opt": so,
         "step": jnp.zeros((), jnp.int32),
     }
+    if model1.embedding_group.has_zch:
+        state1["zch"] = model1.embedding_group.init_zch_states()
     state1 = checkpoint_util.restore_train_state(ckpt, model1, state1)
 
     # per-table weights identical through the canonical layout

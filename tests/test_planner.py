@@ -1,11 +1,17 @@
-"""Planner tests: DP plan under memory budget."""
+"""Planner tests: DP plan under memory budget, bandwidth-env
+sensitivity, negative paths (infeasible budgets / bad constraints), and
+reference-sharding-type compat mapping."""
+
+import pytest
 
 from torcheasyrec_tpu.parallel.emb_engine import (
+    COLUMN_WISE,
     DATA_PARALLEL,
     ROW_WISE,
+    TABLE_ROW_WISE,
     TableSpec,
 )
-from torcheasyrec_tpu.parallel.planner import create_plan
+from torcheasyrec_tpu.parallel.planner import PlanError, create_plan
 
 
 def test_small_tables_data_parallel():
@@ -41,3 +47,92 @@ def test_single_device_all_data_parallel():
     specs = [TableSpec("t", rows=1_000_000, dim=16)]
     plan = create_plan(specs, n_devices=1, batch_size=1024)
     assert plan["t"] == DATA_PARALLEL
+
+
+def test_bandwidth_env_flips_layout(monkeypatch):
+    """The cost model must react to the env bandwidth contract: with
+    DCN near ICI speed a mid-size table rides row_wise over the whole
+    16-device mesh; collapsing CROSS_NODE_BANDWIDTH 1000x makes every
+    cross-host wire byte dominate and the planner pushes the table off
+    the wire entirely — onto the host-DDR tier (only PCIe traffic)."""
+    from torcheasyrec_tpu.parallel.emb_engine import HOST_OFFLOAD
+
+    specs = [TableSpec("mid", rows=2_000_000, dim=64)]
+    kw = dict(n_devices=16, batch_size=8192, shards_per_host=4,
+              hbm_budget=8e8,  # too small to replicate: forces a choice
+              ddr_budget=64e9)
+    monkeypatch.setenv("CROSS_NODE_BANDWIDTH", "4.5e10")
+    fast_dcn = create_plan(specs, **kw)["mid"]
+    assert fast_dcn == ROW_WISE
+    monkeypatch.setenv("CROSS_NODE_BANDWIDTH", "4.5e7")
+    slow_dcn = create_plan(specs, **kw)["mid"]
+    assert slow_dcn == HOST_OFFLOAD
+    # and with no DDR tier available, traffic-confining layouts win
+    # over paying the collapsed DCN for every row
+    no_ddr = create_plan(specs, **{**kw, "ddr_budget": 0.0})["mid"]
+    assert no_ddr in (ROW_WISE, TABLE_ROW_WISE, "table_wise")
+
+
+def test_infeasible_budget_raises():
+    # 8 x 40M x 128-dim fp32 (+adagrad) ~ 327 GB against 8 x 1 GB HBM
+    # and 1 GB DDR: nothing fits -> must fail loudly, not degrade
+    specs = [
+        TableSpec(f"big{i}", rows=40_000_000, dim=128) for i in range(8)
+    ]
+    with pytest.raises(PlanError, match="no sharding plan fits"):
+        create_plan(specs, n_devices=8, batch_size=8192,
+                    hbm_budget=1e9, ddr_budget=1e9)
+
+
+def test_conflicting_constraints_raise():
+    # column_wise needs dim % n_devices == 0; dim=10 over 8 devices has
+    # no feasible column layout and the constraint allows nothing else
+    specs = [TableSpec("t", rows=100_000, dim=10,
+                       sharding_types=("column_wise",))]
+    with pytest.raises(PlanError, match="match no feasible layout"):
+        create_plan(specs, n_devices=8, batch_size=1024)
+
+
+def test_unknown_sharding_type_raises():
+    specs = [TableSpec("t", rows=100_000, dim=16,
+                       sharding_types=("diagonal_wise",))]
+    with pytest.raises(PlanError, match="unknown sharding_types"):
+        create_plan(specs, n_devices=8, batch_size=1024)
+
+
+def test_reference_compat_sharding_types_map():
+    """Reference configs may constrain to table_column_wise/grid_shard
+    (tzrec feature.proto:6-13); the planner maps them to the dominating
+    TPU layout instead of erroring (docs/sharding.md)."""
+    specs = [
+        TableSpec("a", rows=1_000_000, dim=32,
+                  sharding_types=("table_column_wise",)),
+        TableSpec("b", rows=1_000_000, dim=32,
+                  sharding_types=("grid_shard",)),
+    ]
+    plan = create_plan(specs, n_devices=8, batch_size=1024)
+    assert plan["a"] == COLUMN_WISE
+    assert plan["b"] == ROW_WISE
+
+
+def test_engine_compat_sharding_resolves():
+    """A TableSpec carrying a compat sharding name builds an engine
+    group under the mapped layout (single device -> data_parallel)."""
+    from torcheasyrec_tpu.parallel.emb_engine import EmbeddingEngine
+
+    eng = EmbeddingEngine(
+        [TableSpec("t", rows=1000, dim=16, sharding="grid_shard")],
+        [],
+    )
+    g = eng.groups[eng._table_group["t"]]
+    assert g.sharding == DATA_PARALLEL  # 1 shard: row_wise -> dp
+
+
+def test_engine_unknown_sharding_raises():
+    from torcheasyrec_tpu.parallel.emb_engine import EmbeddingEngine
+
+    with pytest.raises(ValueError, match="unknown sharding"):
+        EmbeddingEngine(
+            [TableSpec("t", rows=1000, dim=16, sharding="diagonal")],
+            [],
+        )

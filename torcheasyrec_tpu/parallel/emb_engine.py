@@ -63,6 +63,19 @@ _HOST_OPT_KINDS = {"sgd", "adagrad", "rowwise_adagrad", "adam"}
 TABLE_ROW_WISE = "table_row_wise"
 DATA_PARALLEL = "data_parallel"
 
+ALL_SHARDINGS = frozenset({
+    ROW_WISE, COLUMN_WISE, TABLE_WISE, TABLE_ROW_WISE, DATA_PARALLEL,
+    HOST_OFFLOAD,
+})
+# reference sharding types with no TPU-native layout, mapped to the
+# layout that dominates them on TPU interconnects (docs/sharding.md,
+# "Why not table_column_wise / grid_shard"); keeps reference configs
+# that name them working
+COMPAT_SHARDING = {
+    "table_column_wise": COLUMN_WISE,
+    "grid_shard": ROW_WISE,
+}
+
 
 @dataclasses.dataclass(frozen=True)
 class TableSpec:
@@ -204,6 +217,21 @@ class EmbeddingEngine:
             self._lookups_by_group.setdefault(gk, []).append(lk)
 
     def _resolve_sharding(self, t: TableSpec) -> str:
+        if t.sharding in COMPAT_SHARDING:
+            from torcheasyrec_tpu.utils.logging_util import logger
+
+            mapped = COMPAT_SHARDING[t.sharding]
+            logger.warning(
+                f"table {t.name}: sharding {t.sharding!r} has no "
+                f"TPU-native layout; using {mapped!r} (docs/sharding.md)"
+            )
+            t = dataclasses.replace(t, sharding=mapped)
+        if t.sharding not in ALL_SHARDINGS:
+            raise ValueError(
+                f"table {t.name}: unknown sharding {t.sharding!r}; "
+                f"supported: {sorted(ALL_SHARDINGS)} "
+                f"(+compat {sorted(COMPAT_SHARDING)})"
+            )
         if t.sharding == HOST_OFFLOAD:
             if jax.process_count() > 1:
                 raise ValueError(

@@ -35,7 +35,9 @@ from typing import Dict, List, Optional, Sequence, Set
 
 from torcheasyrec_tpu.parallel.emb_engine import (
     _HOST_OPT_KINDS,
+    ALL_SHARDINGS,
     COLUMN_WISE,
+    COMPAT_SHARDING,
     DATA_PARALLEL,
     HOST_OFFLOAD,
     ROW_WISE,
@@ -45,13 +47,26 @@ from torcheasyrec_tpu.parallel.emb_engine import (
 )
 from torcheasyrec_tpu.utils.logging_util import logger
 
-# v5e-ish defaults; overridable via env like the reference
-_ICI_BW = float(os.environ.get("INTRA_NODE_BANDWIDTH", 4.5e10))  # B/s
-_DCN_BW = float(os.environ.get("CROSS_NODE_BANDWIDTH", 2.5e10))  # B/s
-_HOST_BW = float(os.environ.get("HOST_LINK_BANDWIDTH", 1.0e10))  # B/s
-_HBM_BW = float(os.environ.get("HBM_BANDWIDTH", 8.1e11))  # B/s
-_HBM_CAP = float(os.environ.get("HBM_CAPACITY", 16e9))  # bytes
-_RESERVE = float(os.environ.get("STORAGE_RESERVE_PERCENT", 0.15))
+# v5e-ish defaults; overridable via env like the reference. Read at
+# call time (not import) so tests and long-lived drivers can retune.
+_ENV_DEFAULTS = {
+    "INTRA_NODE_BANDWIDTH": 4.5e10,  # ICI B/s
+    "CROSS_NODE_BANDWIDTH": 2.5e10,  # DCN B/s
+    "HOST_LINK_BANDWIDTH": 1.0e10,  # PCIe B/s
+    "HBM_BANDWIDTH": 8.1e11,  # B/s
+    "HBM_CAPACITY": 16e9,  # bytes
+    "STORAGE_RESERVE_PERCENT": 0.15,
+}
+
+
+def _env(name: str) -> float:
+    return float(os.environ.get(name, _ENV_DEFAULTS[name]))
+
+
+class PlanError(ValueError):
+    """No sharding plan satisfies the memory budgets / constraints."""
+
+
 
 
 def _ddr_capacity() -> float:
@@ -93,9 +108,9 @@ def _wire_time(bytes_total: float, n_devices: int,
     host-group boundaries rides DCN, the rest ICI."""
     n_hosts = max(n_devices // max(shards_per_host, 1), 1)
     if n_hosts <= 1:
-        return bytes_total / _ICI_BW
+        return bytes_total / _env("INTRA_NODE_BANDWIDTH")
     cross = bytes_total * (n_hosts - 1) / n_hosts
-    return (bytes_total - cross) / _ICI_BW + cross / _DCN_BW
+    return (bytes_total - cross) / _env("INTRA_NODE_BANDWIDTH") + cross / _env("CROSS_NODE_BANDWIDTH")
 
 
 def _options(
@@ -113,7 +128,7 @@ def _options(
         # a2a grads back (n*row_bytes); per-device wire bytes
         wire = n * (4.0 + 2.0 * row_bytes)
         comm = _wire_time(wire, n_devices, shards_per_host)
-        hbm = (n * row_bytes * 3.0) / _HBM_BW
+        hbm = (n * row_bytes * 3.0) / _env("HBM_BANDWIDTH")
         out.append(_Option(ROW_WISE, comm + hbm, bytes_table / n_devices))
         # column_wise: every shard touches every id but only dim/D of
         # each row — same wire volume, small tie-break penalty so
@@ -127,7 +142,7 @@ def _options(
         # (hot-spot on its HBM + its links, riding DCN from other hosts)
         tw_comm = (
             n * (4.0 + 2.0 * row_bytes)
-        ) / (_DCN_BW if n_hosts > 1 else _ICI_BW)
+        ) / (_env("CROSS_NODE_BANDWIDTH") if n_hosts > 1 else _env("INTRA_NODE_BANDWIDTH"))
         out.append(_Option(
             TABLE_WISE, tw_comm + hbm * n_devices, bytes_table
         ))
@@ -135,9 +150,9 @@ def _options(
         # ids/rows ride DCN to that group, the gather fans out on ICI
         if 1 < shards_per_host < n_devices:
             cross = n * (4.0 + 2.0 * row_bytes) * (n_hosts - 1) / n_hosts
-            twrw_comm = cross / _DCN_BW + (
+            twrw_comm = cross / _env("CROSS_NODE_BANDWIDTH") + (
                 n * (4.0 + 2.0 * row_bytes) - cross
-            ) / _ICI_BW
+            ) / _env("INTRA_NODE_BANDWIDTH")
             out.append(_Option(
                 TABLE_ROW_WISE,
                 twrw_comm + hbm * n_hosts,
@@ -149,13 +164,13 @@ def _options(
                    n_devices, shards_per_host)
         if n_devices > 1 else 0.0
     )
-    hbm_dp = (n * row_bytes * 3.0) / _HBM_BW
+    hbm_dp = (n * row_bytes * 3.0) / _env("HBM_BANDWIDTH")
     out.append(_Option(DATA_PARALLEL, comm_dp + hbm_dp, bytes_table))
     if allow_host:
         # host_offload: batch rows H2D + row grads D2H over the host
         # link, plus the host-side gather/update (DDR ~ 0.5e11 B/s);
         # HBM holds only the staged rows
-        host_traffic = 2.0 * n * row_bytes / _HOST_BW
+        host_traffic = 2.0 * n * row_bytes / _env("HOST_LINK_BANDWIDTH")
         host_mem = 3.0 * n * row_bytes / 5.0e10
         out.append(_Option(
             HOST_OFFLOAD, host_traffic + host_mem,
@@ -185,8 +200,13 @@ def create_plan(
     """
     if not specs:
         return {}
-    budget = (hbm_budget or _HBM_CAP) * (1.0 - _RESERVE)
-    ddr = (ddr_budget or _ddr_capacity()) * (1.0 - _RESERVE)
+    reserve = _env("STORAGE_RESERVE_PERCENT")
+    budget = (
+        hbm_budget if hbm_budget is not None else _env("HBM_CAPACITY")
+    ) * (1.0 - reserve)
+    ddr = (
+        ddr_budget if ddr_budget is not None else _ddr_capacity()
+    ) * (1.0 - reserve)
     opt_factor = _OPT_STATE_FACTOR.get(optimizer_kind, 1.0)
     host_ok = (
         optimizer_kind in _HOST_OPT_KINDS
@@ -198,6 +218,9 @@ def create_plan(
         host_ok = host_ok and jax.process_count() == 1
     except Exception:  # noqa: BLE001
         pass
+    # a zero/negative DDR budget means NO host tier (the inf bin size
+    # below would otherwise admit host options at zero bin cost)
+    host_ok = host_ok and ddr > 0
     host_excluded = host_excluded or set()
     ids = batch_size * avg_ids_per_sample
 
@@ -208,16 +231,33 @@ def create_plan(
             allow_host=host_ok and s.name not in host_excluded,
         )
         if s.sharding_types:
-            allowed = set(s.sharding_types)
-            narrowed = [o for o in opts if o.sharding in allowed]
-            if narrowed:
-                opts = narrowed
-            else:
-                logger.warning(
-                    f"planner: table {s.name} constraints "
-                    f"{s.sharding_types} match no feasible layout at "
-                    f"D={n_devices}; ignoring constraints"
+            allowed = set()
+            for st in s.sharding_types:
+                if st in COMPAT_SHARDING:
+                    logger.warning(
+                        f"planner: table {s.name}: sharding type "
+                        f"{st!r} has no TPU-native layout; using "
+                        f"{COMPAT_SHARDING[st]!r} (docs/sharding.md)"
+                    )
+                    allowed.add(COMPAT_SHARDING[st])
+                else:
+                    allowed.add(st)
+            unknown = allowed - ALL_SHARDINGS
+            if unknown:
+                raise PlanError(
+                    f"table {s.name}: unknown sharding_types "
+                    f"{sorted(unknown)}; known: {sorted(ALL_SHARDINGS)}"
                 )
+            narrowed = [o for o in opts if o.sharding in allowed]
+            if not narrowed:
+                raise PlanError(
+                    f"table {s.name}: constraints "
+                    f"{list(s.sharding_types)} match no feasible layout "
+                    f"at n_devices={n_devices} (dim={s.dim} "
+                    f"shards_per_host={shards_per_host}); relax the "
+                    "embedding_constraints or change the mesh"
+                )
+            opts = narrowed
         table_opts.append(opts)
 
     bin_bytes = budget / n_bins
@@ -247,12 +287,20 @@ def create_plan(
             break
     best = min(dp.values(), key=lambda e: e[0]) if dp else (inf, None)
     if best[1] is None:
-        logger.warning(
-            "planner: no plan fits the HBM+DDR budgets; defaulting to "
-            "row_wise"
+        # infeasible budgets must fail loudly (reference: TorchRec's
+        # planner raises PlannerError) — a silently-degraded plan OOMs
+        # later with a far worse message
+        total = sum(
+            s.rows * s.dim * 4.0 * (1.0 + opt_factor) for s in specs
         )
-        return {s.name: ROW_WISE if n_devices > 1 else DATA_PARALLEL
-                for s in specs}
+        raise PlanError(
+            f"no sharding plan fits: {len(specs)} tables need "
+            f"{total / 1e9:.1f} GB (+opt state) against "
+            f"{budget * n_devices / 1e9:.1f} GB HBM across "
+            f"{n_devices} devices and {ddr / 1e9:.1f} GB host DDR "
+            f"(reserve={reserve:.0%}). Raise HBM_CAPACITY/DDR_CAPACITY, "
+            "add devices, or relax per-table embedding_constraints"
+        )
     plan = {
         s.name: table_opts[i][oi].sharding
         for i, (s, oi) in enumerate(zip(specs, best[1]))
