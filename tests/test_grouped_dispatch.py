@@ -299,3 +299,52 @@ def test_mp_loader_grouping_device_put(tmp_path):
     finally:
         loader.close()
     assert n == 12
+
+
+def test_steps_per_dispatch_end_to_end(tmp_path):
+    """train_config.steps_per_dispatch wires the grouped mp loader +
+    scanned step into train_and_evaluate: the run completes, steps
+    count every batch, metrics/checkpoints land, and AUC learns."""
+    import jax
+
+    from torcheasyrec_tpu.utils.test_util import write_mock_parquet
+
+    tmp = str(tmp_path)
+    cfg_text = CONFIG.format(model_dir=os.path.join(tmp, "m")).replace(
+        'train_input_path: "unused"',
+        f'train_input_path: "{tmp}/train.parquet"',
+    ).replace(
+        'eval_input_path: "unused"',
+        f'eval_input_path: "{tmp}/eval.parquet"',
+    ).replace(
+        "num_epochs: 1",
+        "num_epochs: 4\n    steps_per_dispatch: 3\n"
+        "    log_step_count_steps: 10",
+    ).replace(
+        "batch_size: 64",
+        "batch_size: 128\n    num_workers: 2",
+    )
+    cfg = text_format.Parse(cfg_text, pipeline_pb2.EasyRecConfig())
+    assert cfg.train_config.steps_per_dispatch == 3
+    cfg_path = os.path.join(tmp, "pipeline.config")
+    with open(cfg_path, "w") as f:
+        f.write(cfg_text)
+    features = create_features(list(cfg.feature_configs))
+    write_mock_parquet(
+        f"{tmp}/train.parquet", features, 4096, ["label"], seed=0
+    )
+    write_mock_parquet(
+        f"{tmp}/eval.parquet", features, 1024, ["label"], seed=1
+    )
+
+    from torcheasyrec_tpu import main as tzrec_main
+
+    result = tzrec_main.train_and_evaluate(cfg_path)
+    assert result["auc"] > 0.60, f"AUC too low: {result}"
+    model_dir = os.path.join(tmp, "m")
+    ckpts = [n for n in os.listdir(model_dir)
+             if n.startswith("model.ckpt-")]
+    assert ckpts
+    # every batch stepped exactly once: 4 epochs x (4096 / 128)
+    final_step = max(int(n.split("-")[-1]) for n in ckpts)
+    assert final_step == 4 * (4096 // 128)

@@ -474,6 +474,7 @@ def create_dataloader(
     worker_id: Optional[int] = None,
     num_workers: Optional[int] = None,
     pack_dense_bf16: bool = False,
+    group_size: int = 1,
 ):
     """Build the (prefetching) dataset iterator factory.
 
@@ -565,8 +566,15 @@ def create_dataloader(
             return MpBatchLoader(
                 factory, mp_workers, dense_bf16=pack_dense_bf16,
                 device_put_fn=device_put_fn,
+                group_size=group_size,
             )
         resumed_epoch_pending[0] = False
+        if group_size > 1:
+            logger.warning(
+                "steps_per_dispatch > 1 needs the multi-process loader "
+                "(set data_config.num_workers); falling back to "
+                "per-batch stepping for this epoch"
+            )
         return PrefetchIterator(
             iter(dataset), prefetch=prefetch, device_put_fn=device_put_fn
         )

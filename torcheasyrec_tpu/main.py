@@ -686,10 +686,33 @@ def train_and_evaluate(
         pipeline_config, os.path.join(model_dir, "pipeline.config")
     )
 
+    # multi-step dispatch (docs/pipeline.md): K scanned steps per
+    # jitted call. Only sound single-process (the dim-sync collective
+    # runs per step) and without host-offloaded tables (per-step host
+    # row exchange).
+    steps_per_dispatch = max(
+        int(getattr(train_config, "steps_per_dispatch", 1) or 1), 1
+    )
+    if steps_per_dispatch > 1 and jax.process_count() > 1:
+        logger.warning(
+            "steps_per_dispatch > 1 is single-process only (per-step "
+            "batch-dim sync); using per-batch stepping"
+        )
+        steps_per_dispatch = 1
+    if steps_per_dispatch > 1 and (
+        model.embedding_group.engine.has_host_groups
+    ):
+        logger.warning(
+            "steps_per_dispatch > 1 is incompatible with host_offload "
+            "tables; using per-batch stepping"
+        )
+        steps_per_dispatch = 1
+
     train_dl = create_dataloader(
         data_config, features, pipeline_config.train_input_path,
         mode="train", resume_state=dataloader_state,
         pack_dense_bf16=compute_dtype == jnp.bfloat16,
+        group_size=steps_per_dispatch,
     )
     eval_dl = create_dataloader(
         data_config, features, pipeline_config.eval_input_path, mode="eval",
@@ -703,6 +726,15 @@ def train_and_evaluate(
         ),
         donate_argnums=(0,),
     )
+    scan_step = None
+    if steps_per_dispatch > 1:
+        scan_step = jax.jit(
+            make_train_step_scan(
+                model, tx, sparse_sched, dense_sched, compute_dtype,
+                grad_accum_steps=grad_accum, grad_scaler_cfg=scaler_cfg,
+            ),
+            donate_argnums=(0,),
+        )
     eval_step = jax.jit(make_eval_step(model, compute_dtype))
     host_pipe = _HostRowPrefetcher(model)
 
@@ -844,6 +876,75 @@ def train_and_evaluate(
                 batch = mh.make_global_batch(padded, mesh)
             elif not have:
                 break
+            if isinstance(info, list):
+                # multi-step dispatch: ONE scanned call over the K
+                # packed batches of this group (docs/pipeline.md). The
+                # scan body folds the rng by state["step"], matching
+                # the per-batch path bit-for-bit.
+                state, metrics, state_updates = scan_step(
+                    state, batch, rng
+                )
+                if state_updates:
+                    state["dense"] = apply_state_updates(
+                        state["dense"], jax.device_get(state_updates)
+                    )
+                step += len(info)
+                hbs = batch.host_batches or []
+                for inf in info:
+                    examples += inf.batch_size
+                    for sid, row in inf.checkpoint_info.items():
+                        dataloader_state[sid] = max(
+                            dataloader_state.get(sid, -1), row
+                        )
+                for hb in hbs:
+                    if hasattr(model, "collect_from_batch"):
+                        model.collect_from_batch(hb.host_batch)
+                    if delta_dumper is not None:
+                        delta_dumper.observe(hb.host_batch)
+                if delta_dumper is not None:
+                    delta_dumper.maybe_dump(step, state["tables"])
+                preds_for_metrics = metrics.pop("__preds", None)
+                if train_metrics and preds_for_metrics is not None and hbs:
+                    preds_np = jax.device_get(preds_for_metrics)
+                    for ki, hb in enumerate(hbs):
+                        model.update_metrics(
+                            train_metrics,
+                            jax.tree_util.tree_map(
+                                lambda x, _k=ki: x[_k], preds_np
+                            ),
+                            hb.host_batch,
+                        )
+                if step % log_every < len(info):
+                    m = jax.device_get(metrics)
+                    lr_mult = float(jax.device_get(
+                        sparse_sched["fn"](jnp.int32(step))
+                    ))
+                    loss_str = " ".join(
+                        f"{k}={float(v):.5f}" for k, v in m.items()
+                    )
+                    rate = examples / max(time.time() - t_start, 1e-9)
+                    logger.info(
+                        f"step {step}: {loss_str} "
+                        f"lr_mult={lr_mult:.4f} ({rate:.0f} ex/s)"
+                    )
+                    if tb is not None:
+                        tb.log_scalars(step, m, lr_mult)
+                plogger.log(step)
+                if ckpt_manager.should_save(
+                    step, data_timestamp=info[-1].data_timestamp
+                ):
+                    _save_train_ckpt(
+                        ckpt_manager, step, model, state,
+                        dataloader_state, multi_process,
+                    )
+                    eval_result = _run_eval(
+                        model, eval_step, state, eval_dl, mesh,
+                        pipeline_config, step, model_dir,
+                    )
+                if num_steps and step >= num_steps:
+                    stop = True
+                    break
+                continue
             step_rng = jax.random.fold_in(rng, step)
             host_rows, host_ids = host_pipe.rows_for(batch)
             state, metrics, state_updates = train_step(
