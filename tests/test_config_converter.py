@@ -2,6 +2,8 @@
 
 import os
 
+import pytest
+
 
 TF_EASYREC_CONFIG = """
 train_input_path: "train.parquet"
@@ -62,7 +64,9 @@ def test_convert_parses_and_loads(tmp_path):
     assert cfg.feature_configs[0].id_feature.hash_bucket_size == 100000
     assert cfg.model_config.WhichOneof("model") == "deepfm"
     groups = {g.group_name for g in cfg.model_config.feature_groups}
-    assert groups == {"wide", "deep"}
+    # 'fm' is synthesized from the deep group's embedded features so
+    # the converted DeepFM trains without manual edits
+    assert groups == {"wide", "deep", "fm"}
     # the TF optimizer is converted for real: lr + constant schedule
     assert abs(cfg.train_config.dense_optimizer.adam_optimizer.lr - 0.001) < 1e-9
     assert abs(cfg.train_config.sparse_optimizer.adam_optimizer.lr - 0.001) < 1e-9
@@ -310,3 +314,211 @@ def test_reference_example_configs_build_and_forward():
         losses = model.loss(preds, batch)
         total = float(sum(jnp.sum(v) for v in losses.values()))
         assert np.isfinite(total), name
+
+
+# ------------------------------------------------------------------
+# Golden conversion matrix (VERDICT r2 #8): one realistic TF-EasyRec
+# config per model family -> convert -> parse -> build -> train 10
+# steps on mock parquet. Mirrors the reference converter's family
+# coverage (tzrec convert_easyrec_config_to_tzrec_config.py:855-939:
+# DBMTL/SimpleMultiTask/MMoE/PLE/DeepFM/MultiTower/DSSM) plus the
+# extra families this converter maps.
+# ------------------------------------------------------------------
+
+_TF_FEATURES = """
+feature_config {
+  features { input_names: "uid" feature_type: IdFeature
+             embedding_dim: 8 hash_bucket_size: 1000 }
+  features { input_names: "iid" feature_type: IdFeature
+             embedding_dim: 8 hash_bucket_size: 2000 }
+  features { input_names: "tags" feature_type: TagFeature
+             embedding_dim: 8 hash_bucket_size: 50 kv_separator: ":" }
+  features { input_names: "price" feature_type: RawFeature }
+}
+"""
+
+_TF_HEAD = """
+train_input_path: "train.parquet"
+eval_input_path: "eval.parquet"
+model_dir: "model"
+train_config {
+  optimizer_config {
+    adam_optimizer { learning_rate { constant_learning_rate {
+      learning_rate: 0.002 } } }
+  }
+  num_steps: 50
+}
+data_config { batch_size: 128 label_fields: "clk" label_fields: "buy"
+              input_type: ParquetInput }
+"""
+
+_RANK_GROUPS = """
+  feature_groups { group_name: "wide" feature_names: "uid"
+                   feature_names: "iid" wide_deep: WIDE }
+  feature_groups { group_name: "deep" feature_names: "uid"
+                   feature_names: "iid" feature_names: "tags"
+                   feature_names: "price" wide_deep: DEEP }
+"""
+
+_TASK_TOWERS = """
+    task_towers { tower_name: "ctr" label_name: "clk"
+                  dnn { hidden_units: [16] } }
+    task_towers { tower_name: "cvr" label_name: "buy"
+                  dnn { hidden_units: [16] }
+                  metrics_set { gauc { uid_field: "uid" } } }
+"""
+
+_FAMILY_CONFIGS = {
+    "DeepFM": _RANK_GROUPS + """
+  model_class: "DeepFM"
+  deepfm { dnn { hidden_units: [32, 16] }
+           final_dnn { hidden_units: [16] }
+           wide_output_dim: 4 }
+""",
+    "WideAndDeep": _RANK_GROUPS + """
+  model_class: "WideAndDeep"
+  wide_and_deep { dnn { hidden_units: [32, 16] }
+                  final_dnn { hidden_units: [16] } }
+""",
+    "MultiTower": """
+  feature_groups { group_name: "user" feature_names: "uid"
+                   feature_names: "tags" wide_deep: DEEP }
+  feature_groups { group_name: "item" feature_names: "iid"
+                   feature_names: "price" wide_deep: DEEP }
+  model_class: "MultiTower"
+  multi_tower {
+    towers { input: "user" dnn { hidden_units: [32, 16] } }
+    towers { input: "item" dnn { hidden_units: [32, 16] } }
+    final_dnn { hidden_units: [16] }
+  }
+""",
+    "DCN": _RANK_GROUPS + """
+  model_class: "DCN"
+  dcn { cross_tower { cross_num: 2 }
+        deep_tower { dnn { hidden_units: [32, 16] } }
+        final_dnn { hidden_units: [16] } }
+""",
+    "MMoE": _RANK_GROUPS + """
+  model_class: "MMoE"
+  mmoe { expert_dnn { hidden_units: [32, 16] } num_expert: 2
+""" + _TASK_TOWERS + "  }\n",
+    "DBMTL": _RANK_GROUPS + """
+  model_class: "DBMTL"
+  dbmtl {
+    bottom_dnn { hidden_units: [32] }
+    expert_dnn { hidden_units: [16] }
+    num_expert: 2
+    task_towers { tower_name: "ctr" label_name: "clk"
+                  dnn { hidden_units: [16] } }
+    task_towers { tower_name: "cvr" label_name: "buy"
+                  dnn { hidden_units: [16] }
+                  relation_tower_names: "ctr"
+                  relation_dnn { hidden_units: [8] } }
+  }
+""",
+    "PLE": _RANK_GROUPS + """
+  model_class: "PLE"
+  ple {
+    extraction_networks {
+      network_name: "layer1" expert_num_per_task: 2 share_num: 1
+      task_expert_net { hidden_units: [32, 16] }
+      share_expert_net { hidden_units: [32, 16] }
+    }
+""" + _TASK_TOWERS + "  }\n",
+    "SimpleMultiTask": _RANK_GROUPS + """
+  model_class: "SimpleMultiTask"
+  simple_multi_task {
+""" + _TASK_TOWERS + "  }\n",
+}
+
+
+def _mock_inputs(tmp_path, cfg):
+    import os
+
+    from torcheasyrec_tpu.features import create_features
+    from torcheasyrec_tpu.utils.test_util import write_mock_parquet
+
+    features = create_features(list(cfg.feature_configs))
+    labels = list(cfg.data_config.label_fields)
+    write_mock_parquet(
+        os.path.join(str(tmp_path), "train.parquet"), features, 2048,
+        labels, seed=0,
+    )
+    write_mock_parquet(
+        os.path.join(str(tmp_path), "eval.parquet"), features, 512,
+        labels, seed=1,
+    )
+
+
+@pytest.mark.parametrize("family", sorted(_FAMILY_CONFIGS))
+def test_golden_family_converts_and_trains(tmp_path, family):
+    import os
+
+    import numpy as np
+    from google.protobuf import text_format
+
+    from torcheasyrec_tpu import main as tzrec_main
+    from torcheasyrec_tpu.protos import pipeline_pb2
+    from torcheasyrec_tpu.tools.convert_easyrec_config import convert
+
+    src = _TF_HEAD + _TF_FEATURES + "model_config {\n" + (
+        _FAMILY_CONFIGS[family]
+    ) + "}\n"
+    converted, warnings = convert(src)
+    cfg = text_format.Parse(converted, pipeline_pb2.EasyRecConfig())
+    # every family maps to its model oneof — no manual-review fallback
+    assert cfg.model_config.WhichOneof("model") is not None
+    assert not any("no direct mapping" in w for w in warnings), warnings
+
+    # converted config must TRAIN, not just parse (reference converter
+    # contract: the output is a runnable tzrec config)
+    tmp = str(tmp_path)
+    cfg.train_input_path = os.path.join(tmp, "train.parquet")
+    cfg.eval_input_path = os.path.join(tmp, "eval.parquet")
+    cfg.model_dir = os.path.join(tmp, "model")
+    cfg.train_config.num_steps = 10
+    cfg.train_config.ClearField("num_epochs")
+    _mock_inputs(tmp_path, cfg)
+    cfg_path = os.path.join(tmp, "converted.config")
+    with open(cfg_path, "w") as f:
+        f.write(text_format.MessageToString(cfg))
+    result = tzrec_main.train_and_evaluate(cfg_path)
+    assert result, family
+    assert all(np.isfinite(v) for v in result.values()), result
+    # multi-task conversions carry per-tower metrics incl. the gauc map
+    if family in ("MMoE", "PLE", "SimpleMultiTask"):
+        assert any(k.startswith(("auc", "grouped_auc")) for k in result)
+        assert any("cvr" in k for k in result), result
+
+
+def test_golden_dssm_converts_and_builds(tmp_path):
+    """DSSM maps towers + similarity; build the converted model (the
+    train loop needs a negative sampler config, out of matrix scope)."""
+    from google.protobuf import text_format
+
+    from torcheasyrec_tpu.main import _build_model_and_optim
+    from torcheasyrec_tpu.protos import pipeline_pb2
+    from torcheasyrec_tpu.tools.convert_easyrec_config import convert
+
+    src = _TF_HEAD + _TF_FEATURES + """
+model_config {
+  feature_groups { group_name: "user" feature_names: "uid"
+                   feature_names: "tags" wide_deep: DEEP }
+  feature_groups { group_name: "item" feature_names: "iid"
+                   feature_names: "price" wide_deep: DEEP }
+  model_class: "DSSM"
+  dssm {
+    user_tower { id: "user" dnn { hidden_units: [32, 16] } }
+    item_tower { id: "item" dnn { hidden_units: [32, 16] } }
+    temperature: 0.2
+  }
+}
+"""
+    converted, _ = convert(src)
+    cfg = text_format.Parse(converted, pipeline_pb2.EasyRecConfig())
+    assert cfg.model_config.WhichOneof("model") == "dssm"
+    assert abs(cfg.model_config.dssm.temperature - 0.2) < 1e-6
+    cfg.data_config.ClearField("label_fields")
+    cfg.data_config.label_fields.append("clk")
+    model, features, _ = _build_model_and_optim(cfg, None)
+    assert model is not None

@@ -570,6 +570,51 @@ def _convert_groups(src_mc: Node, mc, warnings: List[str]) -> None:
                         seq_g.feature_names.append(fn)
 
 
+def _ensure_fm_group(pipeline, warnings: List[str]) -> None:
+    """DeepFM's FM term needs equal embedding dims. TF-EasyRec mixes
+    raw + id features in one 'deep' group (its FM skips non-embedded
+    inputs internally); tzrec models take an explicit 'fm' group — so
+    synthesize one from the deep group's embedded, modal-dim features
+    (reference docs/source/models/deepfm.md feature_groups contract)."""
+    mc = pipeline.model_config
+    if mc.WhichOneof("model") != "deepfm":
+        return
+    names = {g.group_name for g in mc.feature_groups}
+    if "fm" in names:
+        return
+    deep = next(
+        (g for g in mc.feature_groups if g.group_name == "deep"), None
+    )
+    if deep is None:
+        return
+    dims: Dict[str, int] = {}
+    for fc in pipeline.feature_configs:
+        f = getattr(fc, fc.WhichOneof("feature"))
+        dim = int(getattr(f, "embedding_dim", 0) or 0)
+        if dim:
+            dims[f.feature_name] = dim
+    embedded = [n for n in deep.feature_names if n in dims]
+    if not embedded:
+        return
+    counts: Dict[int, int] = {}
+    for n in embedded:
+        counts[dims[n]] = counts.get(dims[n], 0) + 1
+    modal = max(counts, key=lambda d: counts[d])
+    keep = [n for n in embedded if dims[n] == modal]
+    from torcheasyrec_tpu.protos import model_pb2
+
+    g = mc.feature_groups.add()
+    g.group_name = "fm"
+    g.group_type = model_pb2.FeatureGroupType.DEEP
+    g.feature_names.extend(keep)
+    dropped = [n for n in deep.feature_names if n not in keep]
+    warnings.append(
+        f"deepfm: synthesized 'fm' group from deep's dim-{modal} "
+        f"embedded features {keep}"
+        + (f"; excluded {dropped}" if dropped else "")
+    )
+
+
 # ------------------------------------------------------------------ main
 
 
@@ -626,6 +671,7 @@ def convert(text: str, fg_json: Optional[Dict[str, Any]] = None
     src_mc = _one(src, "model_config", {})
     _convert_groups(src_mc, pipeline.model_config, warnings)
     _convert_model(src_mc, pipeline.model_config, warnings)
+    _ensure_fm_group(pipeline, warnings)
     if _one(src_mc, "embedding_regularization") is not None:
         warnings.append(
             "embedding_regularization: apply weight_decay on the sparse "
