@@ -19,6 +19,8 @@ import pyarrow.compute as pc
 from torcheasyrec_tpu.protos import feature_pb2
 from torcheasyrec_tpu.utils.load_class import get_register_class_meta
 
+_UNSET = object()  # _id_bound_cache sentinel (None is a valid value)
+
 _FEATURE_CLASS_MAP: Dict[str, type] = {}
 _meta_cls = get_register_class_meta(_FEATURE_CLASS_MAP)
 
@@ -382,6 +384,7 @@ class BaseFeature(metaclass=_meta_cls):
         self.sequence_length: Optional[int] = None
         self.sequence_pk: Optional[str] = None
         self._data_group = BASE_DATA_GROUP
+        self._id_bound_cache = _UNSET
 
     # -- identity ----------------------------------------------------------
 
@@ -622,6 +625,11 @@ class BaseFeature(metaclass=_meta_cls):
         arr = input_data[col]
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
+        if pa.types.is_null(arr.type):
+            # an all-null column arrives as the null type (e.g. a JSON/
+            # mock chunk with no values); the string branch handles
+            # nulls + defaults uniformly
+            arr = arr.cast(pa.string())
         return arr
 
     def _parse_fg_encoded(self, input_data: Dict[str, pa.Array]) -> Any:
@@ -630,20 +638,66 @@ class BaseFeature(metaclass=_meta_cls):
         if self.is_sequence:
             delim = self.effective_sequence_delim
             if self.is_sparse:
-                return _parse_fg_encoded_sequence_sparse(
-                    self.name, feat, delim, self._multival_sep, default
+                return self._enforce_id_bound(
+                    _parse_fg_encoded_sequence_sparse(
+                        self.name, feat, delim, self._multival_sep, default
+                    )
                 )
             return _parse_fg_encoded_sequence_dense(
                 self.name, feat, delim, self._multival_sep,
                 max(self.value_dim, 1), default,
             )
         if self.is_sparse:
-            return _parse_fg_encoded_sparse(
+            return self._enforce_id_bound(_parse_fg_encoded_sparse(
                 self.name, feat, self._multival_sep, default, self.is_weighted
-            )
+            ))
         return _parse_fg_encoded_dense(
             self.name, feat, self._multival_sep, default
         )
+
+    def _id_bound(self):
+        """Range guard for PRE-ENCODED ids, or None.
+
+        fg-encoded inputs are trusted to be in range, but an id past
+        its table's rows would silently read the NEXT table inside the
+        engine's fused megatable — corruption, not a crash. zch /
+        dynamicemb features carry arbitrary 64-bit ids (remapped
+        on-device) and must pass through unbounded.
+        """
+        if self._id_bound_cache is not _UNSET:
+            return self._id_bound_cache
+        bound = None
+        c = self.config
+        is_dynamic = False
+        for f in ("zch", "dynamicemb"):
+            try:
+                if getattr(c, f, None) is not None and c.HasField(f):
+                    is_dynamic = True
+            except ValueError:
+                pass
+        if not is_dynamic:
+            if getattr(c, "hash_bucket_size", 0):
+                # hash semantics: corrupt oversize ids re-wrap
+                bound = ("mod", int(c.hash_bucket_size))
+            else:
+                try:
+                    bound = ("clip", int(self.num_embeddings))
+                except (ValueError, OSError):
+                    bound = None
+        self._id_bound_cache = bound
+        return bound
+
+    def _enforce_id_bound(self, parsed):
+        bound = self._id_bound()
+        v = parsed.values
+        if bound is None or v.size == 0 or int(v.max()) < bound[1]:
+            return parsed
+        mode, n = bound
+        if mode == "mod":
+            v = np.where(v >= n, v % n, v)
+        else:
+            v = np.where(v >= n, n - 1, v)
+        return dataclasses.replace(parsed, values=v)
 
     def _parse_fg(self, input_data: Dict[str, pa.Array], is_training: bool) -> Any:
         """FG_NORMAL python feature generation; subclasses override."""
