@@ -12,13 +12,20 @@ Dedup contract: callers pass ``uids`` [K_pad] (unique row ids, padding
 slots set OUT OF BOUNDS so ``.at[].set(mode="drop")`` ignores them) and
 ``grads`` [K_pad, dim] (summed over duplicates). All updates run in fp32.
 
+The math itself lives in :meth:`SparseOptimizer.apply_rows`, a pure
+row-level function: (old weight rows, old state rows, grads) -> (new
+rows, new state rows). ``apply`` wraps it with the gather/scatter pair
+for unpacked ``[rows, dim]`` tables; the packed-row engine path
+(parallel/emb_engine.py, TBE-style in-row state) calls ``apply_rows``
+directly on rows extracted from 128-lane physical rows.
+
 Covers the full sparse-optimizer oneof (optimizer.proto:4-16 /
 reference optimizer.proto): sgd, adagrad, adam, lars_sgd, lamb,
 partial_rowwise_lamb, partial_rowwise_adam, rowwise_adagrad, adadelta,
 rmsprop.
 """
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -65,67 +72,74 @@ class SparseOptimizer:
 
     # -- state -------------------------------------------------------------
 
-    def init_state(self, rows: int, dim: int) -> Params:
-        c = self.cfg
+    def row_state_widths(self, dim: int) -> List[Tuple[str, int]]:
+        """Per-row state columns as (name, width) — the order is the
+        in-row layout contract for packed tables."""
         k = self.kind
         if k == "sgd":
-            return {}
+            return []
         if k == "adagrad":
-            iv = float(c.get("initial_accumulator_value", 0.0))
-            return {"acc": jnp.full((rows, dim), iv, jnp.float32)}
+            return [("acc", dim)]
         if k == "rowwise_adagrad":
-            iv = float(c.get("initial_accumulator_value", 0.0))
-            return {"acc": jnp.full((rows, 1), iv, jnp.float32)}
+            return [("acc", 1)]
         if k == "adam":
-            return {
-                "m": jnp.zeros((rows, dim), jnp.float32),
-                "v": jnp.zeros((rows, dim), jnp.float32),
-                "step": jnp.zeros((), jnp.int32),
-            }
+            return [("m", dim), ("v", dim)]
         if k == "partial_rowwise_adam":
-            return {
-                "m": jnp.zeros((rows, dim), jnp.float32),
-                "v": jnp.zeros((rows, 1), jnp.float32),
-                "step": jnp.zeros((), jnp.int32),
-            }
-        if k in ("lamb", "partial_rowwise_lamb"):
-            vshape = (rows, 1) if k == "partial_rowwise_lamb" else (rows, dim)
-            return {
-                "m": jnp.zeros((rows, dim), jnp.float32),
-                "v": jnp.zeros(vshape, jnp.float32),
-                "step": jnp.zeros((), jnp.int32),
-            }
+            return [("m", dim), ("v", 1)]
+        if k == "lamb":
+            return [("m", dim), ("v", dim)]
+        if k == "partial_rowwise_lamb":
+            return [("m", dim), ("v", 1)]
         if k == "lars_sgd":
-            return {"mom": jnp.zeros((rows, dim), jnp.float32)}
+            return [("mom", dim)]
         if k == "adadelta":
-            return {
-                "acc": jnp.zeros((rows, dim), jnp.float32),
-                "delta_acc": jnp.zeros((rows, dim), jnp.float32),
-            }
+            return [("acc", dim), ("delta_acc", dim)]
         if k == "rmsprop":
-            return {"sq": jnp.zeros((rows, dim), jnp.float32)}
+            return [("sq", dim)]
         raise ValueError(f"unknown sparse optimizer {self.kind}")
 
-    # -- update ------------------------------------------------------------
+    def row_state_init(self) -> Dict[str, float]:
+        """Fill value per row-state column at init."""
+        if self.kind in ("adagrad", "rowwise_adagrad"):
+            return {"acc": float(self.cfg.get("initial_accumulator_value", 0.0))}
+        return {}
 
-    def apply(
+    def scalar_state_init(self) -> Params:
+        """Non-row state (shared scalars), e.g. the adam/lamb step count."""
+        if self.kind in ("adam", "partial_rowwise_adam", "lamb",
+                         "partial_rowwise_lamb"):
+            return {"step": jnp.zeros((), jnp.int32)}
+        return {}
+
+    def init_state(self, rows: int, dim: int) -> Params:
+        out: Params = dict(self.scalar_state_init())
+        fills = self.row_state_init()
+        for name, width in self.row_state_widths(dim):
+            out[name] = jnp.full((rows, width), fills.get(name, 0.0),
+                                 jnp.float32)
+        return out
+
+    # -- row math ----------------------------------------------------------
+
+    def apply_rows(
         self,
-        weight: jnp.ndarray,  # [rows, dim] fp32
-        state: Params,
-        uids: jnp.ndarray,  # [K] int32, OOB for padding
-        grads: jnp.ndarray,  # [K, dim] fp32 (deduped row sums)
-        lr: jnp.ndarray,  # scalar (schedule-scaled)
-        dim_psum_axis: Optional[str] = None,  # set under column_wise
-        full_dim: Optional[int] = None,  # global dim when column-sharded
-    ) -> Tuple[jnp.ndarray, Params]:
+        w_rows: jnp.ndarray,  # [K, dim] fp32 (old weights, padding rows 0)
+        srows: Params,        # {name: [K, width]} old row state
+        grads: jnp.ndarray,   # [K, dim] fp32 (deduped row grad sums)
+        lr: jnp.ndarray,      # scalar (schedule-scaled)
+        scalar_state: Params,  # {"step": ...} for adam/lamb kinds
+        dim_psum_axis: Optional[str] = None,
+        full_dim: Optional[int] = None,
+    ) -> Tuple[jnp.ndarray, Params, Params]:
+        """Pure row-level update: returns (new_rows, new_srows,
+        new_scalar_state). No table access — callers own gather/scatter
+        (unpacked tables) or pack/merge/write (packed tables)."""
         c = self.cfg
         k = self.kind
         if c.get("gradient_clipping", False):
             mg = float(c.get("max_gradient", 1.0))
             grads = jnp.clip(grads, -mg, mg)
-        w_rows = weight.at[uids].get(
-            mode="fill", fill_value=0.0
-        ).astype(jnp.float32)
+        w_rows = w_rows.astype(jnp.float32)
         wd = float(c.get("weight_decay", 0.0))
         if wd and k in ("adam", "lamb", "partial_rowwise_lamb",
                         "partial_rowwise_adam", "lars_sgd", "adadelta",
@@ -133,65 +147,46 @@ class SparseOptimizer:
             grads = grads + wd * w_rows
 
         if k == "sgd":
-            new_rows = w_rows - lr * grads
-            return _set_rows(weight, uids, new_rows), state
+            return w_rows - lr * grads, {}, {}
 
         if k == "adagrad":
             eps = float(c.get("eps", 1e-10))
-            acc = state["acc"].at[uids].get(mode="fill", fill_value=0.0)
-            acc = acc + grads * grads
+            acc = srows["acc"] + grads * grads
             new_rows = w_rows - lr * grads / (jnp.sqrt(acc) + eps)
-            return (
-                _set_rows(weight, uids, new_rows),
-                {"acc": state["acc"].at[uids].set(acc, **_DROP)},
-            )
+            return new_rows, {"acc": acc}, {}
 
         if k == "rowwise_adagrad":
             eps = float(c.get("eps", 1e-10))
-            acc = state["acc"].at[uids].get(mode="fill", fill_value=0.0)
-            acc = acc + _dim_mean(grads * grads, dim_psum_axis, full_dim)
+            acc = srows["acc"] + _dim_mean(grads * grads, dim_psum_axis,
+                                           full_dim)
             new_rows = w_rows - lr * grads / (jnp.sqrt(acc) + eps)
-            return (
-                _set_rows(weight, uids, new_rows),
-                {"acc": state["acc"].at[uids].set(acc, **_DROP)},
-            )
+            return new_rows, {"acc": acc}, {}
 
         if k in ("adam", "partial_rowwise_adam"):
             b1 = float(c.get("beta1", 0.9))
             b2 = float(c.get("beta2", 0.999))
             eps = float(c.get("eps", 1e-8))
-            step = state["step"] + 1
-            m = state["m"].at[uids].get(mode="fill", fill_value=0.0)
-            v = state["v"].at[uids].get(mode="fill", fill_value=0.0)
-            m = b1 * m + (1 - b1) * grads
+            step = scalar_state["step"] + 1
+            m = b1 * srows["m"] + (1 - b1) * grads
             g2 = grads * grads
             if k == "partial_rowwise_adam":
                 g2 = _dim_mean(g2, dim_psum_axis, full_dim)
-            v = b2 * v + (1 - b2) * g2
+            v = b2 * srows["v"] + (1 - b2) * g2
             mh = m / (1 - b1 ** step.astype(jnp.float32))
             vh = v / (1 - b2 ** step.astype(jnp.float32))
             new_rows = w_rows - lr * mh / (jnp.sqrt(vh) + eps)
-            return (
-                _set_rows(weight, uids, new_rows),
-                {
-                    "m": state["m"].at[uids].set(m, **_DROP),
-                    "v": state["v"].at[uids].set(v, **_DROP),
-                    "step": step,
-                },
-            )
+            return new_rows, {"m": m, "v": v}, {"step": step}
 
         if k in ("lamb", "partial_rowwise_lamb"):
             b1 = float(c.get("beta1", 0.9))
             b2 = float(c.get("beta2", 0.999))
             eps = float(c.get("eps", 1e-6))
-            step = state["step"] + 1
-            m = state["m"].at[uids].get(mode="fill", fill_value=0.0)
-            v = state["v"].at[uids].get(mode="fill", fill_value=0.0)
-            m = b1 * m + (1 - b1) * grads
+            step = scalar_state["step"] + 1
+            m = b1 * srows["m"] + (1 - b1) * grads
             g2 = grads * grads
             if k == "partial_rowwise_lamb":
                 g2 = _dim_mean(g2, dim_psum_axis, full_dim)
-            v = b2 * v + (1 - b2) * g2
+            v = b2 * srows["v"] + (1 - b2) * g2
             mh = m / (1 - b1 ** step.astype(jnp.float32))
             vh = v / (1 - b2 ** step.astype(jnp.float32))
             upd = mh / (jnp.sqrt(vh) + eps)
@@ -201,14 +196,7 @@ class SparseOptimizer:
                 (w_norm > 0) & (u_norm > 0), w_norm / (u_norm + 1e-12), 1.0
             )
             new_rows = w_rows - lr * trust * upd
-            return (
-                _set_rows(weight, uids, new_rows),
-                {
-                    "m": state["m"].at[uids].set(m, **_DROP),
-                    "v": state["v"].at[uids].set(v, **_DROP),
-                    "step": step,
-                },
-            )
+            return new_rows, {"m": m, "v": v}, {"step": step}
 
         if k == "lars_sgd":
             momentum = float(c.get("momentum", 0.9))
@@ -220,40 +208,55 @@ class SparseOptimizer:
                 eta * w_norm / (g_norm + 1e-12),
                 1.0,
             )
-            mom = state["mom"].at[uids].get(mode="fill", fill_value=0.0)
-            mom = momentum * mom + local_lr * lr * grads
-            new_rows = w_rows - mom
-            return (
-                _set_rows(weight, uids, new_rows),
-                {"mom": state["mom"].at[uids].set(mom, **_DROP)},
-            )
+            mom = momentum * srows["mom"] + local_lr * lr * grads
+            return w_rows - mom, {"mom": mom}, {}
 
         if k == "adadelta":
             rho = float(c.get("rho", 0.95))
             eps = float(c.get("eps", 1e-6))
-            acc = state["acc"].at[uids].get(mode="fill", fill_value=0.0)
-            dacc = state["delta_acc"].at[uids].get(mode="fill", fill_value=0.0)
-            acc = rho * acc + (1 - rho) * grads * grads
-            delta = jnp.sqrt(dacc + eps) / jnp.sqrt(acc + eps) * grads
-            dacc = rho * dacc + (1 - rho) * delta * delta
+            acc = rho * srows["acc"] + (1 - rho) * grads * grads
+            delta = jnp.sqrt(srows["delta_acc"] + eps) / jnp.sqrt(acc + eps) * grads
+            dacc = rho * srows["delta_acc"] + (1 - rho) * delta * delta
             new_rows = w_rows - lr * delta
-            return (
-                _set_rows(weight, uids, new_rows),
-                {
-                    "acc": state["acc"].at[uids].set(acc, **_DROP),
-                    "delta_acc": state["delta_acc"].at[uids].set(dacc, **_DROP),
-                },
-            )
+            return new_rows, {"acc": acc, "delta_acc": dacc}, {}
 
         if k == "rmsprop":
             alpha = float(c.get("alpha", 0.99))
             eps = float(c.get("eps", 1e-8))
-            sq = state["sq"].at[uids].get(mode="fill", fill_value=0.0)
-            sq = alpha * sq + (1 - alpha) * grads * grads
+            sq = alpha * srows["sq"] + (1 - alpha) * grads * grads
             new_rows = w_rows - lr * grads / (jnp.sqrt(sq) + eps)
-            return (
-                _set_rows(weight, uids, new_rows),
-                {"sq": state["sq"].at[uids].set(sq, **_DROP)},
-            )
+            return new_rows, {"sq": sq}, {}
 
         raise ValueError(f"unknown sparse optimizer {self.kind}")
+
+    # -- update (unpacked [rows, dim] tables) --------------------------------
+
+    def apply(
+        self,
+        weight: jnp.ndarray,  # [rows, dim] fp32
+        state: Params,
+        uids: jnp.ndarray,  # [K] int32, OOB for padding
+        grads: jnp.ndarray,  # [K, dim] fp32 (deduped row sums)
+        lr: jnp.ndarray,  # scalar (schedule-scaled)
+        dim_psum_axis: Optional[str] = None,  # set under column_wise
+        full_dim: Optional[int] = None,  # global dim when column-sharded
+    ) -> Tuple[jnp.ndarray, Params]:
+        dim = weight.shape[-1]
+        widths = self.row_state_widths(dim)
+        w_rows = weight.at[uids].get(mode="fill", fill_value=0.0)
+        srows = {
+            name: state[name].at[uids].get(mode="fill", fill_value=0.0)
+            for name, _ in widths
+        }
+        scalar = {k: v for k, v in state.items()
+                  if k not in {n for n, _ in widths}}
+        new_rows, new_srows, new_scalar = self.apply_rows(
+            w_rows, srows, grads, lr, scalar,
+            dim_psum_axis=dim_psum_axis, full_dim=full_dim,
+        )
+        new_state: Params = dict(new_scalar)
+        for name, _ in widths:
+            new_state[name] = state[name].at[uids].set(
+                new_srows[name], **_DROP
+            )
+        return _set_rows(weight, uids, new_rows), new_state
