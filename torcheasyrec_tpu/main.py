@@ -1433,7 +1433,9 @@ def _export_artifact(pipeline_config, model, features, sub,
     if quant_dtype:
         from torcheasyrec_tpu.acc.quant_util import quantize_rowwise
 
-        tables_np = jax.device_get(sub["tables"])
+        tables_np = model.embedding_group.engine.export_weight_matrices(
+            sub["tables"]
+        )
         quant_meta = {"dtype": quant_dtype, "groups": {}}
         qdir = os.path.join(export_dir, "quant_tables")
         os.makedirs(qdir, exist_ok=True)

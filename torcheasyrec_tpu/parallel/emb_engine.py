@@ -117,6 +117,16 @@ class _Group:
     total_rows: int
     padded_rows: int
     dtype: str = "FP32"
+    # packed-row storage (single-device; see _maybe_pack_group): the
+    # megatable is stored as [p_rows, 128] f32 physical rows, each
+    # holding ``spr`` logical slots of ``slot = dim + state`` lanes
+    # (TBE-style in-row optimizer state). p_rows includes one trailing
+    # scratch row that absorbs duplicate-rank writes.
+    packed: bool = False
+    slot: int = 0
+    spr: int = 0
+    p_rows: int = 0
+    state_widths: Tuple[Tuple[str, int], ...] = ()
 
     @property
     def store_dtype(self):
@@ -209,8 +219,18 @@ class EmbeddingEngine:
             g.specs.append(t)
             g.total_rows += t.rows
             self._table_group[t.name] = gk
+        # packed-row storage: ON by default for eligible single-device
+        # fp32 groups (TZREC_PACKED=0 reverts to [rows, dim] tables);
+        # the pallas row-write kernel engages on real TPUs only
+        # (TZREC_ROW_WRITE=xla forces the fallback scatter)
+        self._packed_env = _os.environ.get("TZREC_PACKED", "1") != "0"
+        self._pallas_write = (
+            _os.environ.get("TZREC_ROW_WRITE", "auto") != "xla"
+            and jax.devices()[0].platform == "tpu"
+        )
         for g in self.groups.values():
             self._finalize_group(g)
+            self._maybe_pack_group(g)
         self._lookups_by_group: Dict[str, List[LookupSpec]] = {}
         for lk in self.lookups:
             gk = self._table_group[lk.table_name]
@@ -319,6 +339,57 @@ class EmbeddingEngine:
         mult = D * 8 if g.sharding not in (COLUMN_WISE, HOST_OFFLOAD) else 8
         g.padded_rows = ((pos + mult - 1) // mult) * mult
 
+    def _maybe_pack_group(self, g: _Group) -> None:
+        """Enable packed-row storage when it is a strict win.
+
+        Packed layout (single device, fp32): logical row r of the
+        megatable lives in physical row ``r // spr`` at lane offset
+        ``(r % spr) * slot``, where ``slot = dim + Σ optimizer
+        row-state widths`` and ``spr = 128 // slot``. Why: Mosaic can
+        only DMA 128-lane-aligned HBM slices, and XLA's scatter costs
+        ~95-120 ns/row vs ~46 ns/row for the pallas row-write kernel
+        (ops/pallas/row_write.py) — plus in-row state halves the
+        update's gather/scatter passes (the fbgemm TBE trick).
+        Sharded meshes keep the [rows, dim] layout (exchange paths
+        reason in logical megatable rows)."""
+        if not self._packed_env or self.mesh is not None:
+            return
+        if g.sharding == HOST_OFFLOAD or g.dtype.upper() != "FP32":
+            return
+        widths = tuple(self.optimizer.row_state_widths(g.dim))
+        slot = g.dim + sum(w for _, w in widths)
+        if slot > 128:
+            return
+        spr = 128 // slot
+        g.packed = True
+        g.slot = slot
+        g.spr = spr
+        g.state_widths = widths
+        g.padded_rows = ((g.padded_rows + spr - 1) // spr) * spr
+        g.p_rows = g.padded_rows // spr + 1  # + trailing scratch row
+
+    # -- packed-layout converters (device or numpy arrays) ---------------
+
+    def pack_group(self, g: _Group, w, srows) -> jnp.ndarray:
+        """[padded_rows, dim] weights + {name: [padded_rows, width]} row
+        state -> [p_rows, 128] physical rows (last row = scratch)."""
+        parts = [w] + [srows[n] for n, _ in g.state_widths]
+        body = jnp.concatenate(parts, axis=1) if len(parts) > 1 else w
+        body = body.reshape(g.padded_rows // g.spr, g.spr * g.slot)
+        out = jnp.zeros((g.p_rows, 128), jnp.float32)
+        return out.at[:-1, : g.spr * g.slot].set(body.astype(jnp.float32))
+
+    def unpack_group(self, g: _Group, packed):
+        """Inverse of pack_group; works on device or numpy arrays."""
+        body = packed[:-1, : g.spr * g.slot].reshape(g.padded_rows, g.slot)
+        w = body[:, : g.dim]
+        srows = {}
+        off = g.dim
+        for name, width in g.state_widths:
+            srows[name] = body[:, off : off + width]
+            off += width
+        return w, srows
+
     # ------------------------------------------------------------------
     # init
     # ------------------------------------------------------------------
@@ -351,6 +422,17 @@ class EmbeddingEngine:
                     jax.device_get(w), np_.float32
                 )
                 continue
+            if g.packed:
+                fills = self.optimizer.row_state_init()
+                srows = {
+                    name: jnp.full(
+                        (g.padded_rows, width), fills.get(name, 0.0),
+                        jnp.float32,
+                    )
+                    for name, width in g.state_widths
+                }
+                out[gk] = self.pack_group(g, w, srows)
+                continue
             out[gk] = self._device_put_table(w.astype(g.store_dtype), g)
         return out
 
@@ -359,6 +441,11 @@ class EmbeddingEngine:
 
         out: Dict[str, Any] = {}
         for gk, g in self.groups.items():
+            if g.packed:
+                # row state lives inside the packed rows; only shared
+                # scalars (e.g. the adam step count) remain here
+                out[gk] = self.optimizer.scalar_state_init()
+                continue
             st = self.optimizer.init_state(g.padded_rows, g.dim)
             if g.sharding == HOST_OFFLOAD:
                 self.host_opt[gk] = {
@@ -574,6 +661,21 @@ class EmbeddingEngine:
 
         flat_ids == -1 (invalid padding) returns zeros.
         """
+        if g.packed:
+            # packed rows: gather the 128-lane physical row, select the
+            # logical slot with a one-hot multiply (pure VPU — a
+            # take_along_axis here lowers to a second descriptor-bound
+            # gather and costs ~2x)
+            n = flat_ids.shape[0]
+            invalid = flat_ids < 0
+            pid = jnp.where(
+                invalid, g.p_rows, flat_ids // g.spr
+            ).astype(jnp.int32)
+            lane = jnp.where(invalid, 0, flat_ids % g.spr).astype(jnp.int32)
+            phys = weight.at[pid].get(mode="fill", fill_value=0.0)
+            body = phys[:, : g.spr * g.slot].reshape(n, g.spr, g.slot)
+            onehot = jax.nn.one_hot(lane, g.spr, dtype=jnp.float32)
+            return (body * onehot[:, :, None]).sum(axis=1)[:, : g.dim]
         if self.mesh is None or g.sharding == DATA_PARALLEL:
             # negatives must be EXPLICITLY out-of-bounds: fill-mode
             # treatment of a -1 index is lowering-dependent (some
@@ -765,11 +867,111 @@ class EmbeddingEngine:
                 min(int(e.count), int(self._specs[e.lk.table_name].rows))
                 for e in plan
             )
+            if g.packed:
+                new_tables[gk], new_state[gk] = self._packed_update(
+                    g, tables[gk], opt_state.get(gk, {}), flat_ids,
+                    grads, lr, u_cap=u_cap,
+                )
+                continue
             new_tables[gk], new_state[gk] = self._dist_update(
                 tables[gk], opt_state[gk], flat_ids, grads, g, lr,
                 u_cap=u_cap,
             )
         return new_tables, new_state
+
+    def _packed_update(self, g, table, scalar_state, flat_ids, grads, lr,
+                       u_cap=None):
+        """Fused update on a packed-row megatable.
+
+        sort-dedup -> ONE physical-row gather -> optimizer row math ->
+        log-step segmented merge of slots sharing a physical row ->
+        ONE row write (pallas kernel on TPU, XLA scatter elsewhere).
+        Replaces the unpacked path's {2 gathers + 2..3 scatters} and
+        runs the write at ~46 ns/row vs XLA scatter's ~95-120 (v5e).
+        """
+        from torcheasyrec_tpu.ops.pallas.row_write import write_rows
+
+        R = g.padded_rows
+        n = flat_ids.shape[0]
+        oob = jnp.int32(R)
+        ids = jnp.where(flat_ids < 0, oob, flat_ids)
+        order = jnp.argsort(ids)
+        sids = ids[order]
+        sg = grads[order]
+        head = jnp.concatenate(
+            [jnp.ones((1,), jnp.int32),
+             (sids[1:] != sids[:-1]).astype(jnp.int32)]
+        )
+        seg = jnp.cumsum(head) - 1
+        cap = n if u_cap is None else min(int(u_cap), n)
+        gsum = jax.ops.segment_sum(sg, seg, num_segments=cap)
+        uids = jnp.full((cap,), oob, jnp.int32).at[seg].set(
+            sids, mode="drop"
+        )
+
+        spr, slot, dim = g.spr, g.slot, g.dim
+        invalid = uids >= R
+        pid = jnp.where(invalid, g.p_rows, uids // spr).astype(jnp.int32)
+        lane = jnp.where(invalid, 0, uids % spr).astype(jnp.int32)
+        phys = table.at[pid].get(mode="fill", fill_value=0.0)  # [cap, 128]
+        body = phys[:, : spr * slot].reshape(cap, spr, slot)
+        onehot = jax.nn.one_hot(lane, spr, dtype=jnp.float32)  # [cap, spr]
+        rowv = (body * onehot[:, :, None]).sum(axis=1)         # [cap, slot]
+        w_rows = rowv[:, :dim]
+        srows = {}
+        off = dim
+        for name, width in g.state_widths:
+            srows[name] = rowv[:, off : off + width]
+            off += width
+
+        new_rows, new_srows, new_scalar = self.optimizer.apply_rows(
+            w_rows, srows, gsum, lr, scalar_state
+        )
+        parts = [new_rows] + [new_srows[nm] for nm, _ in g.state_widths]
+        new_slot = (
+            jnp.concatenate(parts, axis=1) if len(parts) > 1 else new_rows
+        ).astype(jnp.float32)
+
+        # spread each slot to its 128-lane position + validity mask
+        spread = (onehot[:, :, None] * new_slot[:, None, :]).reshape(
+            cap, spr * slot
+        )
+        maskb = jnp.repeat(onehot, slot, axis=1)
+        pad = 128 - spr * slot
+        if pad:
+            z = jnp.zeros((cap, pad), jnp.float32)
+            spread = jnp.concatenate([spread, z], axis=1)
+            maskb = jnp.concatenate([maskb, z], axis=1)
+
+        # log-step segmented suffix fold: slots sharing a physical row
+        # are ADJACENT (uids sorted), so O(log spr) shifted masked adds
+        # accumulate every group's disjoint lane updates onto its
+        # rank-0 entry — no segment_sum, no second gather
+        d = 1
+        while d < spr:
+            same = jnp.concatenate(
+                [pid[d:] == pid[:-d], jnp.zeros((d,), bool)]
+            ).astype(jnp.float32)[:, None]
+            z = jnp.zeros((d, 128), jnp.float32)
+            spread = spread + same * jnp.concatenate(
+                [spread[d:], z], axis=0
+            )
+            maskb = maskb + same * jnp.concatenate([maskb[d:], z], axis=0)
+            d *= 2
+
+        merged = phys * (1.0 - maskb) + spread
+        # rank-0 entries (first of each physical row) carry the full
+        # merge; later ranks (and OOB padding) land on the scratch row
+        head2 = jnp.concatenate(
+            [jnp.ones((1,), bool), pid[1:] != pid[:-1]]
+        )
+        scratch = g.p_rows - 1
+        tgt = jnp.where(head2 & ~invalid, pid, scratch).astype(jnp.int32)
+        new_table = write_rows(
+            table, tgt, merged, scratch_id=scratch,
+            use_pallas=self._pallas_write,
+        )
+        return new_table, new_scalar
 
     # ------------------------------------------------------------------
     # host-offload (HBM x host-DDR tier)
@@ -1186,6 +1388,14 @@ class EmbeddingEngine:
             if g.sharding == HOST_OFFLOAD:
                 w = self.host_tables[gk]
                 st = self.host_opt.get(gk, {})
+            elif g.packed:
+                packed = np_.asarray(jax.device_get(tables[gk]))
+                w, srows = self.unpack_group(g, packed)
+                if opt_state is not None:
+                    st = dict(srows)
+                    st.update(jax.device_get(opt_state.get(gk, {})))
+                else:
+                    st = {}
             else:
                 w = np_.asarray(jax.device_get(tables[gk]))
                 st = (jax.device_get(opt_state.get(gk, {}))
@@ -1212,6 +1422,45 @@ class EmbeddingEngine:
         new_state = {}
         for gk, g in self.groups.items():
             host = g.sharding == HOST_OFFLOAD
+            if g.packed:
+                packed = np_.asarray(jax.device_get(tables[gk]))
+                w, srows = self.unpack_group(g, packed)
+                w = np_.array(w)
+                srows = {k: np_.array(v) for k, v in srows.items()}
+                scalar = (
+                    {k: np_.array(v) for k, v in jax.device_get(
+                        opt_state.get(gk, {})).items()}
+                    if opt_state else {}
+                )
+                for t in g.specs:
+                    entry = canon.get(t.name)
+                    if entry is None:
+                        continue
+                    off = g.offsets[t.name]
+                    w[off : off + t.rows] = np_.asarray(
+                        entry["weight"]
+                    ).astype(np_.float32)
+                    for k in list(srows.keys()):
+                        ck = f"opt__{k}"
+                        if ck in entry:
+                            srows[k][off : off + t.rows] = np_.asarray(
+                                entry[ck]
+                            ).astype(np_.float32)
+                    for k in list(scalar.keys()):
+                        ck = f"opt__{k}"
+                        if ck in entry:
+                            scalar[k] = np_.asarray(entry[ck]).astype(
+                                scalar[k].dtype
+                            )
+                new_tables[gk] = self.pack_group(
+                    g, jnp.asarray(w),
+                    {k: jnp.asarray(v) for k, v in srows.items()},
+                )
+                if opt_state:
+                    new_state[gk] = {
+                        k: jnp.asarray(v) for k, v in scalar.items()
+                    }
+                continue
             if host:
                 w = self.host_tables[gk]
                 st = self.host_opt.get(gk, {})
@@ -1274,6 +1523,55 @@ class EmbeddingEngine:
         self, tables: Dict[str, jnp.ndarray], table_name: str
     ) -> jnp.ndarray:
         gk, off, rows = self.table_rows(table_name)
-        if self.groups[gk].sharding == HOST_OFFLOAD:
+        g = self.groups[gk]
+        if g.sharding == HOST_OFFLOAD:
             return self.host_tables[gk][off : off + rows]
+        if g.packed:
+            import numpy as np_
+
+            w, _ = self.unpack_group(
+                g, np_.asarray(jax.device_get(tables[gk]))
+            )
+            return w[off : off + rows]
         return jax.device_get(tables[gk])[off : off + rows]
+
+    def export_weight_matrices(self, tables) -> Dict[str, Any]:
+        """{group_key: [padded_rows, dim] fp32 numpy weights} — the
+        layout-independent weight view for rowwise quantized export
+        (main.py QUANT_EMB path)."""
+        import numpy as np_
+
+        out = {}
+        for gk, g in self.groups.items():
+            if g.sharding == HOST_OFFLOAD:
+                out[gk] = np_.asarray(self.host_tables[gk])
+            elif g.packed:
+                w, _ = self.unpack_group(
+                    g, np_.asarray(jax.device_get(tables[gk]))
+                )
+                out[gk] = np_.asarray(w)
+            else:
+                out[gk] = np_.asarray(jax.device_get(tables[gk]))
+        return out
+
+    def import_weight_matrices(self, mats: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
+        """Inverse of export_weight_matrices for serving restore:
+        weights-only matrices -> this engine's table layout (optimizer
+        row state re-initialized; serving never reads it)."""
+        out = {}
+        for gk, w in mats.items():
+            g = self.groups[gk]
+            w = jnp.asarray(w, jnp.float32)
+            if g.packed:
+                fills = self.optimizer.row_state_init()
+                srows = {
+                    name: jnp.full((g.padded_rows, width),
+                                   fills.get(name, 0.0), jnp.float32)
+                    for name, width in g.state_widths
+                }
+                out[gk] = self.pack_group(g, w, srows)
+            else:
+                out[gk] = self._device_put_table(
+                    w.astype(g.store_dtype), g
+                )
+        return out
