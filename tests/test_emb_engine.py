@@ -247,10 +247,11 @@ def test_canonical_checkpoint_cross_layout():
             multi.extract_table(t_multi, name),
             rtol=1e-6,
         )
-    # optimizer accumulator restored too (t_c's group)
-    gk_s, off, rows = single.table_rows("t_c")
-    acc = np.asarray(jax.device_get(s_new[gk_s]["acc"]))[off : off + rows]
-    assert (acc[:8] > 0).all()
+    # optimizer accumulator restored too (t_c's group); the layout-
+    # independent accessor reads in-row state on packed engines and
+    # opt_state arrays otherwise
+    acc = single.extract_table_state(t_new, s_new, "t_c")["acc"]
+    assert (np.asarray(acc)[:8] > 0).all()
 
 
 def test_canonical_checkpoint_column_to_table_wise():

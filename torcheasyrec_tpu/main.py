@@ -1977,11 +1977,17 @@ def predict(
             z = np.load(os.path.join(
                 scripted_model_path, "quant_tables", f"{gk}.npz"
             ))
-            new_tables[gk] = jnp.asarray(dequantize_rowwise(
+            new_tables[gk] = dequantize_rowwise(
                 {"values": z["values"], "scales": z["scales"]},
                 quant_meta["dtype"], meta["dim"],
-            ))
-        state["tables"] = new_tables
+            )
+        # repack the [padded_rows, dim] weight matrices into whatever
+        # physical layout the live engine uses (packed groups store
+        # [p_rows, 128] rows — assigning the logical matrix directly
+        # would corrupt every lookup)
+        state["tables"] = (
+            model.embedding_group.engine.import_weight_matrices(new_tables)
+        )
     else:
         state = checkpoint_util.restore_train_state(
             os.path.join(scripted_model_path, "model"), model, base_state

@@ -67,6 +67,10 @@ def _write_kernel(pid_ref, table_in_ref, rows_ref, table_out_ref, sems,
 def _pallas_write_rows(table, ids, rows):
     n = ids.shape[0]
     chunk = min(_CHUNK, n)
+    # ring depth can never exceed the rows actually resident in the VMEM
+    # block: a deeper prologue would read pid_ref/rows out of bounds and
+    # issue DMAs the body never waits on (garbage-index writes)
+    ring = min(_RING, chunk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n // chunk,),
@@ -77,10 +81,10 @@ def _pallas_write_rows(table, ids, rows):
                          memory_space=pltpu.VMEM),            # rows
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((_RING,))],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((ring,))],
     )
     return pl.pallas_call(
-        functools.partial(_write_kernel, chunk=chunk, ring=_RING),
+        functools.partial(_write_kernel, chunk=chunk, ring=ring),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(table.shape, table.dtype),
         input_output_aliases={1: 0},  # after the scalar arg: table -> out
@@ -107,9 +111,13 @@ def write_rows(
         raise ValueError(
             f"row width {rows.shape[-1]} != table lanes {table.shape[-1]}"
         )
-    if not (use_pallas and supports_pallas_write(table.shape[-1])):
-        return table.at[ids].set(rows.astype(table.dtype), mode="drop")
     n = ids.shape[0]
+    # tiny writes (n < ring depth) gain nothing from the DMA ring and
+    # n == 0 would divide by zero below — XLA scatter handles both
+    if n < _RING or not (
+        use_pallas and supports_pallas_write(table.shape[-1])
+    ):
+        return table.at[ids].set(rows.astype(table.dtype), mode="drop")
     chunk = min(_CHUNK, n)
     pad = (-n) % chunk
     if pad:

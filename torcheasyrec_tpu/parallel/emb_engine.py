@@ -92,6 +92,9 @@ class TableSpec:
     # when non-empty, the planner only considers these layouts
     # (reference ParameterConstraints, plan_util.py:132-170)
     sharding_types: Tuple[str, ...] = ()
+    # co-keyed merge (merge_cokeyed_tables): the logical tables fused
+    # into this spec's columns, in column order; () = ordinary table
+    merged_from: Tuple["TableSpec", ...] = ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -103,6 +106,10 @@ class LookupSpec:
     table_name: str
     combiner: str = "sum"  # sum | mean | none (none = sequence per-position)
     is_sequence: bool = False
+    # merged co-keyed lookup: (output_key, col_offset, width) per fused
+    # logical table — ONE gather serves every output; () = single
+    # whole-dim output under ``key``
+    col_outputs: Tuple[Tuple[str, int, int], ...] = ()
 
 
 @dataclasses.dataclass
@@ -127,6 +134,10 @@ class _Group:
     spr: int = 0
     p_rows: int = 0
     state_widths: Tuple[Tuple[str, int], ...] = ()
+    # column-segment widths when the group holds merged co-keyed tables
+    # (all specs in such a group share one segment structure); () =
+    # ordinary single-segment group
+    col_segments: Tuple[int, ...] = ()
 
     @property
     def store_dtype(self):
@@ -136,9 +147,17 @@ class _Group:
         }.get(self.dtype.upper(), jnp.float32)
 
 
-def _group_key(dim: int, sharding: str, dtype: str = "FP32") -> str:
+def _group_key(dim: int, sharding: str, dtype: str = "FP32",
+               segs: Tuple[int, ...] = ()) -> str:
     base = f"d{dim}_{sharding}"
-    return base if dtype.upper() == "FP32" else f"{base}_{dtype.lower()}"
+    if dtype.upper() != "FP32":
+        base = f"{base}_{dtype.lower()}"
+    if len(segs) > 1:
+        # merged tables group separately: their row-wise optimizer
+        # state is per-SEGMENT, so mixing them with ordinary same-dim
+        # tables would change the plain tables' numerics
+        base = f"{base}_s" + ".".join(str(s) for s in segs)
+    return base
 
 
 @jax.tree_util.register_pytree_node_class
@@ -169,6 +188,101 @@ class PlanEntry:
         lk, start, count, kind, shape = aux
         seg, weights, lengths = children
         return cls(lk, start, count, kind, seg, weights, lengths, shape)
+
+
+def merge_cokeyed_tables(
+    tables: List[TableSpec],
+    lookups: List[LookupSpec],
+    resolved: Dict[str, str],
+) -> Tuple[List[TableSpec], List[LookupSpec], Dict[str, Tuple[str, int, int]]]:
+    """Fuse tables that are looked up by exactly the same id streams.
+
+    The reference pays one TBE lookup per embedding-bag collection; the
+    classic wide&deep pattern (a dim-4 WIDE table + a dim-16 DEEP table
+    over the SAME feature) therefore gathers every id twice and scatters
+    every grad twice. Here such co-keyed tables fuse column-wise into one
+    table of dim Σd: ONE gather serves every output slice and ONE
+    fused-optimizer scatter applies every grad (per-segment row-wise
+    state keeps the optimizer math identical — sparse_optim._dim_sum).
+
+    Mergeable: same rows/dtype/trainable/resolved-sharding and an
+    identical stream signature {(feature, combiner, is_sequence)}, with
+    sharding not column_wise (per-segment state doesn't compose with a
+    dim psum) or host_offload (numpy mirror stays single-segment).
+
+    Returns (new_tables, new_lookups, merged_map) with merged_map:
+    original table name -> (merged_name, col_offset, dim).
+    """
+    by_table: Dict[str, List[LookupSpec]] = {}
+    for lk in lookups:
+        by_table.setdefault(lk.table_name, []).append(lk)
+
+    sig_clusters: Dict[Any, List[TableSpec]] = {}
+    streams_of: Dict[str, Tuple] = {}
+    for t in tables:
+        lks = by_table.get(t.name, [])
+        if not lks or t.merged_from:
+            continue
+        sharding = resolved.get(t.name, t.sharding)
+        if sharding in (COLUMN_WISE, HOST_OFFLOAD):
+            continue
+        streams = tuple(sorted(
+            (lk.feature_name, lk.combiner, lk.is_sequence) for lk in lks
+        ))
+        # a table looked up twice by one (feature, seq) stream can't be
+        # aligned member-to-member — skip it
+        if len({(s[0], s[2]) for s in streams}) != len(streams):
+            continue
+        streams_of[t.name] = streams
+        key = (t.rows, t.dtype.upper(), t.trainable, sharding, streams)
+        sig_clusters.setdefault(key, []).append(t)
+
+    merged_map: Dict[str, Tuple[str, int, int]] = {}
+    new_tables: List[TableSpec] = []
+    new_lookups: List[LookupSpec] = []
+    drop_lookup_tables: set = set()
+
+    for key, members in sorted(
+        sig_clusters.items(), key=lambda kv: kv[1][0].name
+    ):
+        if len(members) < 2:
+            continue
+        members = sorted(members, key=lambda t: t.name)
+        rows, dtype, trainable, sharding, streams = key
+        name = "__merged__" + "+".join(m.name for m in members)
+        col_off, offs = 0, {}
+        for m in members:
+            offs[m.name] = col_off
+            merged_map[m.name] = (name, col_off, m.dim)
+            drop_lookup_tables.add(m.name)
+            col_off += m.dim
+        new_tables.append(TableSpec(
+            name=name, rows=rows, dim=col_off, init_fn=None,
+            trainable=trainable, sharding=sharding, dtype=dtype,
+            merged_from=tuple(members),
+        ))
+        lk_by = {
+            (lk.table_name, lk.feature_name, lk.is_sequence): lk
+            for m in members for lk in by_table[m.name]
+        }
+        for feat, comb, is_seq in streams:
+            outs = tuple(
+                (lk_by[(m.name, feat, is_seq)].key, offs[m.name], m.dim)
+                for m in members
+            )
+            new_lookups.append(LookupSpec(
+                key=f"{name}:{feat}" + (":seq" if is_seq else ""),
+                feature_name=feat, table_name=name, combiner=comb,
+                is_sequence=is_seq, col_outputs=outs,
+            ))
+
+    for t in tables:
+        if t.name not in merged_map:
+            new_tables.append(t)
+    for lk in lookups:
+        if lk.table_name not in drop_lookup_tables:
+            new_lookups.append(lk)
+    return new_tables, new_lookups, merged_map
 
 
 class EmbeddingEngine:
@@ -206,15 +320,33 @@ class EmbeddingEngine:
         self.host_tables: Dict[str, Any] = {}
         self.host_opt: Dict[str, Any] = {}
 
+        # co-keyed table merge (TZREC_TABLE_MERGE=0 disables): fuse
+        # tables read by identical id streams so each stream costs one
+        # gather + one scatter regardless of how many groups consume it
+        self._merged: Dict[str, Tuple[str, int, int]] = {}
+        if _os.environ.get("TZREC_TABLE_MERGE", "1") != "0":
+            resolved = {
+                t.name: self._resolve_sharding(t) for t in tables
+            }
+            m_tables, m_lookups, self._merged = merge_cokeyed_tables(
+                list(tables), self.lookups, resolved
+            )
+            if self._merged:
+                tables = m_tables
+                self.lookups = m_lookups
+                self._specs = {t.name: t for t in tables}
+
         # build fused groups
         self.groups: Dict[str, _Group] = {}
         self._table_group: Dict[str, str] = {}
         for t in tables:
             sharding = self._resolve_sharding(t)
-            gk = _group_key(t.dim, sharding, t.dtype)
+            segs = tuple(m.dim for m in t.merged_from)
+            gk = _group_key(t.dim, sharding, t.dtype, segs)
             g = self.groups.setdefault(
                 gk,
-                _Group(t.dim, sharding, [], {}, 0, 0, dtype=t.dtype),
+                _Group(t.dim, sharding, [], {}, 0, 0, dtype=t.dtype,
+                       col_segments=segs),
             )
             g.specs.append(t)
             g.total_rows += t.rows
@@ -356,7 +488,9 @@ class EmbeddingEngine:
             return
         if g.sharding == HOST_OFFLOAD or g.dtype.upper() != "FP32":
             return
-        widths = tuple(self.optimizer.row_state_widths(g.dim))
+        widths = tuple(self.optimizer.row_state_widths(
+            g.dim, g.col_segments or None
+        ))
         slot = g.dim + sum(w for _, w in widths)
         if slot > 128:
             return
@@ -365,19 +499,73 @@ class EmbeddingEngine:
         g.slot = slot
         g.spr = spr
         g.state_widths = widths
-        g.padded_rows = ((g.padded_rows + spr - 1) // spr) * spr
+        # keep padded_rows a multiple of BOTH spr (physical-row packing)
+        # and 8 (the documented row alignment other layouts guarantee)
+        import math as _math
+
+        mult = _math.lcm(spr, 8)
+        g.padded_rows = ((g.padded_rows + mult - 1) // mult) * mult
         g.p_rows = g.padded_rows // spr + 1  # + trailing scratch row
+
+    def _init_packed_group(self, g: _Group, key: jax.Array) -> jnp.ndarray:
+        """Host-side init of a packed group: per-table init fns run on
+        the CPU backend (identical threefry bits to any other backend)
+        and land straight in the numpy packed buffer — the device never
+        sees a [padded_rows, *] intermediate."""
+        import zlib
+
+        import numpy as np_
+
+        fills = self.optimizer.row_state_init()
+        body = np_.zeros((g.padded_rows, g.slot), np_.float32)
+        off_l = g.dim
+        for name, width in g.state_widths:
+            fill = float(fills.get(name, 0.0))
+            if fill:
+                body[:, off_l : off_l + width] = fill
+            off_l += width
+        cpu = jax.local_devices(backend="cpu")[0]
+        key_host = jax.device_put(key, cpu)
+        for t in g.specs:
+            off = g.offsets[t.name]
+            coff = 0
+            for m in (t.merged_from or (t,)):
+                sub = jax.random.fold_in(
+                    key_host, zlib.crc32(m.name.encode()) & 0x7FFFFFFF
+                )
+                fn = parse_init_fn(m.init_fn) or default_emb_init
+                with jax.default_device(cpu):
+                    vals = fn(sub, (t.rows, m.dim), jnp.float32)
+                body[off : off + t.rows, coff : coff + m.dim] = (
+                    np_.asarray(vals)
+                )
+                coff += m.dim
+        packed = np_.zeros((g.p_rows, 128), np_.float32)
+        packed[:-1, : g.spr * g.slot] = body.reshape(
+            g.padded_rows // g.spr, g.spr * g.slot
+        )
+        return jnp.asarray(packed)
 
     # -- packed-layout converters (device or numpy arrays) ---------------
 
     def pack_group(self, g: _Group, w, srows) -> jnp.ndarray:
         """[padded_rows, dim] weights + {name: [padded_rows, width]} row
-        state -> [p_rows, 128] physical rows (last row = scratch)."""
-        parts = [w] + [srows[n] for n, _ in g.state_widths]
-        body = jnp.concatenate(parts, axis=1) if len(parts) > 1 else w
+        state -> [p_rows, 128] physical rows (last row = scratch).
+
+        Packing runs HOST-SIDE in numpy: a device-side
+        ``[padded_rows, slot]`` intermediate lane-pads slot -> 128 under
+        the TPU's T(8,128) tiling (27.7 GB at Criteo scale — the round-3
+        bench OOM), while the numpy body is slot lanes wide for real."""
+        import numpy as np_
+
+        parts = [np_.asarray(jax.device_get(w), np_.float32)]
+        for name, _ in g.state_widths:
+            parts.append(np_.asarray(jax.device_get(srows[name]), np_.float32))
+        body = np_.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
         body = body.reshape(g.padded_rows // g.spr, g.spr * g.slot)
-        out = jnp.zeros((g.p_rows, 128), jnp.float32)
-        return out.at[:-1, : g.spr * g.slot].set(body.astype(jnp.float32))
+        out = np_.zeros((g.p_rows, 128), np_.float32)
+        out[:-1, : g.spr * g.slot] = body
+        return jnp.asarray(out)
 
     def unpack_group(self, g: _Group, packed):
         """Inverse of pack_group; works on device or numpy arrays."""
@@ -405,33 +593,31 @@ class EmbeddingEngine:
 
         out: Dict[str, jnp.ndarray] = {}
         for gk, g in self.groups.items():
+            if g.packed:
+                out[gk] = self._init_packed_group(g, key)
+                continue
             w = jnp.zeros((g.padded_rows, g.dim), jnp.float32)
             for t in g.specs:
-                sub = jax.random.fold_in(
-                    key, zlib.crc32(t.name.encode()) & 0x7FFFFFFF
-                )
-                fn = parse_init_fn(t.init_fn) or default_emb_init
                 off = g.offsets[t.name]
-                w = w.at[off : off + t.rows].set(
-                    fn(sub, (t.rows, t.dim), jnp.float32)
-                )
+                # merged tables init each member column block with the
+                # MEMBER's key/init_fn, so values match the unmerged
+                # layout bit-for-bit (cross-layout restore contract)
+                coff = 0
+                for m in (t.merged_from or (t,)):
+                    sub = jax.random.fold_in(
+                        key, zlib.crc32(m.name.encode()) & 0x7FFFFFFF
+                    )
+                    fn = parse_init_fn(m.init_fn) or default_emb_init
+                    w = w.at[
+                        off : off + t.rows, coff : coff + m.dim
+                    ].set(fn(sub, (t.rows, m.dim), jnp.float32))
+                    coff += m.dim
             if g.sharding == HOST_OFFLOAD:
                 import numpy as np_
 
                 self.host_tables[gk] = np_.array(
                     jax.device_get(w), np_.float32
                 )
-                continue
-            if g.packed:
-                fills = self.optimizer.row_state_init()
-                srows = {
-                    name: jnp.full(
-                        (g.padded_rows, width), fills.get(name, 0.0),
-                        jnp.float32,
-                    )
-                    for name, width in g.state_widths
-                }
-                out[gk] = self.pack_group(g, w, srows)
                 continue
             out[gk] = self._device_put_table(w.astype(g.store_dtype), g)
         return out
@@ -446,7 +632,9 @@ class EmbeddingEngine:
                 # scalars (e.g. the adam step count) remain here
                 out[gk] = self.optimizer.scalar_state_init()
                 continue
-            st = self.optimizer.init_state(g.padded_rows, g.dim)
+            st = self.optimizer.init_state(
+                g.padded_rows, g.dim, g.col_segments or None
+            )
             if g.sharding == HOST_OFFLOAD:
                 self.host_opt[gk] = {
                     k: np_.array(jax.device_get(v))
@@ -624,6 +812,9 @@ class EmbeddingEngine:
         for e in plan:
             lk, start, count, kind = e.lk, e.start, e.count, e.kind
             seg, w, lengths, shape = e.seg, e.weights, e.lengths, e.shape
+            # merged co-keyed lookups: one gather/pool, sliced into each
+            # fused table's output; ordinary lookups emit whole-dim
+            outs = lk.col_outputs or ((lk.key, 0, g.dim),)
             r = jax.lax.dynamic_slice_in_dim(rows, start, count, axis=0)
             if kind == "seq":
                 if len(shape) == 3:
@@ -631,10 +822,12 @@ class EmbeddingEngine:
                     # multi-value steps: sum-pool the K id slots
                     # (segment_reduce equivalent, reference
                     # embedding.py:1296-1309); invalid ids gathered 0
-                    outputs[lk.key] = r.reshape(b, L, K, g.dim).sum(axis=2)
+                    full = r.reshape(b, L, K, g.dim).sum(axis=2)
                 else:
                     b, L = shape
-                    outputs[lk.key] = r.reshape(b, L, g.dim)
+                    full = r.reshape(b, L, g.dim)
+                for okey, coff, cw in outs:
+                    outputs[okey] = full[..., coff : coff + cw]
                 continue
             b = lengths.shape[0]
             if w is not None:
@@ -648,7 +841,8 @@ class EmbeddingEngine:
             if lk.combiner == "mean":
                 denom = jnp.maximum(lengths.astype(jnp.float32), 1.0)
                 pooled = pooled / denom[:, None]
-            outputs[lk.key] = pooled
+            for okey, coff, cw in outs:
+                outputs[okey] = pooled[:, coff : coff + cw]
 
     # ------------------------------------------------------------------
     # distributed gather
@@ -925,7 +1119,8 @@ class EmbeddingEngine:
             off += width
 
         new_rows, new_srows, new_scalar = self.optimizer.apply_rows(
-            w_rows, srows, gsum, lr, scalar_state
+            w_rows, srows, gsum, lr, scalar_state,
+            col_segments=g.col_segments or None,
         )
         parts = [new_rows] + [new_srows[nm] for nm, _ in g.state_widths]
         new_slot = (
@@ -946,9 +1141,11 @@ class EmbeddingEngine:
         # log-step segmented suffix fold: slots sharing a physical row
         # are ADJACENT (uids sorted), so O(log spr) shifted masked adds
         # accumulate every group's disjoint lane updates onto its
-        # rank-0 entry — no segment_sum, no second gather
+        # rank-0 entry — no segment_sum, no second gather. Shifts are
+        # bounded by cap too: at d >= cap no pair can share a row (and
+        # pid[d:] would otherwise be shorter than the zero padding).
         d = 1
-        while d < spr:
+        while d < min(spr, cap):
             same = jnp.concatenate(
                 [pid[d:] == pid[:-d], jnp.zeros((d,), bool)]
             ).astype(jnp.float32)[:, None]
@@ -1148,7 +1345,24 @@ class EmbeddingEngine:
         for e in plan:
             lk, start, count, kind = e.lk, e.start, e.count, e.kind
             seg, w, lengths, shape = e.seg, e.weights, e.lengths, e.shape
-            og = out_grads.get(lk.key)
+            if lk.col_outputs:
+                # merged lookup: concat each fused table's output grad
+                # along the column axis (absent ones are zero)
+                parts = [out_grads.get(okey)
+                         for okey, _, _ in lk.col_outputs]
+                if all(p is None for p in parts):
+                    pieces.append(jnp.zeros((count, g.dim), jnp.float32))
+                    continue
+                lead = next(
+                    p for p in parts if p is not None
+                ).shape[:-1]
+                og = jnp.concatenate([
+                    p.astype(jnp.float32) if p is not None
+                    else jnp.zeros(lead + (cw,), jnp.float32)
+                    for p, (_, _, cw) in zip(parts, lk.col_outputs)
+                ], axis=-1)
+            else:
+                og = out_grads.get(lk.key)
             if og is None:
                 pieces.append(jnp.zeros((count, g.dim), jnp.float32))
                 continue
@@ -1181,7 +1395,8 @@ class EmbeddingEngine:
         return jnp.concatenate(pieces) if len(pieces) > 1 else pieces[0]
 
     def _dedup_apply(self, weight, state, ids, grads, n_rows, lr,
-                     dim_psum_axis=None, full_dim=None, u_cap=None):
+                     dim_psum_axis=None, full_dim=None, u_cap=None,
+                     col_segments=None):
         """Sort + segment-sum duplicate ids, then sparse-apply optimizer.
 
         ids: [N] int32, -1 for invalid slots. OOB padding rows map past
@@ -1213,6 +1428,7 @@ class EmbeddingEngine:
         return self.optimizer.apply(
             weight, state, uids, gsum, lr,
             dim_psum_axis=dim_psum_axis, full_dim=full_dim,
+            col_segments=col_segments,
         )
 
     def _dist_update(self, weight, state, flat_ids, grads, g, lr,
@@ -1220,7 +1436,7 @@ class EmbeddingEngine:
         if self.mesh is None:
             return self._dedup_apply(
                 weight, state, flat_ids, grads, g.padded_rows, lr,
-                u_cap=u_cap,
+                u_cap=u_cap, col_segments=g.col_segments or None,
             )
 
         # every sharded path splits (ids, grads) over the mesh axis:
@@ -1273,6 +1489,7 @@ class EmbeddingEngine:
                 all_g = jax.lax.all_gather(g_loc, DATA_AXIS, tiled=True)
                 return self._dedup_apply(
                     w, st, all_ids, all_g, g.padded_rows, lr_, u_cap=u_cap,
+                    col_segments=g.col_segments or None,
                 )
 
             return jax.shard_map(
@@ -1294,6 +1511,7 @@ class EmbeddingEngine:
                 w_loc, st_loc, local, all_g, rows_per_shard, lr_,
                 u_cap=None if u_cap is None
                 else min(u_cap, rows_per_shard + 1),
+                col_segments=g.col_segments or None,
             )
 
         def _rw_a2a_fn(w_loc, st_loc, ids_loc, g_loc, lr_):
@@ -1328,6 +1546,7 @@ class EmbeddingEngine:
                 rows_per_shard, lr_,
                 u_cap=None if u_cap is None
                 else min(u_cap, rows_per_shard + 1),
+                col_segments=g.col_segments or None,
             )
 
         mode = self._exchange_mode
@@ -1366,21 +1585,43 @@ class EmbeddingEngine:
     # ------------------------------------------------------------------
 
     def tables_for_features(self, feature_names) -> set:
-        """Table names (TableSpec.name) looked up by the given features —
-        the prune set for per-tower export artifacts."""
+        """Table names looked up by the given features — the prune set
+        for per-tower export artifacts. Always ORIGINAL (pre-merge)
+        names: canonical checkpoints are keyed by them."""
         names = set(feature_names)
         used = set()
         for lks in self._lookups_by_group.values():
             for lk in lks:
-                if lk.feature_name in names:
+                if lk.feature_name not in names:
+                    continue
+                t = self._specs[lk.table_name]
+                if t.merged_from:
+                    used.update(m.name for m in t.merged_from)
+                else:
                     used.add(lk.table_name)
         return used
+
+    @staticmethod
+    def _member_cols(g: _Group, v, coff: int, mdim: int, seg_idx: int):
+        """Column view of one state array for a merged member:
+        elementwise state (width == g.dim) takes the member's columns;
+        per-segment row-wise state (width == n_seg) takes the member's
+        segment column (width 1 — the unmerged canonical width)."""
+        width = v.shape[1]
+        if width == g.dim:
+            return v[:, coff : coff + mdim]
+        if width == len(g.col_segments):
+            return v[:, seg_idx : seg_idx + 1]
+        return v
 
     def to_canonical(self, tables, opt_state) -> Dict[str, Any]:
         """Fused group arrays -> per-table dict (layout-independent
         checkpoint format, the reference's reshard-on-load equivalent:
-        a checkpoint saved under any device count / sharding plan
-        restores under any other)."""
+        a checkpoint saved under any device count / sharding plan —
+        including merged co-keyed layouts — restores under any other).
+        Merged tables emit one entry per MEMBER under its original
+        name, with per-segment row state mapped back to the unmerged
+        width-1 canonical form."""
         import numpy as np_
 
         out: Dict[str, Any] = {}
@@ -1402,7 +1643,29 @@ class EmbeddingEngine:
                       if opt_state else {})
             for t in g.specs:
                 off = g.offsets[t.name]
-                entry: Dict[str, Any] = {"weight": w[off : off + t.rows]}
+                if t.merged_from:
+                    coff = 0
+                    for i, m in enumerate(t.merged_from):
+                        entry: Dict[str, Any] = {
+                            "weight": np_.asarray(w)[
+                                off : off + t.rows, coff : coff + m.dim
+                            ]
+                        }
+                        for k, v in (st or {}).items():
+                            v_ = np_.asarray(v)
+                            if v_.ndim >= 2 and v_.shape[0] == g.padded_rows:
+                                entry[f"opt__{k}"] = self._member_cols(
+                                    g, v_, coff, m.dim, i
+                                )[off : off + t.rows]
+                            elif (v_.ndim >= 1
+                                  and v_.shape[0] == g.padded_rows):
+                                entry[f"opt__{k}"] = v_[off : off + t.rows]
+                            else:
+                                entry[f"opt__{k}"] = v_
+                        out[m.name] = entry
+                        coff += m.dim
+                    continue
+                entry = {"weight": np_.asarray(w)[off : off + t.rows]}
                 for k, v in (st or {}).items():
                     if getattr(v, "ndim", 0) >= 1 and v.shape[0] == g.padded_rows:
                         entry[f"opt__{k}"] = np_.asarray(v)[off : off + t.rows]
@@ -1410,6 +1673,45 @@ class EmbeddingEngine:
                         entry[f"opt__{k}"] = np_.asarray(v)
                 out[t.name] = entry
         return out
+
+    def _restore_spec(self, g, w, st_rows, scalars, t, canon) -> None:
+        """Restore one spec's canonical entries into numpy buffers
+        (merged specs restore each member's entry into its columns)."""
+        import numpy as np_
+
+        off = g.offsets[t.name]
+        coff = 0
+        for i, m in enumerate(t.merged_from or (t,)):
+            entry = canon.get(m.name)
+            if entry is None:
+                coff += m.dim
+                continue
+            w[off : off + t.rows, coff : coff + m.dim] = np_.asarray(
+                entry["weight"]
+            ).astype(w.dtype)
+            for k in list(st_rows.keys()):
+                ck = f"opt__{k}"
+                if ck not in entry:
+                    continue
+                v = np_.asarray(entry[ck])
+                tgt = st_rows[k]
+                if tgt.shape[1] == g.dim:
+                    tgt[off : off + t.rows, coff : coff + m.dim] = (
+                        v.astype(tgt.dtype)
+                    )
+                elif g.col_segments and tgt.shape[1] == len(g.col_segments):
+                    tgt[off : off + t.rows, i : i + 1] = v.reshape(
+                        t.rows, 1
+                    ).astype(tgt.dtype)
+                else:
+                    tgt[off : off + t.rows] = v.astype(tgt.dtype)
+            for k in list(scalars.keys()):
+                ck = f"opt__{k}"
+                if ck in entry:
+                    scalars[k] = np_.asarray(entry[ck]).astype(
+                        np_.asarray(scalars[k]).dtype
+                    )
+            coff += m.dim
 
     def from_canonical(
         self, canon: Dict[str, Any], tables, opt_state
@@ -1433,29 +1735,8 @@ class EmbeddingEngine:
                     if opt_state else {}
                 )
                 for t in g.specs:
-                    entry = canon.get(t.name)
-                    if entry is None:
-                        continue
-                    off = g.offsets[t.name]
-                    w[off : off + t.rows] = np_.asarray(
-                        entry["weight"]
-                    ).astype(np_.float32)
-                    for k in list(srows.keys()):
-                        ck = f"opt__{k}"
-                        if ck in entry:
-                            srows[k][off : off + t.rows] = np_.asarray(
-                                entry[ck]
-                            ).astype(np_.float32)
-                    for k in list(scalar.keys()):
-                        ck = f"opt__{k}"
-                        if ck in entry:
-                            scalar[k] = np_.asarray(entry[ck]).astype(
-                                scalar[k].dtype
-                            )
-                new_tables[gk] = self.pack_group(
-                    g, jnp.asarray(w),
-                    {k: jnp.asarray(v) for k, v in srows.items()},
-                )
+                    self._restore_spec(g, w, srows, scalar, t, canon)
+                new_tables[gk] = self.pack_group(g, w, srows)
                 if opt_state:
                     new_state[gk] = {
                         k: jnp.asarray(v) for k, v in scalar.items()
@@ -1472,23 +1753,14 @@ class EmbeddingEngine:
                         opt_state.get(gk, {})
                     ).items()
                 } if opt_state else {}
+            st_rows = {
+                k: v for k, v in st.items()
+                if getattr(v, "ndim", 0) >= 2 and v.shape[0] == g.padded_rows
+            }
+            scalars = {k: v for k, v in st.items() if k not in st_rows}
             for t in g.specs:
-                entry = canon.get(t.name)
-                if entry is None:
-                    continue
-                off = g.offsets[t.name]
-                w[off : off + t.rows] = np_.asarray(
-                    entry["weight"]
-                ).astype(w.dtype)
-                for k in list(st.keys()):
-                    ck = f"opt__{k}"
-                    if ck not in entry:
-                        continue
-                    v = np_.asarray(entry[ck])
-                    if st[k].ndim >= 1 and st[k].shape[0] == g.padded_rows:
-                        st[k][off : off + t.rows] = v.astype(st[k].dtype)
-                    else:
-                        st[k] = v.astype(st[k].dtype)
+                self._restore_spec(g, w, st_rows, scalars, t, canon)
+            st = {**st_rows, **scalars}
             if host:
                 # host tables restore in place; nothing enters the
                 # device state
@@ -1506,34 +1778,96 @@ class EmbeddingEngine:
         return new_tables, new_state if opt_state else opt_state
 
     def plan_summary(self) -> Dict[str, str]:
-        """{table_name: sharding} for every table (layout histograms,
-        dryrun assertions, plan logging)."""
-        return {
-            name: self.groups[gk].sharding
-            for name, gk in self._table_group.items()
-        }
+        """{table_name: sharding} for every ORIGINAL table (layout
+        histograms, dryrun assertions, plan logging/persistence —
+        plans are keyed by pre-merge names)."""
+        out = {}
+        for name, gk in self._table_group.items():
+            g = self.groups[gk]
+            t = self._specs[name]
+            for m in (t.merged_from or (t,)):
+                out[m.name] = g.sharding
+        return out
 
-    def table_rows(self, table_name: str) -> Tuple[str, int, int]:
-        """(group_key, row_offset, rows) for extracting one table."""
+    def _table_slice(
+        self, table_name: str
+    ) -> Tuple[str, int, int, int, int]:
+        """(group_key, row_offset, rows, col_offset, dim) — resolves
+        merged members to their column block of the fused table."""
+        if table_name in self._merged:
+            mname, coff, d = self._merged[table_name]
+            gk = self._table_group[mname]
+            return gk, self.groups[gk].offsets[mname], \
+                self._specs[mname].rows, coff, d
         gk = self._table_group[table_name]
         g = self.groups[gk]
-        return gk, g.offsets[table_name], self._specs[table_name].rows
+        t = self._specs[table_name]
+        return gk, g.offsets[table_name], t.rows, 0, t.dim
+
+    def table_rows(self, table_name: str) -> Tuple[str, int, int]:
+        """(group_key, row_offset, rows) for one table. NOTE: merged
+        members occupy a COLUMN SLICE of the group too — use
+        extract_table / _table_slice for layout-correct access."""
+        gk, off, rows, _, _ = self._table_slice(table_name)
+        return gk, off, rows
 
     def extract_table(
         self, tables: Dict[str, jnp.ndarray], table_name: str
     ) -> jnp.ndarray:
-        gk, off, rows = self.table_rows(table_name)
+        gk, off, rows, coff, d = self._table_slice(table_name)
         g = self.groups[gk]
         if g.sharding == HOST_OFFLOAD:
-            return self.host_tables[gk][off : off + rows]
+            return self.host_tables[gk][off : off + rows, coff : coff + d]
         if g.packed:
             import numpy as np_
 
             w, _ = self.unpack_group(
                 g, np_.asarray(jax.device_get(tables[gk]))
             )
-            return w[off : off + rows]
-        return jax.device_get(tables[gk])[off : off + rows]
+            return w[off : off + rows, coff : coff + d]
+        return jax.device_get(tables[gk])[
+            off : off + rows, coff : coff + d
+        ]
+
+    def extract_table_state(
+        self, tables: Dict[str, jnp.ndarray], opt_state: Dict[str, Any],
+        table_name: str,
+    ) -> Dict[str, Any]:
+        """Layout-independent per-table optimizer state: row state comes
+        from wherever the layout stores it (in-row for packed groups,
+        opt_state arrays otherwise; host_opt for host_offload)."""
+        import numpy as np_
+
+        gk, off, rows, coff, d = self._table_slice(table_name)
+        g = self.groups[gk]
+        out: Dict[str, Any] = {}
+        if g.sharding == HOST_OFFLOAD:
+            st = self.host_opt.get(gk, {})
+        elif g.packed:
+            _, srows = self.unpack_group(
+                g, np_.asarray(jax.device_get(tables[gk]))
+            )
+            st = dict(srows)
+            st.update(jax.device_get((opt_state or {}).get(gk, {})))
+        else:
+            st = jax.device_get((opt_state or {}).get(gk, {}))
+        seg_idx = 0
+        if table_name in self._merged:
+            mname = self._merged[table_name][0]
+            for i, m in enumerate(self._specs[mname].merged_from):
+                if m.name == table_name:
+                    seg_idx = i
+        for k, v in (st or {}).items():
+            v = np_.asarray(v)
+            if v.ndim >= 2 and v.shape[0] == g.padded_rows:
+                out[k] = self._member_cols(g, v, coff, d, seg_idx)[
+                    off : off + rows
+                ]
+            elif v.ndim >= 1 and v.shape[0] == g.padded_rows:
+                out[k] = v[off : off + rows]
+            else:
+                out[k] = v
+        return out
 
     def export_weight_matrices(self, tables) -> Dict[str, Any]:
         """{group_key: [padded_rows, dim] fp32 numpy weights} — the
@@ -1558,20 +1892,24 @@ class EmbeddingEngine:
         """Inverse of export_weight_matrices for serving restore:
         weights-only matrices -> this engine's table layout (optimizer
         row state re-initialized; serving never reads it)."""
+        import numpy as np_
+
         out = {}
         for gk, w in mats.items():
             g = self.groups[gk]
-            w = jnp.asarray(w, jnp.float32)
             if g.packed:
+                # stay in numpy end-to-end (pack_group is host-side)
                 fills = self.optimizer.row_state_init()
                 srows = {
-                    name: jnp.full((g.padded_rows, width),
-                                   fills.get(name, 0.0), jnp.float32)
+                    name: np_.full((g.padded_rows, width),
+                                   fills.get(name, 0.0), np_.float32)
                     for name, width in g.state_widths
                 }
-                out[gk] = self.pack_group(g, w, srows)
+                out[gk] = self.pack_group(
+                    g, np_.asarray(w, np_.float32), srows
+                )
             else:
                 out[gk] = self._device_put_table(
-                    w.astype(g.store_dtype), g
+                    jnp.asarray(w, jnp.float32).astype(g.store_dtype), g
                 )
         return out

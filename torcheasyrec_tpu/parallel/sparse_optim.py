@@ -35,23 +35,48 @@ Params = Dict[str, Any]
 _DROP = dict(mode="drop")
 
 
-def _dim_sum(x, axis_name: Optional[str]):
+def _dim_sum(x, axis_name: Optional[str], segs=None):
     """Row-wise sum over the embedding dim; psums across a column-sharded
     mesh axis so row-wise optimizer state (rowwise_adagrad acc, partial
-    rowwise v, lamb/lars norms) is EXACT under column_wise sharding."""
+    rowwise v, lamb/lars norms) is EXACT under column_wise sharding.
+
+    ``segs`` (static column-segment widths, for merged co-keyed tables —
+    see emb_engine.merge_cokeyed_tables): reductions run PER SEGMENT and
+    return [K, n_seg], keeping each logical table's row-wise optimizer
+    math identical to its unmerged form. Mutually exclusive with
+    axis_name (merged groups are never column-sharded)."""
+    if segs is not None and len(segs) > 1:
+        off, parts = 0, []
+        for w in segs:
+            parts.append(jnp.sum(x[:, off : off + w], axis=-1,
+                                 keepdims=True))
+            off += w
+        return jnp.concatenate(parts, axis=1)
     s = jnp.sum(x, axis=-1, keepdims=True)
     if axis_name is not None:
         s = jax.lax.psum(s, axis_name)
     return s
 
 
-def _dim_mean(x, axis_name: Optional[str], full_dim: Optional[int]):
-    d = full_dim if full_dim is not None else x.shape[-1]
-    return _dim_sum(x, axis_name) / d
+def _dim_mean(x, axis_name: Optional[str], full_dim: Optional[int],
+              segs=None):
+    if segs is not None and len(segs) > 1:
+        d = jnp.asarray(segs, jnp.float32)[None, :]
+    else:
+        d = full_dim if full_dim is not None else x.shape[-1]
+    return _dim_sum(x, axis_name, segs) / d
 
 
-def _dim_norm(x, axis_name: Optional[str]):
-    return jnp.sqrt(_dim_sum(x * x, axis_name))
+def _dim_norm(x, axis_name: Optional[str], segs=None):
+    return jnp.sqrt(_dim_sum(x * x, axis_name, segs))
+
+
+def _seg_expand(s, segs, dim):
+    """[K, n_seg] per-segment values -> [K, dim] broadcast over each
+    segment's columns (identity when unsegmented: n_seg == 1)."""
+    if segs is None or len(segs) <= 1:
+        return s
+    return jnp.repeat(s, jnp.asarray(segs), axis=1, total_repeat_length=dim)
 
 
 def _set_rows(weight, uids, new_rows):
@@ -72,24 +97,29 @@ class SparseOptimizer:
 
     # -- state -------------------------------------------------------------
 
-    def row_state_widths(self, dim: int) -> List[Tuple[str, int]]:
+    def row_state_widths(
+        self, dim: int, col_segments: Optional[Tuple[int, ...]] = None,
+    ) -> List[Tuple[str, int]]:
         """Per-row state columns as (name, width) — the order is the
-        in-row layout contract for packed tables."""
+        in-row layout contract for packed tables. With ``col_segments``
+        (merged co-keyed tables) row-wise state keeps one column PER
+        SEGMENT, matching the unmerged per-table math exactly."""
         k = self.kind
+        ns = len(col_segments) if col_segments else 1
         if k == "sgd":
             return []
         if k == "adagrad":
             return [("acc", dim)]
         if k == "rowwise_adagrad":
-            return [("acc", 1)]
+            return [("acc", ns)]
         if k == "adam":
             return [("m", dim), ("v", dim)]
         if k == "partial_rowwise_adam":
-            return [("m", dim), ("v", 1)]
+            return [("m", dim), ("v", ns)]
         if k == "lamb":
             return [("m", dim), ("v", dim)]
         if k == "partial_rowwise_lamb":
-            return [("m", dim), ("v", 1)]
+            return [("m", dim), ("v", ns)]
         if k == "lars_sgd":
             return [("mom", dim)]
         if k == "adadelta":
@@ -111,10 +141,13 @@ class SparseOptimizer:
             return {"step": jnp.zeros((), jnp.int32)}
         return {}
 
-    def init_state(self, rows: int, dim: int) -> Params:
+    def init_state(
+        self, rows: int, dim: int,
+        col_segments: Optional[Tuple[int, ...]] = None,
+    ) -> Params:
         out: Params = dict(self.scalar_state_init())
         fills = self.row_state_init()
-        for name, width in self.row_state_widths(dim):
+        for name, width in self.row_state_widths(dim, col_segments):
             out[name] = jnp.full((rows, width), fills.get(name, 0.0),
                                  jnp.float32)
         return out
@@ -130,10 +163,20 @@ class SparseOptimizer:
         scalar_state: Params,  # {"step": ...} for adam/lamb kinds
         dim_psum_axis: Optional[str] = None,
         full_dim: Optional[int] = None,
+        col_segments: Optional[Tuple[int, ...]] = None,
     ) -> Tuple[jnp.ndarray, Params, Params]:
         """Pure row-level update: returns (new_rows, new_srows,
         new_scalar_state). No table access — callers own gather/scatter
-        (unpacked tables) or pack/merge/write (packed tables)."""
+        (unpacked tables) or pack/merge/write (packed tables).
+        ``col_segments``: static widths of the logical tables fused into
+        these rows; row-wise reductions run per segment."""
+        segs = col_segments
+        if segs is not None and len(segs) > 1 and dim_psum_axis is not None:
+            raise ValueError(
+                "merged (column-segmented) tables cannot be column-"
+                "sharded: per-segment reductions don't compose with "
+                "a dim psum"
+            )
         c = self.cfg
         k = self.kind
         if c.get("gradient_clipping", False):
@@ -158,8 +201,10 @@ class SparseOptimizer:
         if k == "rowwise_adagrad":
             eps = float(c.get("eps", 1e-10))
             acc = srows["acc"] + _dim_mean(grads * grads, dim_psum_axis,
-                                           full_dim)
-            new_rows = w_rows - lr * grads / (jnp.sqrt(acc) + eps)
+                                           full_dim, segs)
+            dim = w_rows.shape[-1]
+            acc_e = _seg_expand(acc, segs, dim)
+            new_rows = w_rows - lr * grads / (jnp.sqrt(acc_e) + eps)
             return new_rows, {"acc": acc}, {}
 
         if k in ("adam", "partial_rowwise_adam"):
@@ -170,10 +215,12 @@ class SparseOptimizer:
             m = b1 * srows["m"] + (1 - b1) * grads
             g2 = grads * grads
             if k == "partial_rowwise_adam":
-                g2 = _dim_mean(g2, dim_psum_axis, full_dim)
+                g2 = _dim_mean(g2, dim_psum_axis, full_dim, segs)
             v = b2 * srows["v"] + (1 - b2) * g2
             mh = m / (1 - b1 ** step.astype(jnp.float32))
             vh = v / (1 - b2 ** step.astype(jnp.float32))
+            if k == "partial_rowwise_adam":
+                vh = _seg_expand(vh, segs, w_rows.shape[-1])
             new_rows = w_rows - lr * mh / (jnp.sqrt(vh) + eps)
             return new_rows, {"m": m, "v": v}, {"step": step}
 
@@ -185,29 +232,33 @@ class SparseOptimizer:
             m = b1 * srows["m"] + (1 - b1) * grads
             g2 = grads * grads
             if k == "partial_rowwise_lamb":
-                g2 = _dim_mean(g2, dim_psum_axis, full_dim)
+                g2 = _dim_mean(g2, dim_psum_axis, full_dim, segs)
             v = b2 * srows["v"] + (1 - b2) * g2
             mh = m / (1 - b1 ** step.astype(jnp.float32))
             vh = v / (1 - b2 ** step.astype(jnp.float32))
+            if k == "partial_rowwise_lamb":
+                vh = _seg_expand(vh, segs, w_rows.shape[-1])
             upd = mh / (jnp.sqrt(vh) + eps)
-            w_norm = _dim_norm(w_rows, dim_psum_axis)
-            u_norm = _dim_norm(upd, dim_psum_axis)
+            w_norm = _dim_norm(w_rows, dim_psum_axis, segs)
+            u_norm = _dim_norm(upd, dim_psum_axis, segs)
             trust = jnp.where(
                 (w_norm > 0) & (u_norm > 0), w_norm / (u_norm + 1e-12), 1.0
             )
+            trust = _seg_expand(trust, segs, w_rows.shape[-1])
             new_rows = w_rows - lr * trust * upd
             return new_rows, {"m": m, "v": v}, {"step": step}
 
         if k == "lars_sgd":
             momentum = float(c.get("momentum", 0.9))
             eta = float(c.get("eta", 0.001))
-            w_norm = _dim_norm(w_rows, dim_psum_axis)
-            g_norm = _dim_norm(grads, dim_psum_axis)
+            w_norm = _dim_norm(w_rows, dim_psum_axis, segs)
+            g_norm = _dim_norm(grads, dim_psum_axis, segs)
             local_lr = jnp.where(
                 (w_norm > 0) & (g_norm > 0),
                 eta * w_norm / (g_norm + 1e-12),
                 1.0,
             )
+            local_lr = _seg_expand(local_lr, segs, w_rows.shape[-1])
             mom = momentum * srows["mom"] + local_lr * lr * grads
             return w_rows - mom, {"mom": mom}, {}
 
@@ -240,9 +291,10 @@ class SparseOptimizer:
         lr: jnp.ndarray,  # scalar (schedule-scaled)
         dim_psum_axis: Optional[str] = None,  # set under column_wise
         full_dim: Optional[int] = None,  # global dim when column-sharded
+        col_segments: Optional[Tuple[int, ...]] = None,
     ) -> Tuple[jnp.ndarray, Params]:
         dim = weight.shape[-1]
-        widths = self.row_state_widths(dim)
+        widths = self.row_state_widths(dim, col_segments)
         w_rows = weight.at[uids].get(mode="fill", fill_value=0.0)
         srows = {
             name: state[name].at[uids].get(mode="fill", fill_value=0.0)
@@ -253,6 +305,7 @@ class SparseOptimizer:
         new_rows, new_srows, new_scalar = self.apply_rows(
             w_rows, srows, grads, lr, scalar,
             dim_psum_axis=dim_psum_axis, full_dim=full_dim,
+            col_segments=col_segments,
         )
         new_state: Params = dict(new_scalar)
         for name, _ in widths:

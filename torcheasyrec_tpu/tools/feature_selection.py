@@ -47,10 +47,12 @@ def select_features(
         # fallback: rank by embedding-table row norms
         for name, feat in ((f.name, f) for f in features):
             if feat.is_sparse:
-                gk, off, rows = model.embedding_group.engine.table_rows(
-                    feat.emb_config().name
-                )
-                w = np.asarray(jax.device_get(tables[gk]))[off : off + rows]
+                # extract_table unpacks whatever physical layout the
+                # engine uses (packed groups interleave optimizer state)
+                w = np.asarray(model.embedding_group.engine.extract_table(
+                    tables, feat.emb_config().name
+                ))
+                rows = w.shape[0]
                 importances[name] = float(np.linalg.norm(w) / max(rows, 1))
     else:
         for g, vd in model.group_variational_dropouts.items():
