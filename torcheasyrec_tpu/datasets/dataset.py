@@ -543,6 +543,12 @@ def create_dataloader(
     from torcheasyrec_tpu.datasets.mp_loader import mp_loader_enabled
 
     mp_workers = mp_loader_enabled(data_config, mode)
+    if sampler is not None and mp_workers > 1:
+        # parse the item table ONCE per host and publish it in shared
+        # memory; each worker's pickled sampler re-attaches instead of
+        # re-parsing (reference: one graphlearn server per host,
+        # sampler.py:322-335)
+        sampler.prepare_shared()
     # mid-epoch resume replays ONE consumer-side watermark; pushing it
     # into K differently-lagged worker readers would skip rows a slower
     # worker never produced. The RESUMED epoch runs single-stream (the

@@ -24,24 +24,41 @@ _meta = get_register_class_meta(_SAMPLER_CLASS_MAP)
 
 
 class AliasTable:
-    """Walker alias method for O(1) weighted sampling."""
+    """Walker alias method for O(1) weighted sampling.
+
+    Construction is vectorized (numpy stacks instead of python lists) so
+    a 100M-item table builds in seconds, and the (prob, alias) arrays
+    are plain numpy — shareable across mp-loader workers via shm_pack.
+    """
 
     def __init__(self, weights: np.ndarray) -> None:
         w = np.asarray(weights, dtype=np.float64)
         w = np.where(w > 0, w, 0.0)
         n = len(w)
-        self._n = n
-        prob = w * n / max(w.sum(), 1e-12)
-        self._prob = np.ones(n)
-        self._alias = np.arange(n)
-        small = [i for i in range(n) if prob[i] < 1.0]
-        large = [i for i in range(n) if prob[i] >= 1.0]
+        prob_in = w * n / max(w.sum(), 1e-12)
+        prob = np.ones(n)
+        alias = np.arange(n, dtype=np.int64)
+        small = np.flatnonzero(prob_in < 1.0).tolist()
+        large = np.flatnonzero(prob_in >= 1.0).tolist()
+        p = prob_in.copy()
         while small and large:
             s, l = small.pop(), large.pop()
-            self._prob[s] = prob[s]
-            self._alias[s] = l
-            prob[l] = prob[l] - (1.0 - prob[s])
-            (small if prob[l] < 1.0 else large).append(l)
+            prob[s] = p[s]
+            alias[s] = l
+            p[l] = p[l] - (1.0 - p[s])
+            (small if p[l] < 1.0 else large).append(l)
+        self._install(prob, alias)
+
+    @classmethod
+    def from_arrays(cls, prob: np.ndarray, alias: np.ndarray) -> "AliasTable":
+        obj = cls.__new__(cls)
+        obj._install(prob, alias)
+        return obj
+
+    def _install(self, prob: np.ndarray, alias: np.ndarray) -> None:
+        self._prob = prob
+        self._alias = alias
+        self._n = len(prob)
 
     def sample(self, k: int, rng: np.random.Generator) -> np.ndarray:
         idx = rng.integers(0, self._n, size=k)
@@ -141,26 +158,137 @@ class BaseSampler(metaclass=_meta):
                     continue
             return out
 
-    def _load_item_table(self, path: str) -> None:
+    def _item_table_path(self) -> str:
+        return (
+            getattr(self._config, "item_input_path", "")
+            or self._config.input_path
+        )
+
+    def _build_item_arrays(self, path: str) -> Dict[str, np.ndarray]:
+        """Parse the item file into the flat numpy arrays that make up
+        the item table: ids/weights, the alias table, a sorted-id index
+        (replaces the per-worker python id->row dict) and the attrs
+        column as offsets+utf8 bytes (decoded lazily per sampled row)."""
         tbl = _read_table(path)
         names = tbl.schema.names
-        self._item_ids = tbl.column(0).to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        self._item_weights = (
+        ids = tbl.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        weights = (
             tbl.column(1).to_numpy(zero_copy_only=False).astype(np.float64)
             if len(names) > 1
-            else np.ones(len(self._item_ids))
+            else np.ones(len(ids))
         )
-        self._id_to_row = {int(v): i for i, v in enumerate(self._item_ids)}
-        # attrs column: delimiter-joined attr values per item
-        self._attrs: Optional[List[List[str]]] = None
+        alias = AliasTable(weights)
+        order = np.argsort(ids, kind="stable")
+        arrs: Dict[str, np.ndarray] = {
+            "ids": ids,
+            "weights": weights,
+            "alias_prob": alias._prob,
+            "alias_alias": alias._alias,
+            "rows_sorted": order.astype(np.int64),
+            "ids_sorted": ids[order],
+        }
         if len(names) > 2 and self._attr_fields:
-            raw = tbl.column(2).cast(pa.string()).to_pylist()
-            self._attrs = [
-                (s or "").split(self._attr_delim) for s in raw
-            ]
-        self._alias = AliasTable(self._item_weights)
+            col = tbl.column(2).cast(pa.large_string()).combine_chunks()
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            arrs["attr_offsets"] = np.asarray(
+                col.buffers()[1], dtype=np.uint8
+            ).view(np.int64)[col.offset : col.offset + len(col) + 1].copy()
+            data = col.buffers()[2]
+            arrs["attr_bytes"] = (
+                np.asarray(data, dtype=np.uint8).copy()
+                if data is not None else np.zeros(0, np.uint8)
+            )
+        return arrs
+
+    def _install_item_arrays(self, arrs: Dict[str, np.ndarray]) -> None:
+        self._item_ids = arrs["ids"]
+        self._item_weights = arrs["weights"]
+        self._alias = AliasTable.from_arrays(
+            arrs["alias_prob"], arrs["alias_alias"]
+        )
+        self._rows_sorted = arrs["rows_sorted"]
+        self._ids_sorted = arrs["ids_sorted"]
+        self._attr_offsets = arrs.get("attr_offsets")
+        self._attr_bytes = arrs.get("attr_bytes")
+
+    def _load_item_table(self, path: str) -> None:
+        shm_name = getattr(self, "_shm_name", None)
+        if shm_name:
+            from torcheasyrec_tpu.utils import shm_pack
+
+            self._install_item_arrays(shm_pack.attach(shm_name))
+            return
+        self._install_item_arrays(self._build_item_arrays(path))
+
+    def prepare_shared(self) -> None:
+        """Build the item table ONCE in the parent process and publish
+        it as a shared-memory segment; pickled copies of this sampler
+        (mp-loader workers) attach instead of re-parsing the item file —
+        N workers share one table (reference: one graphlearn server per
+        host, sampler.py:322-335). Edge tables (pos/hard edges, TDM
+        tree) stay per-worker; they are orders of magnitude smaller."""
+        if getattr(self, "_shm_name", None):
+            return
+        import uuid
+
+        from torcheasyrec_tpu.utils import shm_pack
+
+        name = f"tzrec_item_{uuid.uuid4().hex[:12]}"
+        arrs = self._build_item_arrays(self._item_table_path())
+        self._install_item_arrays(shm_pack.build(name, arrs))
+        self._shm_name = name
+
+    def close_shared(self) -> None:
+        name = getattr(self, "_shm_name", None)
+        if name:
+            from torcheasyrec_tpu.utils import shm_pack
+
+            shm_pack.unlink(name)
+            self._shm_name = None
+
+    _ITEM_TABLE_FIELDS = (
+        "_item_ids", "_item_weights", "_alias", "_rows_sorted",
+        "_ids_sorted", "_attr_offsets", "_attr_bytes",
+    )
+
+    def __getstate__(self):
+        """Pickling for mp-loader workers: once the table is shared,
+        drop the (shm-backed, unpicklable-without-copy) array views —
+        the worker re-attaches in init()."""
+        state = dict(self.__dict__)
+        if state.get("_shm_name"):
+            for k in self._ITEM_TABLE_FIELDS:
+                state.pop(k, None)
+            state["_inited"] = False
+        return state
+
+    # -- item-table lookups ------------------------------------------------
+
+    def _rows_of(self, ids: np.ndarray) -> np.ndarray:
+        """item ids -> row indices (-1 for unknown ids); O(log n) via
+        the sorted-id index."""
+        ids = np.asarray(ids, np.int64)
+        if len(self._ids_sorted) == 0:
+            return np.full(ids.shape, -1, np.int64)
+        pos = np.searchsorted(self._ids_sorted, ids)
+        pos = np.clip(pos, 0, len(self._ids_sorted) - 1)
+        ok = self._ids_sorted[pos] == ids
+        return np.where(ok, self._rows_sorted[pos], -1)
+
+    def _row_of(self, item_id: int) -> int:
+        return int(self._rows_of(np.asarray([item_id]))[0])
+
+    @property
+    def _has_attrs(self) -> bool:
+        return self._attr_offsets is not None and len(self._attr_offsets) > 1
+
+    def _attr_vals(self, row: int) -> List[str]:
+        o = self._attr_offsets
+        s = bytes(self._attr_bytes[o[row] : o[row + 1]]).decode(
+            "utf-8", "replace"
+        )
+        return s.split(self._attr_delim)
 
     def _append_negatives(
         self, columns: Dict[str, pa.Array], rows: np.ndarray
@@ -175,9 +303,9 @@ class BaseSampler(metaclass=_meta):
         neg_vals: Dict[str, List[str]] = {
             name: [] for name in self._attr_fields
         }
-        if self._attrs is not None:
+        if self._has_attrs:
             for r in rows:
-                vals = self._attrs[r]
+                vals = self._attr_vals(int(r))
                 for j, name in enumerate(self._attr_fields):
                     neg_vals[name].append(vals[j] if j < len(vals) else "")
         else:
@@ -336,17 +464,18 @@ class HardNegativeSampler(NegativeSamplerV2):
         indices[:, 1] = 0
         for i in range(b):
             cands = self._hard_edges.get(int(users[i]), []) if users else []
-            cands = [c for c in cands if c in self._id_to_row]
+            crows = self._rows_of(np.asarray(cands, np.int64))
+            crows = crows[crows >= 0]
             take = (
                 self._rng.choice(
-                    cands, size=min(k, len(cands)), replace=False
+                    crows, size=min(k, len(crows)), replace=False
                 )
-                if cands
+                if len(crows)
                 else []
             )
             for j in range(k):
                 if j < len(take):
-                    rows.append(self._id_to_row[int(take[j])])
+                    rows.append(int(take[j]))
                     indices[i * k + j] = (i, j)
                 else:
                     rows.append(0)  # masked filler keeps shapes static
@@ -465,15 +594,15 @@ class TDMSampler(BaseSampler):
         node_arr = np.asarray(out_nodes, np.int64)
         # overwrite item id + attrs with sampled tree nodes
         out[self._item_id_field] = pa_from_numpy(node_arr)
-        if self._attrs is not None:
+        if self._has_attrs:
+            node_rows = self._rows_of(node_arr)
+            decoded = [
+                self._attr_vals(int(r)) if r >= 0 else [] for r in node_rows
+            ]
             for j, fname in enumerate(self._attr_fields):
                 if fname == self._item_id_field or fname not in columns:
                     continue
-                vals = []
-                for nd in node_arr:
-                    row = self._id_to_row.get(int(nd))
-                    a = self._attrs[row] if row is not None else []
-                    vals.append(a[j] if j < len(a) else "")
+                vals = [a[j] if j < len(a) else "" for a in decoded]
                 try:
                     out[fname] = pa.array(vals).cast(columns[fname].type)
                 except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
@@ -566,11 +695,12 @@ class TDMPredictSampler(BaseSampler):
         self.init()
         names = self._attr_fields
         cols: Dict[str, List[str]] = {name: [] for name in names}
-        for nid in np.asarray(node_ids, np.int64):
-            row = self._id_to_row.get(int(nid), -1)
+        node_ids = np.asarray(node_ids, np.int64)
+        node_rows = self._rows_of(node_ids)
+        for nid, row in zip(node_ids, node_rows):
             vals = (
-                self._attrs[row]
-                if (self._attrs is not None and row >= 0)
+                self._attr_vals(int(row))
+                if (self._has_attrs and row >= 0)
                 else ([str(nid)] if nid >= 0 else [""])
             )
             for j, name in enumerate(names):
