@@ -1,0 +1,207 @@
+"""Real-chip smoke lane: compiled Pallas kernels + HBM-scale layouts.
+
+Covers the bug classes the CPU suite cannot see (tests/conftest.py
+forces interpret-mode Pallas + small arrays):
+1. compiled (Mosaic) pallas_hstu_mha fwd + bwd vs the XLA reference
+2. the row_write DMA kernel, including chunk < ring-depth edges
+3. packed init + update on a 1M-row NARROW table — round 3's OOM class
+   (a [rows, slot] device intermediate lane-pads slot->128 under
+   T(8,128) tiling and explodes HBM)
+4. one jitted DeepFM train step at a production-shaped batch
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def test_pallas_hstu_mha_compiled_fwd_bwd():
+    from torcheasyrec_tpu.ops.hstu import _jax_hstu_mha
+    from torcheasyrec_tpu.ops.pallas.hstu_attention import pallas_hstu_mha
+
+    b, n, h, d = 2, 256, 2, 64
+    key = jax.random.key(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, n, h, d), jnp.float32) * 0.1
+    k = jax.random.normal(kk, (b, n, h, d), jnp.float32) * 0.1
+    v = jax.random.normal(kv, (b, n, h, d), jnp.float32) * 0.1
+    lengths = jnp.array([200, 128], jnp.int32)
+    alpha = 1.0 / d
+
+    def loss_pallas(q, k, v):
+        return pallas_hstu_mha(q, k, v, lengths, alpha, causal=True,
+                               max_attn_len=64).sum()
+
+    def ref(q, k, v):
+        return _jax_hstu_mha(
+            q, k, v, lengths, alpha, True, None, 64, 0, 0, n
+        )
+
+    def loss_ref(q, k, v):
+        return ref(q, k, v).sum()
+
+    out_p = jax.jit(
+        lambda q, k, v: pallas_hstu_mha(q, k, v, lengths, alpha,
+                                        causal=True, max_attn_len=64)
+    )(q, k, v)
+    out_r = ref(q, k, v)
+    np.testing.assert_allclose(
+        jax.device_get(out_p), jax.device_get(out_r), rtol=2e-3, atol=2e-4
+    )
+    gp = jax.jit(jax.grad(loss_pallas, argnums=(0, 1, 2)))(q, k, v)
+    gr = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(q, k, v)
+    for a, bb in zip(gp, gr):
+        np.testing.assert_allclose(
+            jax.device_get(a), jax.device_get(bb), rtol=2e-2, atol=2e-3
+        )
+
+
+def test_row_write_kernel_compiled():
+    from torcheasyrec_tpu.ops.pallas.row_write import write_rows
+
+    rows_n, lanes = 16384, 128
+    table = jnp.zeros((rows_n + 1, lanes), jnp.float32)
+    rng = np.random.default_rng(0)
+    for n_ids in (0, 1, 7, 16, 300, 8192, 9000):
+        ids_np = rng.choice(rows_n, size=max(n_ids, 1), replace=False)
+        ids = jnp.asarray(ids_np[:n_ids], jnp.int32)
+        vals = jnp.asarray(
+            rng.normal(size=(n_ids, lanes)).astype(np.float32)
+        )
+        got = jax.jit(
+            lambda t, i, r: write_rows(t, i, r, scratch_id=rows_n)
+        )(table, ids, vals)
+        expect = np.zeros((rows_n + 1, lanes), np.float32)
+        if n_ids:
+            expect[np.asarray(ids)] = np.asarray(vals)
+        got_np = np.asarray(jax.device_get(got))
+        np.testing.assert_array_equal(
+            got_np[:rows_n], expect[:rows_n], err_msg=f"n_ids={n_ids}"
+        )
+
+
+def test_packed_narrow_table_init_update_1m_rows(monkeypatch):
+    """Round-3 OOM class: narrow (dim 4) wide-style table at scale.
+    1M rows keeps the lane fast; the failure mode (device [rows, slot]
+    intermediate) scales linearly so it would already dominate here."""
+    monkeypatch.setenv("TZREC_PACKED", "1")
+    monkeypatch.setenv("TZREC_TABLE_MERGE", "1")
+    from torcheasyrec_tpu.datasets.utils import SparseField
+    from torcheasyrec_tpu.parallel.emb_engine import (
+        EmbeddingEngine, LookupSpec, TableSpec,
+    )
+    from torcheasyrec_tpu.parallel.sparse_optim import SparseOptimizer
+
+    engine = EmbeddingEngine(
+        [
+            TableSpec("big_wide", rows=1_000_000, dim=4),
+            TableSpec("big_deep", rows=1_000_000, dim=16),
+        ],
+        [
+            LookupSpec("w:f", "f", "big_wide", "sum"),
+            LookupSpec("d:f", "f", "big_deep", "sum"),
+        ],
+        optimizer=SparseOptimizer("rowwise_adagrad", {"lr": 0.05}),
+    )
+    gk = engine._table_group[next(iter(engine._specs))]
+    assert engine.groups[gk].packed
+    tables = engine.init(jax.random.key(0))
+    st = engine.init_opt_state()
+    ids = jnp.asarray(
+        np.random.default_rng(0).integers(0, 1_000_000, (8192, 1))
+    )
+    sparse = {"f": SparseField(values=ids)}
+
+    @jax.jit
+    def step(tables, st):
+        out, res = engine.lookup(tables, sparse)
+        grads = {k: jnp.ones_like(v) for k, v in out.items()}
+        return engine.update(tables, st, res, grads, jnp.float32(1.0))
+
+    nt, _ = step(tables, st)
+    moved = engine.extract_table(nt, "big_wide")
+    before = engine.extract_table(tables, "big_wide")
+    touched = np.unique(np.asarray(ids).reshape(-1))
+    assert np.abs(moved[touched] - before[touched]).sum() > 0
+    untouched = np.setdiff1d(np.arange(50_000), touched)[:1000]
+    np.testing.assert_array_equal(moved[untouched], before[untouched])
+
+
+def test_jitted_deepfm_train_step():
+    import pyarrow as pa
+
+    from torcheasyrec_tpu.datasets.data_parser import DataParser
+    from torcheasyrec_tpu.datasets.pack import pack_and_put
+    from torcheasyrec_tpu.main import (
+        _build_model_and_optim, _init_state, make_train_step,
+    )
+    from torcheasyrec_tpu.optim.optimizer_builder import (
+        create_dense_optimizer,
+    )
+    from google.protobuf import text_format
+    from torcheasyrec_tpu.protos import pipeline_pb2
+
+    buckets = [100_000, 50_000, 1000, 10]
+    lines = [
+        'train_input_path: "x"', 'eval_input_path: "x"',
+        'model_dir: "/tmp/tpu_lane_model"',
+        "train_config { sparse_optimizer { rowwise_adagrad_optimizer "
+        "{ lr: 0.01 } constant_learning_rate {} } dense_optimizer "
+        "{ adam_optimizer { lr: 0.001 } constant_learning_rate {} } "
+        'num_epochs: 1 mixed_precision: "BF16" }',
+        "data_config { batch_size: 4096 dataset_type: ParquetDataset "
+        'fg_mode: FG_NONE label_fields: "label" }',
+    ]
+    for i in range(4):
+        lines.append(
+            f'feature_configs {{ raw_feature {{ feature_name: "i{i}" }} }}'
+        )
+    for i, n in enumerate(buckets):
+        lines.append(
+            f'feature_configs {{ id_feature {{ feature_name: "c{i}" '
+            f"num_buckets: {n} embedding_dim: 16 }} }}"
+        )
+    cats = "".join(f'feature_names: "c{i}" ' for i in range(len(buckets)))
+    ints = "".join(f'feature_names: "i{i}" ' for i in range(4))
+    lines.append(
+        "model_config { "
+        f'feature_groups {{ group_name: "wide" {cats} group_type: WIDE }} '
+        f'feature_groups {{ group_name: "fm" {cats} group_type: DEEP }} '
+        f'feature_groups {{ group_name: "deep" {cats}{ints} '
+        "group_type: DEEP } "
+        "deepfm { deep { hidden_units: [64, 32] } "
+        "final { hidden_units: [32] } wide_embedding_dim: 4 } "
+        "num_class: 1 losses { binary_cross_entropy {} } "
+        "metrics { auc {} } }"
+    )
+    cfg = text_format.Parse("\n".join(lines), pipeline_pb2.EasyRecConfig())
+    model, features, sparse_sched = _build_model_and_optim(cfg, None)
+    parser = DataParser(features, labels=["label"])
+    r = np.random.default_rng(0)
+    cols = {"label": pa.array((r.random(4096) > 0.5).astype(np.float32))}
+    for i in range(4):
+        cols[f"i{i}"] = pa.array(r.normal(size=4096).astype(np.float32))
+    for i, n in enumerate(buckets):
+        cols[f"c{i}"] = pa.array(r.integers(0, n, 4096))
+    batch = pack_and_put(parser.parse_to_batch(cols), dense_bf16=True)
+    dense_params, tables, sparse_opt_state = _init_state(model, cfg)
+    tx, dense_sched = create_dense_optimizer(
+        cfg.train_config.dense_optimizer, dense_params
+    )
+    state = {
+        "dense": dense_params, "tables": tables,
+        "sparse_opt": sparse_opt_state, "dense_opt": tx.init(dense_params),
+        "step": jnp.zeros((), jnp.int32),
+    }
+    step_fn = jax.jit(
+        make_train_step(model, tx, sparse_sched, dense_sched, jnp.bfloat16),
+        donate_argnums=(0,),
+    )
+    rng_key = jax.random.key(0)
+    losses = []
+    for _ in range(5):
+        state, metrics, _ = step_fn(state, batch, rng_key)
+        losses.append(float(jax.device_get(metrics["total_loss"])))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # learning on a fixed batch
