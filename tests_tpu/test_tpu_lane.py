@@ -57,6 +57,50 @@ def test_pallas_hstu_mha_compiled_fwd_bwd():
         )
 
 
+def test_pallas_hstu_mha_folded_heads_d128():
+    """d % 128 == 0 takes the no-transpose folded-lane path — the
+    production DLRM-HSTU shape (4 heads x 128)."""
+    from torcheasyrec_tpu.ops.hstu import _jax_hstu_mha
+    from torcheasyrec_tpu.ops.pallas.hstu_attention import pallas_hstu_mha
+
+    b, n, h, d = 4, 512, 4, 128
+    kq, kk, kv = jax.random.split(jax.random.key(1), 3)
+    q = jax.random.normal(kq, (b, n, h, d), jnp.bfloat16) * 0.1
+    k = jax.random.normal(kk, (b, n, h, d), jnp.bfloat16) * 0.1
+    v = jax.random.normal(kv, (b, n, h, d), jnp.bfloat16) * 0.1
+    lengths = jnp.array([500, 256, 130, 512], jnp.int32)
+    ntarg = jnp.array([8, 4, 2, 16], jnp.int32)
+    alpha = 1.0 / d
+
+    def pal(q, k, v):
+        return pallas_hstu_mha(q, k, v, lengths, alpha, causal=True,
+                               num_targets=ntarg)
+
+    def ref(q, k, v):
+        return _jax_hstu_mha(q, k, v, lengths, alpha, True, ntarg,
+                             0, 0, 0, n).astype(q.dtype)
+
+    out_p = jax.jit(pal)(q, k, v)
+    out_r = jax.jit(ref)(q, k, v)
+    np.testing.assert_allclose(
+        jax.device_get(out_p).astype(np.float32),
+        jax.device_get(out_r).astype(np.float32), rtol=2e-2, atol=2e-3,
+    )
+    gp = jax.jit(jax.grad(
+        lambda q, k, v: pal(q, k, v).astype(jnp.float32).sum(),
+        argnums=(0, 1, 2),
+    ))(q, k, v)
+    gr = jax.jit(jax.grad(
+        lambda q, k, v: ref(q, k, v).astype(jnp.float32).sum(),
+        argnums=(0, 1, 2),
+    ))(q, k, v)
+    for a, bb in zip(gp, gr):
+        np.testing.assert_allclose(
+            jax.device_get(a).astype(np.float32),
+            jax.device_get(bb).astype(np.float32), rtol=3e-2, atol=3e-3,
+        )
+
+
 def test_row_write_kernel_compiled():
     from torcheasyrec_tpu.ops.pallas.row_write import write_rows
 

@@ -122,6 +122,8 @@ model_config {{
                 attention_dim: 128
                 num_heads: 4
                 num_layers: 3
+                recompute_uvqk: false
+                recompute_y: false
             }}
             positional_encoder {{
                 num_position_buckets: 8192
@@ -268,18 +270,26 @@ def run() -> Optional[Dict[str, float]]:
     )
     rng = jax.random.key(0)
 
-    # XLA's own FLOP count for the whole step (fallback: analytic
-    # attention estimate over actual lengths)
-    flops = None
-    try:
-        lowered = train_step.lower(state, batch, rng)
-        ca = lowered.compile().cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        flops = float(ca.get("flops", 0.0)) or None
-    except Exception as e:  # noqa: BLE001 - cost analysis is best-effort
-        print(f"dlrm_hstu cost_analysis unavailable: {e!r}",
-              file=sys.stderr)
+    # MFU numerator = ANALYTIC model FLOPs over ACTUAL lengths (the
+    # scaling-book useful-work convention). XLA cost_analysis cannot be
+    # used here: it does not see inside pallas_call, so it counted ~0
+    # for the attention when the kernel ran (deflating MFU) and counted
+    # the materialized [B,H,N,N] einsums when the slow XLA fallback ran
+    # (round 3's MFU 0.20 was measuring the WASTE of the fallback path,
+    # not useful throughput).
+    lens = np.asarray(
+        [len(s.as_py().split(";")) for s in cols["video_id"]], np.float64
+    ) + 2 * N_CAND  # interleaved [content, action] target pairs
+    E, LD, AD, H, LAYERS = 512, 128, 128, 4, 3
+    tok = float(lens.sum())
+    # per layer fwd: causal attention qk+sv over actual lengths + the
+    # fused uvqk projection + output projection
+    att = float((lens ** 2).sum()) / 2.0 * 2 * (AD + LD) * H
+    uvqk = tok * E * (2 * H * LD + 2 * H * AD) * 2
+    outp = tok * (H * LD) * E * 2
+    fwd = LAYERS * (att + uvqk + outp)
+    # bwd ~ 2x fwd; + item tower (candidates only, negligible)
+    flops = fwd * 3.0
 
     for _ in range(2):
         state, m, _ = train_step(state, batch, rng)
@@ -292,16 +302,6 @@ def run() -> Optional[Dict[str, float]]:
             state, m, _ = train_step(state, batch, rng)
         float(jax.device_get(m["total_loss"]))
         best = min(best, (time.perf_counter() - t0) / n_steps)
-
-    if flops is None:
-        # analytic: 3 layers x fwd(qk+sv) + bwd(~2x) causal attention
-        # over actual lengths, heads 4, attn/hidden dim 128 — a LOWER
-        # bound (ignores the uv/proj MLPs and embedding work)
-        import math
-
-        lens = [len(s.as_py().split(";")) for s in cols["video_id"]]
-        att = sum(0.5 * (l ** 2) * 2 * 128 * 2 for l in lens) * 4 * 3
-        flops = att * 3.0
 
     result = {
         "dlrm_hstu_step_ms": round(best * 1000, 2),

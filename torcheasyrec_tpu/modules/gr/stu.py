@@ -36,6 +36,7 @@ class STULayer(M.Module):
         attn_alpha: float = 0.0,
         contextual_seq_len: int = 0,
         recompute: bool = True,
+        recompute_y: bool = True,
         kernel: Kernel = Kernel.PALLAS,
         sla_k1: int = 0,
         sla_k2: int = 0,
@@ -50,6 +51,7 @@ class STULayer(M.Module):
         self.alpha = attn_alpha or (attention_dim ** -0.5)
         self.contextual_seq_len = contextual_seq_len
         self.recompute = recompute
+        self.recompute_y = recompute_y
         self.kernel = kernel
         self.sla_k1 = sla_k1
         self.sla_k2 = sla_k2
@@ -77,41 +79,59 @@ class STULayer(M.Module):
         num_targets: Optional[jnp.ndarray] = None,
         scaling_seqlen: int = -1,
     ) -> jnp.ndarray:
-        def _layer(x):
-            u, v, q, k = hstu_compute_uqvk(
-                x,
+        # STAGE-WISE rematerialization, matching the reference's
+        # recompute_{uvqk,normed_x,y}_in_backward flags (stu.py /
+        # hstu_compute.py): the cheap projection/norm stages recompute in
+        # backward, but the attention kernel's forward NEVER re-runs —
+        # a whole-layer jax.checkpoint re-executed it and cost ~32 ms of
+        # a 430 ms DLRM-HSTU step for activation savings the attention
+        # custom-VJP (which stores q/k/v residuals anyway) can't realize.
+        remat = self.recompute and ctx.training
+
+        def uqvk_fn(x_in):
+            return hstu_compute_uqvk(
+                x_in,
                 params["input_ln"]["scale"], params["input_ln"]["bias"],
                 params["uvqk_w"], params["uvqk_b"],
                 self.h, self.ld, self.ad,
             )
-            attn = hstu_mha(
-                q, k, v, lengths,
-                alpha=self.alpha,
-                causal=True,
-                num_targets=num_targets,
-                max_attn_len=self.max_attn_len,
-                contextual_seq_len=self.contextual_seq_len,
-                scaling_seqlen=scaling_seqlen,
-                kernel=self.kernel,
-                sla_k1=self.sla_k1,
-                sla_k2=self.sla_k2,
-            )
+
+        if remat:
+            uqvk_fn = jax.checkpoint(uqvk_fn)
+        u, v, q, k = uqvk_fn(x)
+        attn = hstu_mha(
+            q, k, v, lengths,
+            alpha=self.alpha,
+            causal=True,
+            num_targets=num_targets,
+            max_attn_len=self.max_attn_len,
+            contextual_seq_len=self.contextual_seq_len,
+            scaling_seqlen=scaling_seqlen,
+            kernel=self.kernel,
+            sla_k1=self.sla_k1,
+            sla_k2=self.sla_k2,
+        )
+        dropout_rng = (
+            ctx.next_rng()
+            if (ctx.training and self.dropout > 0) else None
+        )
+
+        def out_fn(attn_in, u_in, x_in):
             return hstu_compute_output(
-                attn, u, x,
+                attn_in, u_in, x_in,
                 params["output_ln"]["scale"], params["output_ln"]["bias"],
                 params["output_w"],
                 dropout_pr=self.dropout,
-                dropout_rng=ctx.next_rng()
-                if (ctx.training and self.dropout > 0) else None,
+                dropout_rng=dropout_rng,
                 training=ctx.training,
                 group_norm=self.use_group_norm,
                 num_heads=self.h,
                 linear_dim=self.ld,
             )
 
-        if self.recompute and ctx.training:
-            _layer = jax.checkpoint(_layer)
-        return _layer(x)
+        if self.recompute_y and ctx.training:
+            out_fn = jax.checkpoint(out_fn)
+        return out_fn(attn, u, x)
 
     def init_cache(self, b: int, n_max: int) -> Dict[str, jnp.ndarray]:
         """Per-layer KV cache for incremental inference (reference
@@ -277,6 +297,7 @@ def stu_from_config(cfg: Dict[str, Any], kernel=Kernel.PALLAS) -> STUStack:
             int(cfg.get("contextual_seq_len", 0) or 0), 0
         ),
         recompute=bool(cfg.get("recompute_uvqk", True)),
+        recompute_y=bool(cfg.get("recompute_y", True)),
         kernel=kernel,
         sla_k1=int(cfg.get("sla_k1", 0) or 0),
         sla_k2=int(cfg.get("sla_k2", 0) or 0),

@@ -129,13 +129,31 @@ def hstu_mha(
     n = q.shape[1]
     if scaling_seqlen == -1:
         scaling_seqlen = n
-    if kernel == Kernel.PALLAS and dropout_pr == 0.0:
+    if (
+        kernel == Kernel.PALLAS
+        and dropout_pr == 0.0
+        and jax.default_backend() == "tpu"
+    ):
+        # non-TPU backends compile the XLA reference (CPU CI exercises
+        # the kernel itself through interpret-mode tests instead)
         from torcheasyrec_tpu.ops.pallas.hstu_attention import (
             pallas_hstu_mha,
         )
 
+        # the kernel tiles N in 128-row blocks; pad ragged N up rather
+        # than fall back — the XLA path materializes [B, H, N, N]
+        # score/mask buffers whose backward is catastrophically
+        # HBM-bound at long N (measured 337 ms of a 430 ms DLRM-HSTU
+        # step at N=4017 before this pad). Padded tail tokens sit past
+        # every sample's length, so the in-kernel masks drop them.
+        pad = (-n) % 128 if n >= 128 else 128 - n
+        if pad:
+            cfg_pad = [(0, 0), (0, pad), (0, 0), (0, 0)]
+            q = jnp.pad(q, cfg_pad)
+            k = jnp.pad(k, cfg_pad)
+            v = jnp.pad(v, cfg_pad)
         try:
-            return pallas_hstu_mha(
+            out = pallas_hstu_mha(
                 q, k, v, lengths,
                 alpha=alpha, causal=causal, num_targets=num_targets,
                 max_attn_len=max_attn_len,
@@ -144,8 +162,11 @@ def hstu_mha(
                 scaling_seqlen=scaling_seqlen,
                 sla_k1=sla_k1, sla_k2=sla_k2,
             )
+            return out[:, :n] if pad else out
         except NotImplementedError:
-            pass  # fall back to the XLA path
+            if pad:
+                q, k, v = q[:, :n], k[:, :n], v[:, :n]
+            # fall back to the XLA path
     return _jax_hstu_mha(
         q, k, v, lengths, alpha, causal, num_targets, max_attn_len,
         contextual_seq_len, min_full_attn_seq_len, scaling_seqlen,

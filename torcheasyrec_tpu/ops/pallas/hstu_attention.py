@@ -11,9 +11,11 @@ target isolation) is computed in-register from broadcasted iotas +
 scalar-prefetched per-sample lengths/num_targets, reproducing
 pt_hstu_attention.py:23-75.
 
-Layout: padded dense [B, N, H, D]; internally folded to [B*H, N, D]
-blocks of 128 rows. Falls back (NotImplementedError) for tiny N so the
-caller uses the XLA path.
+Layout: padded dense [B, N, H, D]; internally folded to [B, N, H*D]
+(a free reshape) with a (batch, head, row-block) grid — each head is a
+128-lane-aligned column slice, so NO transpose copies are materialized
+on either side of the kernels. Falls back (NotImplementedError) for
+tiny N so the caller uses the XLA path.
 """
 
 import functools
@@ -24,15 +26,22 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# block sizes: 256 keeps the MXU busy (two 128-lane tiles per dot);
-# shapes not divisible by 256 fall back to 128-blocks
+# block sizes: larger blocks amortize the fori_loop's per-iteration
+# overhead and fill the MXU pipeline; shapes not divisible fall back.
+# TZREC_HSTU_BLOCK overrides for tuning sweeps.
+import os as _os
+
+_BLK = int(_os.environ.get("TZREC_HSTU_BLOCK", "512"))
+
+
 def _block(n: int) -> int:
-    if n % 256 == 0:
-        return 256
+    for b in (_BLK, 512, 256, 128):
+        if n % b == 0 and b <= n:
+            return b
     return 128
 
-BQ = 256  # default; per-call block size comes from _block(n)
-BK = 256
+BQ = 512  # default; per-call block size comes from _block(n)
+BK = 512
 
 
 def _mask_block(
@@ -106,12 +115,11 @@ def _fwd_kernel(
     lengths_ref, targets_ref, q_ref, k_ref, v_ref, o_ref,
     *, h, n, alpha, scale, causal, has_targets, max_attn_len,
     contextual_seq_len, min_full_attn_seq_len, bq, bk,
-    sla_k1=0, sla_k2=0,
+    sla_k1=0, sla_k2=0, folded=True,
 ):
     BQ, BK = bq, bk
-    bh = pl.program_id(0)
-    qi = pl.program_id(1)
-    b = bh // h
+    b = pl.program_id(0) if folded else pl.program_id(0) // h
+    qi = pl.program_id(2)
     seq_len = lengths_ref[b]
     n_t = targets_ref[b] if has_targets else None
     q = q_ref[0]  # [BQ, D]
@@ -137,7 +145,7 @@ def _fwd_kernel(
     num_kb_eff = jnp.minimum(num_kb_eff, len_kb)
     h_bound = seq_len - (n_t if n_t is not None else 0)
 
-    def compute(kb, acc):
+    def compute_masked(kb, acc):
         kblk = k_ref[0, pl.ds(kb * BK, BK), :]
         vblk = v_ref[0, pl.ds(kb * BK, BK), :]
         s = jax.lax.dot_general(
@@ -155,6 +163,11 @@ def _fwd_kernel(
             s.astype(vblk.dtype), vblk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+
+    # measured: the mask's iota/compare work vanishes into the silu
+    # pass's VPU time (A/B: dots 6.96 ms, +silu 9.20, +mask 9.18 at
+    # BQ=BK=512), so there is no separate unmasked fast path
+    compute = compute_masked
 
     # q blocks entirely past this sample's length output zeros without
     # touching kv (the row mask would zero them anyway)
@@ -196,14 +209,13 @@ def _bwd_dv_dk_kernel(
     dv_ref, dk_ref,
     *, h, n, alpha, scale, causal, has_targets, max_attn_len,
     contextual_seq_len, min_full_attn_seq_len, bq, bk,
-    sla_k1=0, sla_k2=0,
+    sla_k1=0, sla_k2=0, folded=True,
 ):
     BQ, BK = bq, bk
-    """grid (BH, num_k_blocks): dv_j = sum_i s_ij^T do_i;
+    """grid (B, H, num_k_blocks): dv_j = sum_i s_ij^T do_i;
     dk_j = sum_i (ds_ij)^T q_i."""
-    bh = pl.program_id(0)
-    ki = pl.program_id(1)
-    b = bh // h
+    b = pl.program_id(0) if folded else pl.program_id(0) // h
+    ki = pl.program_id(2)
     seq_len = lengths_ref[b]
     n_t = targets_ref[b] if has_targets else None
     kblk = k_ref[0]  # [BK, D]
@@ -222,7 +234,7 @@ def _bwd_dv_dk_kernel(
     end_qb = jnp.minimum(num_qb, len_qb)
     h_bound = seq_len - (n_t if n_t is not None else 0)
 
-    def compute_qb(qi, carry):
+    def _qb_body(qi, carry, masked):
         dv, dk = carry
         qblk = q_ref[0, pl.ds(qi * BQ, BQ), :]
         doblk = do_ref[0, pl.ds(qi * BQ, BQ), :]
@@ -230,12 +242,17 @@ def _bwd_dv_dk_kernel(
             qblk, kblk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * alpha
-        rows = qi * BQ + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
-        mask = _mask_block(
-            rows, cols, seq_len, n_t, causal, max_attn_len,
-            contextual_seq_len, min_full_attn_seq_len, sla_k1, sla_k2,
-        )
-        s = jnp.where(mask, _silu(z) * (1.0 / scale), 0.0)
+        if masked:
+            rows = qi * BQ + jax.lax.broadcasted_iota(
+                jnp.int32, (BQ, BK), 0
+            )
+            mask = _mask_block(
+                rows, cols, seq_len, n_t, causal, max_attn_len,
+                contextual_seq_len, min_full_attn_seq_len, sla_k1, sla_k2,
+            )
+            s = jnp.where(mask, _silu(z) * (1.0 / scale), 0.0)
+        else:
+            s = _silu(z) * (1.0 / scale)
         dv = dv + jax.lax.dot_general(
             s.astype(doblk.dtype), doblk, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -244,14 +261,17 @@ def _bwd_dv_dk_kernel(
             doblk, vblk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [BQ, BK]
-        dz = jnp.where(
-            mask, dattn * _dsilu(z) * (alpha / scale), 0.0
-        )
+        dz = dattn * _dsilu(z) * (alpha / scale)
+        if masked:
+            dz = jnp.where(mask, dz, 0.0)
         dk = dk + jax.lax.dot_general(
             dz.astype(qblk.dtype), qblk, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return dv, dk
+
+    def compute_qb(qi, carry):
+        return _qb_body(qi, carry, True)
 
     dv0 = jnp.zeros((BK, vblk.shape[-1]), jnp.float32)
     dk0 = jnp.zeros((BK, kblk.shape[-1]), jnp.float32)
@@ -295,12 +315,11 @@ def _bwd_dq_kernel(
     lengths_ref, targets_ref, q_ref, k_ref, v_ref, do_ref, dq_ref,
     *, h, n, alpha, scale, causal, has_targets, max_attn_len,
     contextual_seq_len, min_full_attn_seq_len, bq, bk,
-    sla_k1=0, sla_k2=0,
+    sla_k1=0, sla_k2=0, folded=True,
 ):
     BQ, BK = bq, bk
-    bh = pl.program_id(0)
-    qi = pl.program_id(1)
-    b = bh // h
+    b = pl.program_id(0) if folded else pl.program_id(0) // h
+    qi = pl.program_id(2)
     seq_len = lengths_ref[b]
     n_t = targets_ref[b] if has_targets else None
     qblk = q_ref[0]
@@ -316,27 +335,34 @@ def _bwd_dq_kernel(
     num_kb_eff = jnp.minimum(num_kb_eff, (seq_len + BK - 1) // BK)
     h_bound = seq_len - (n_t if n_t is not None else 0)
 
-    def compute(kb, dq):
+    def _kb_body(kb, dq, masked):
         kblk = k_ref[0, pl.ds(kb * BK, BK), :]
         vblk = v_ref[0, pl.ds(kb * BK, BK), :]
         z = jax.lax.dot_general(
             qblk, kblk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * alpha
-        cols = kb * BK + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
-        mask = _mask_block(
-            rows, cols, seq_len, n_t, causal, max_attn_len,
-            contextual_seq_len, min_full_attn_seq_len, sla_k1, sla_k2,
-        )
         dattn = jax.lax.dot_general(
             doblk, vblk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        dz = jnp.where(mask, dattn * _dsilu(z) * (alpha / scale), 0.0)
+        dz = dattn * _dsilu(z) * (alpha / scale)
+        if masked:
+            cols = kb * BK + jax.lax.broadcasted_iota(
+                jnp.int32, (BQ, BK), 1
+            )
+            mask = _mask_block(
+                rows, cols, seq_len, n_t, causal, max_attn_len,
+                contextual_seq_len, min_full_attn_seq_len, sla_k1, sla_k2,
+            )
+            dz = jnp.where(mask, dz, 0.0)
         return dq + jax.lax.dot_general(
             dz.astype(kblk.dtype), kblk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+
+    def compute(kb, dq):
+        return _kb_body(kb, dq, True)
 
     live = qi * BQ < seq_len
 
@@ -367,18 +393,19 @@ def _bwd_dq_kernel(
 
 
 def _prep(q, k, v, lengths, num_targets):
-    b, n, h, d = q.shape
-    vd = v.shape[-1]
-    qf = q.transpose(0, 2, 1, 3).reshape(b * h, n, d)
-    kf = k.transpose(0, 2, 1, 3).reshape(b * h, n, d)
-    vf = v.transpose(0, 2, 1, 3).reshape(b * h, n, vd)
+    # arrays stay [B, N, H, D]; the impls fold heads into the LANE dim
+    # ([B, N, H*D], a free reshape) and the kernels block each head as
+    # a 128-lane-aligned column slice — no [B, H, N, D] transpose
+    # copies are ever materialized (they cost ~1.2 ms per 128 MB tensor
+    # and dominated the old step trace)
+    b = q.shape[0]
     lengths = lengths.astype(jnp.int32)
     targets = (
         num_targets.astype(jnp.int32)
         if num_targets is not None
         else jnp.zeros((b,), jnp.int32)
     )
-    return qf, kf, vf, lengths, targets
+    return q, k, v, lengths, targets
 
 
 @functools.partial(
@@ -416,32 +443,54 @@ def _fwd_impl(
     sla_k1=0, sla_k2=0,
 ):
     lengths, targets = length_targets
-    bh, n, d = q.shape
+    b, n, h, d = q.shape
     vd = v.shape[-1]
-    h = bh // lengths.shape[0]
+    folded = d % 128 == 0 and vd % 128 == 0
     bq = bk = _block(n)
     kernel = functools.partial(
         _fwd_kernel, h=h, n=n, alpha=alpha, scale=float(scaling_seqlen),
         causal=causal, has_targets=has_targets, max_attn_len=max_attn_len,
         contextual_seq_len=contextual_seq_len,
         min_full_attn_seq_len=min_full_attn_seq_len, bq=bq, bk=bk,
-        sla_k1=sla_k1, sla_k2=sla_k2,
+        sla_k1=sla_k1, sla_k2=sla_k2, folded=folded,
     )
+    if folded:
+        # no-transpose path: heads fold into the lane dim (free
+        # reshape); each head is a 128-lane-aligned column block
+        qf = q.reshape(b, n, h * d)
+        kf = k.reshape(b, n, h * d)
+        vf = v.reshape(b, n, h * vd)
+        grid = (b, h, n // bq)
+        q_ix = lambda i, hh, j, *_: (i, j, hh)
+        kv_ix = lambda i, hh, j, *_: (i, 0, hh)
+    else:
+        # head dim < 128 lanes cannot be column-blocked; fall back to
+        # the transposed [B*H, N, D] layout (block dim == array dim)
+        qf = q.transpose(0, 2, 1, 3).reshape(b * h, n, d)
+        kf = k.transpose(0, 2, 1, 3).reshape(b * h, n, d)
+        vf = v.transpose(0, 2, 1, 3).reshape(b * h, n, vd)
+        grid = (b * h, 1, n // bq)
+        q_ix = lambda i, hh, j, *_: (i, j, 0)
+        kv_ix = lambda i, hh, j, *_: (i, 0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(bh, n // bq),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bq, d), lambda i, j, *_: (i, j, 0)),
-            pl.BlockSpec((1, n, d), lambda i, j, *_: (i, 0, 0)),
-            pl.BlockSpec((1, n, vd), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((1, bq, d), q_ix),
+            pl.BlockSpec((1, n, d), kv_ix),
+            pl.BlockSpec((1, n, vd), kv_ix),
         ],
-        out_specs=pl.BlockSpec((1, bq, vd), lambda i, j, *_: (i, j, 0)),
+        out_specs=pl.BlockSpec((1, bq, vd), q_ix),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((bh, n, vd), v.dtype),
-    )(lengths, targets, q, k, v)
+        out_shape=jax.ShapeDtypeStruct(qf.shape[:2] + (vf.shape[-1],),
+                                       v.dtype),
+    )(lengths, targets, qf, kf, vf)
+    if folded:
+        return out.reshape(b, n, h, vd)
+    return out.reshape(b, h, n, vd).transpose(0, 2, 1, 3)
 
 
 def _fwd_rule(
@@ -463,54 +512,84 @@ def _bwd_rule(
 ):
     q, k, v, length_targets = res
     lengths, targets = length_targets
-    bh, n, d = q.shape
+    b, n, h, d = q.shape
     vd = v.shape[-1]
-    h = bh // lengths.shape[0]
+    folded = d % 128 == 0 and vd % 128 == 0
     bq = bk = _block(n)
     common = dict(
         h=h, n=n, alpha=alpha, scale=float(scaling_seqlen), causal=causal,
         has_targets=has_targets, max_attn_len=max_attn_len,
         contextual_seq_len=contextual_seq_len,
         min_full_attn_seq_len=min_full_attn_seq_len, bq=bq, bk=bk,
-        sla_k1=sla_k1, sla_k2=sla_k2,
+        sla_k1=sla_k1, sla_k2=sla_k2, folded=folded,
     )
+    if folded:
+        qf = q.reshape(b, n, h * d)
+        kf = k.reshape(b, n, h * d)
+        vf = v.reshape(b, n, h * vd)
+        dof = do.reshape(b, n, h * vd)
+        grid_q = (b, h, n // bq)
+        grid_k = (b, h, n // bk)
+        blk_ix = lambda i, hh, j, *_: (i, j, hh)
+        full_ix = lambda i, hh, j, *_: (i, 0, hh)
+    else:
+        qf = q.transpose(0, 2, 1, 3).reshape(b * h, n, d)
+        kf = k.transpose(0, 2, 1, 3).reshape(b * h, n, d)
+        vf = v.transpose(0, 2, 1, 3).reshape(b * h, n, vd)
+        dof = do.transpose(0, 2, 1, 3).reshape(b * h, n, vd)
+        grid_q = (b * h, 1, n // bq)
+        grid_k = (b * h, 1, n // bk)
+        blk_ix = lambda i, hh, j, *_: (i, j, 0)
+        full_ix = lambda i, hh, j, *_: (i, 0, 0)
     dv, dk = pl.pallas_call(
         functools.partial(_bwd_dv_dk_kernel, **common),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(bh, n // bk),
+            grid=grid_k,
             in_specs=[
-                pl.BlockSpec((1, n, d), lambda i, j, *_: (i, 0, 0)),
-                pl.BlockSpec((1, bk, d), lambda i, j, *_: (i, j, 0)),
-                pl.BlockSpec((1, bk, vd), lambda i, j, *_: (i, j, 0)),
-                pl.BlockSpec((1, n, vd), lambda i, j, *_: (i, 0, 0)),
+                pl.BlockSpec((1, n, d), full_ix),
+                pl.BlockSpec((1, bk, d), blk_ix),
+                pl.BlockSpec((1, bk, vd), blk_ix),
+                pl.BlockSpec((1, n, vd), full_ix),
             ],
             out_specs=[
-                pl.BlockSpec((1, bk, vd), lambda i, j, *_: (i, j, 0)),
-                pl.BlockSpec((1, bk, d), lambda i, j, *_: (i, j, 0)),
+                pl.BlockSpec((1, bk, vd), blk_ix),
+                pl.BlockSpec((1, bk, d), blk_ix),
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((bh, n, vd), v.dtype),
-            jax.ShapeDtypeStruct((bh, n, d), k.dtype),
+            jax.ShapeDtypeStruct(vf.shape, v.dtype),
+            jax.ShapeDtypeStruct(kf.shape, k.dtype),
         ],
-    )(lengths, targets, q, k, v, do)
+    )(lengths, targets, qf, kf, vf, dof)
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, **common),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(bh, n // bq),
+            grid=grid_q,
             in_specs=[
-                pl.BlockSpec((1, bq, d), lambda i, j, *_: (i, j, 0)),
-                pl.BlockSpec((1, n, d), lambda i, j, *_: (i, 0, 0)),
-                pl.BlockSpec((1, n, vd), lambda i, j, *_: (i, 0, 0)),
-                pl.BlockSpec((1, bq, vd), lambda i, j, *_: (i, j, 0)),
+                pl.BlockSpec((1, bq, d), blk_ix),
+                pl.BlockSpec((1, n, d), full_ix),
+                pl.BlockSpec((1, n, vd), full_ix),
+                pl.BlockSpec((1, bq, vd), blk_ix),
             ],
-            out_specs=pl.BlockSpec((1, bq, d), lambda i, j, *_: (i, j, 0)),
+            out_specs=pl.BlockSpec((1, bq, d), blk_ix),
         ),
-        out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
-    )(lengths, targets, q, k, v, do)
-    return dq, dk, dv, None
+        out_shape=jax.ShapeDtypeStruct(qf.shape, q.dtype),
+    )(lengths, targets, qf, kf, vf, dof)
+    if folded:
+        return (
+            dq.reshape(b, n, h, d),
+            dk.reshape(b, n, h, d),
+            dv.reshape(b, n, h, vd),
+            None,
+        )
+    return (
+        dq.reshape(b, h, n, d).transpose(0, 2, 1, 3),
+        dk.reshape(b, h, n, d).transpose(0, 2, 1, 3),
+        dv.reshape(b, h, n, vd).transpose(0, 2, 1, 3),
+        None,
+    )
 
 
 _pallas_hstu_mha_core.defvjp(_fwd_rule, _bwd_rule)
@@ -539,11 +618,10 @@ def pallas_hstu_mha(
     if scaling_seqlen == -1:
         scaling_seqlen = n
     qf, kf, vf, lengths_i, targets = _prep(q, k, v, lengths, num_targets)
-    out = _pallas_hstu_mha_core(
+    # output is already [B, N, H, V] — no layout change on either side
+    return _pallas_hstu_mha_core(
         qf, kf, vf, (lengths_i, targets), float(alpha), bool(causal),
         num_targets is not None, int(max_attn_len),
         int(contextual_seq_len), int(min_full_attn_seq_len),
         int(scaling_seqlen), int(sla_k1), int(sla_k2),
     )
-    vd = v.shape[-1]
-    return out.reshape(b, h, n, vd).transpose(0, 2, 1, 3)
