@@ -7,10 +7,14 @@ tables — dim 16, 13 dense features, Adagrad sparse + Adam dense).
 Measures steady-state jitted train-step throughput on the local
 device(s) and prints ONE JSON line.
 
-vs_baseline: ratio against an assumed A100 baseline of 350k examples/s
+vs_baseline: ratio against a DERIVED A100 baseline of 350k examples/s
 for this config (BASELINE.md's north star is >=2x A100 per chip; the
-reference publishes no throughput numbers, so this constant is our
-documented stand-in until a measured A100 run replaces it).
+reference publishes no throughput numbers). Derivation in BASELINE.md
+"A100 stand-in derivation": single-A100-80GB HBM roofline for this
+exact config's embedding traffic (~6.7 kB/example random rows ->
+~304k examples/s ceiling at 100% sector efficiency) cross-checked
+against the public per-GPU MLPerf DLRM envelope (~240-490k); 350k is
+deliberately generous to the A100.
 
 Methodology: the headline value is the best END-TO-END pipeline rate
 (host parse/pack in workers or a thread, H2D, jitted train step); the
