@@ -309,7 +309,14 @@ def make_train_step(model, tx, sparse_sched, dense_sched, compute_dtype,
     engine = model.embedding_group.engine
     use_scaler = grad_scaler_cfg is not None and compute_dtype == jnp.float16
 
-    def train_step(state, batch: Batch, rng, host_rows=None):
+    def train_step(state, batch: Batch, rng, host_rows=None,
+                   next_batch=None):
+        """next_batch: batch N+1 for the sparse-input-dist overlap
+        (reference TrainPipelineSparseDist, dist_util.py:221-303) —
+        its embedding id exchange is issued in THIS step's jit, where
+        XLA overlaps the collective with the dense fwd/bwd; the result
+        rides ``state["staged"]`` into the next step. Ids are data, so
+        the math is bit-identical (tests/test_sparse_overlap.py)."""
         from torcheasyrec_tpu.datasets.pack import maybe_unpack
 
         batch = maybe_unpack(batch)
@@ -317,12 +324,28 @@ def make_train_step(model, tx, sparse_sched, dense_sched, compute_dtype,
             batch.additional.update(host_rows)
         step = state["step"]
         new_zch = state.get("zch", {})
+        spill_rec = None
         if model.embedding_group.has_zch:
-            batch, new_zch = model.embedding_group.remap_zch(
-                batch, state["zch"], step, training=True
-            )
+            if model.embedding_group.has_host_spill:
+                # dynamicemb host tier: capture evicted keys' trained
+                # rows from the PRE-update tables; the driver loop
+                # stores them host-side and restores readmitted keys
+                # (parallel/host_spill.py)
+                batch, new_zch, spills = (
+                    model.embedding_group.remap_zch(
+                        batch, state["zch"], step, training=True,
+                        collect_spill=True,
+                    )
+                )
+                spill_rec = model.embedding_group.gather_spill_rows(
+                    state["tables"], spills
+                )
+            else:
+                batch, new_zch = model.embedding_group.remap_zch(
+                    batch, state["zch"], step, training=True
+                )
         emb_out, residuals = model.embedding_group.lookup(
-            state["tables"], batch
+            state["tables"], batch, staged=state.get("staged")
         )
 
         def loss_fn(dense_params, emb_out_in):
@@ -469,6 +492,9 @@ def make_train_step(model, tx, sparse_sched, dense_sched, compute_dtype,
         }
         if epoch is not None:
             new_state["epoch"] = epoch
+        if next_batch is not None:
+            nb = maybe_unpack(next_batch)
+            new_state["staged"] = model.embedding_group.stage_route(nb)
         if model.embedding_group.has_zch:
             new_state["zch"] = new_zch
         if grad_accum_steps > 1:
@@ -490,6 +516,8 @@ def make_train_step(model, tx, sparse_sched, dense_sched, compute_dtype,
                 "good_steps": jnp.where(good >= interval, 0, good),
             }
         metrics = {"total_loss": total, **losses}
+        if spill_rec is not None:
+            metrics["__zch_spill"] = spill_rec
         if getattr(model, "_train_metric_cfgs", None) or any(
             len(getattr(t, "train_metrics", []))
             for t in getattr(model, "_task_tower_cfgs", [])
@@ -707,6 +735,31 @@ def train_and_evaluate(
             "tables; using per-batch stepping"
         )
         steps_per_dispatch = 1
+    if steps_per_dispatch > 1 and model.embedding_group.has_host_spill:
+        logger.warning(
+            "steps_per_dispatch > 1 is incompatible with the dynamicemb "
+            "host-spill tier (per-step host store/restore); using "
+            "per-batch stepping"
+        )
+        steps_per_dispatch = 1
+
+    # sparse-input-dist overlap (TrainPipelineSparseDist analogue):
+    # batch N+1's embedding id exchange issues inside step N's jit
+    sparse_overlap = (
+        bool(getattr(train_config, "sparse_dist_overlap", False))
+        and mesh is not None
+        and jax.process_count() == 1
+        and steps_per_dispatch == 1
+        and not model.embedding_group.engine.has_host_groups
+    )
+    if getattr(train_config, "sparse_dist_overlap", False) and (
+        not sparse_overlap
+    ):
+        logger.warning(
+            "sparse_dist_overlap requires a sharded mesh, a single "
+            "process, per-batch stepping and no host_offload groups; "
+            "running unpipelined"
+        )
 
     train_dl = create_dataloader(
         data_config, features, pipeline_config.train_input_path,
@@ -737,6 +790,10 @@ def train_and_evaluate(
         )
     eval_step = jax.jit(make_eval_step(model, compute_dtype))
     host_pipe = _HostRowPrefetcher(model)
+    spill_mgr = (
+        model.embedding_group.make_spill_manager()
+        if model.embedding_group.has_host_spill else None
+    )
 
     num_steps = train_config.num_steps or 0
     num_epochs = train_config.num_epochs or (1 if not num_steps else 10 ** 9)
@@ -829,18 +886,27 @@ def train_and_evaluate(
             # must not skip epoch N's rows on resume
             dataloader_state.clear()
         state["epoch"] = jnp.full((), epoch, jnp.int32)
+        # epoch boundary: staged id routes belong to the previous
+        # epoch's tail batch, not the next epoch's first batch
+        state.pop("staged", None)
         train_iter = iter(train_dl(
             device_put_fn=None if multi_process else _to_device
         ))
+        if sparse_overlap:
+            train_iter = _paired_iter(train_iter)
         _pending = ()  # one-item lookahead (filled by the host pipeline)
         try:
           while True:
+            batch_next = None
             if _pending:
                 batch, info, have = _pending
                 _pending = ()
             else:
                 try:
-                    batch, info = next(train_iter)
+                    if sparse_overlap:
+                        (batch, info), batch_next = next(train_iter)
+                    else:
+                        batch, info = next(train_iter)
                     have = True
                 except StopIteration:
                     batch, info, have = None, None, False
@@ -948,8 +1014,20 @@ def train_and_evaluate(
             step_rng = jax.random.fold_in(rng, step)
             host_rows, host_ids = host_pipe.rows_for(batch)
             state, metrics, state_updates = train_step(
-                state, batch, step_rng, host_rows
+                state, batch, step_rng, host_rows, batch_next
             )
+            if spill_mgr is not None:
+                spill_out = metrics.pop("__zch_spill", None)
+                if spill_out is not None:
+                    restores = spill_mgr.process(
+                        jax.device_get(spill_out)
+                    )
+                    if restores:
+                        state["tables"] = (
+                            model.embedding_group.apply_spill_restores(
+                                state["tables"], restores
+                            )
+                        )
             if host_ids is not None:
                 # overlap: fetch batch N+1 and gather its host rows in a
                 # worker thread while the device runs step N (the
@@ -1091,11 +1169,27 @@ def train_and_evaluate(
     return eval_result
 
 
+def _paired_iter(it):
+    """(batch, info) stream -> ((batch, info), next_batch) pairs for
+    the sparse-input-dist overlap; the tail batch stages itself (the
+    extra route is discarded — staging is read-only)."""
+    try:
+        cur = next(it)
+    except StopIteration:
+        return
+    for nxt in it:
+        yield cur, nxt[0]
+        cur = nxt
+    yield cur, cur[0]
+
+
 def _save_train_ckpt(ckpt_manager, step, model, state, dataloader_state,
                      multi_process: bool) -> None:
     """Checkpoint save: canonical per-table layout single-host; raw
     sharded orbax save multi-host (collective — every process calls at
     the same step via the train-loop quorum)."""
+    # transient overlap carry: batch-scoped id routes, not model state
+    state = {k: v for k, v in state.items() if k != "staged"}
     if multi_process:
         ckpt_manager.save(step, state, dataloader_state)
     else:

@@ -18,6 +18,7 @@ Maps FeatureGroupConfig protos onto the sharded EmbeddingEngine:
 """
 
 import collections
+import os
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -236,6 +237,12 @@ class EmbeddingGroup(M.Module):
         # rows of the shared table
         self._zch_cfgs: Dict[str, zch_mod.ZchConfig] = {}
         self._zch_features: Dict[str, str] = {}  # feature -> table key
+        # dynamicemb tables get a host-memory spill tier behind the
+        # device cache (reference HKV: unbounded key space, evicted
+        # keys keep their trained vectors in host memory and restore
+        # on readmission — feature.proto:90-117). parallel/host_spill.
+        self._spill_tables: set = set()
+        self._spill_scatter_fns: Dict[Any, Any] = {}
         for f in features:
             zc = getattr(f.config, "zch", None)
             if zc is not None and f.config.HasField("zch"):
@@ -291,6 +298,8 @@ class EmbeddingGroup(M.Module):
                         counter_size=counter_size,
                     ),
                 )
+                if os.environ.get("TZREC_HOST_SPILL", "1") != "0":
+                    self._spill_tables.add(f.embedding_name)
 
         # host-offloaded tables gather rows BEFORE the jitted step, but
         # zch remap runs inside it — the host gather would see raw ids
@@ -320,31 +329,59 @@ class EmbeddingGroup(M.Module):
         }
 
     def remap_zch(
-        self, batch: Batch, zch_states: Dict[str, Any], step, training: bool
+        self, batch: Batch, zch_states: Dict[str, Any], step, training: bool,
+        collect_spill: bool = False,
     ) -> Tuple[Batch, Dict[str, Any]]:
-        """Remap raw ids of zch features into collision-managed slots."""
+        """Remap raw ids of zch features into collision-managed slots.
+
+        With ``collect_spill=True`` returns a third value: per-spill-
+        table eviction/readmission records (concatenated over the
+        table's features) for the host-spill tier — see
+        parallel/host_spill.py. Tables without a spill tier are absent.
+        """
         from torcheasyrec_tpu.datasets.utils import SparseField
         from torcheasyrec_tpu.parallel import zch as zch_mod
 
         if not self._zch_cfgs:
-            return batch, zch_states
+            return (batch, zch_states, {}) if collect_spill else (
+                batch, zch_states
+            )
         new_states = dict(zch_states)
         sparse = dict(batch.sparse_features)
         seq_sparse = dict(batch.sequence_sparse_features)
+        spills: Dict[str, Dict[str, list]] = {}
         for fname, table_key in self._zch_features.items():
             cfg = self._zch_cfgs[table_key]
+            want_spill = collect_spill and table_key in self._spill_tables
             for container in (sparse, seq_sparse):
                 if fname in container:
                     field = container[fname]
-                    slots, ns = zch_mod.lookup_insert(
-                        new_states[table_key], cfg, field.values, step,
-                        training,
-                    )
+                    if want_spill:
+                        slots, ns, sp = zch_mod.lookup_insert(
+                            new_states[table_key], cfg, field.values,
+                            step, training, collect_spill=True,
+                        )
+                        acc = spills.setdefault(
+                            table_key,
+                            {k: [] for k in sp},
+                        )
+                        for k, v in sp.items():
+                            acc[k].append(v)
+                    else:
+                        slots, ns = zch_mod.lookup_insert(
+                            new_states[table_key], cfg, field.values,
+                            step, training,
+                        )
                     new_states[table_key] = ns
                     container[fname] = SparseField(
                         values=slots, lengths=field.lengths,
                         weights=field.weights, segments=field.segments,
                     )
+        spill_out = {
+            t: {k: jnp.concatenate(v) if len(v) > 1 else v[0]
+                for k, v in rec.items()}
+            for t, rec in spills.items()
+        }
         new_batch = Batch(
             dense_features=batch.dense_features,
             sparse_features=sparse,
@@ -355,7 +392,72 @@ class EmbeddingGroup(M.Module):
             additional=batch.additional,
             tile_size=batch.tile_size,
         )
+        if collect_spill:
+            return new_batch, new_states, spill_out
         return new_batch, new_states
+
+    @property
+    def has_host_spill(self) -> bool:
+        return bool(self._spill_tables)
+
+    def gather_spill_rows(
+        self, tables: Dict[str, jnp.ndarray],
+        spills: Dict[str, Dict[str, jnp.ndarray]],
+    ) -> Dict[str, Dict[str, jnp.ndarray]]:
+        """Inside the jitted train step, against the PRE-update tables:
+        gather each evicted key's trained row so the host can store it.
+        Adds ``evicted_rows`` [N, d] to every spill record."""
+        out = {}
+        for tname, rec in spills.items():
+            gk, off, _rows, coff, d = self.engine._table_slice(tname)
+            g = self.engine.groups[gk]
+            ids = jnp.where(
+                rec["evicted_keys"] >= 0, off + rec["slots"], -1
+            )
+            full = self.engine._dist_gather(tables[gk], ids, g)
+            out[tname] = dict(rec, evicted_rows=full[:, coff:coff + d])
+        return out
+
+    def make_spill_manager(self):
+        from torcheasyrec_tpu.parallel.host_spill import SpillManager
+
+        dims = {}
+        for tname in self._spill_tables:
+            _gk, _off, _rows, _coff, d = self.engine._table_slice(tname)
+            dims[tname] = d
+        return SpillManager(dims)
+
+    def apply_spill_restores(
+        self, tables: Dict[str, jnp.ndarray],
+        restores: Dict[str, Tuple[Any, Any]],
+    ) -> Dict[str, jnp.ndarray]:
+        """Host-side (between steps): scatter readmitted keys' stored
+        vectors back into the device tables. Restore counts are padded
+        to the next power of two so the jitted scatter compiles O(log)
+        distinct shapes, not one per step."""
+        import numpy as np
+
+        new_tables = dict(tables)
+        for tname, (slots, rows) in restores.items():
+            gk, off, _rows, coff, d = self.engine._table_slice(tname)
+            g = self.engine.groups[gk]
+            m = len(slots)
+            cap = 1 << max(0, (m - 1).bit_length())
+            ids = np.full((cap,), -1, np.int32)
+            ids[:m] = np.asarray(slots, np.int32) + off
+            vecs = np.zeros((cap, d), np.float32)
+            vecs[:m] = rows
+            fn = self._spill_scatter_fns.get((gk, coff, d))
+            if fn is None:
+                fn = jax.jit(
+                    lambda w, i, r, _g=g, _c=coff: (
+                        self.engine.write_logical_rows(w, _g, i, r, _c)
+                    ),
+                    donate_argnums=(0,),
+                )
+                self._spill_scatter_fns[(gk, coff, d)] = fn
+            new_tables[gk] = fn(new_tables[gk], ids, vecs)
+        return new_tables
 
     # -- construction helpers ----------------------------------------------
 
@@ -450,11 +552,14 @@ class EmbeddingGroup(M.Module):
     # -- forward -----------------------------------------------------------
 
     def lookup(
-        self, tables: Dict[str, jnp.ndarray], batch: Batch
+        self, tables: Dict[str, jnp.ndarray], batch: Batch,
+        staged: Optional[Dict[str, Any]] = None,
     ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, Any]]:
         """Engine lookup only: (emb_out, residuals). The train step takes
         grads w.r.t. emb_out and routes them to engine.update — the
-        in-backward-optimizer split (SURVEY.md §7 build decision)."""
+        in-backward-optimizer split (SURVEY.md §7 build decision).
+        staged: pre-exchanged id routes from stage_route (the sparse-
+        input-dist overlap pipeline)."""
         host_rows = {
             k[len("__host_rows__"):]: v
             for k, v in batch.additional.items()
@@ -462,7 +567,23 @@ class EmbeddingGroup(M.Module):
         } or None
         return self.engine.lookup(
             tables, batch.sparse_features, batch.sequence_sparse_features,
-            host_rows=host_rows,
+            host_rows=host_rows, staged=staged,
+        )
+
+    def stage_route(self, batch: Batch) -> Dict[str, Any]:
+        """Issue batch's embedding id exchange ahead of its step (the
+        TrainPipelineSparseDist overlap; engine.stage_route). Groups
+        holding zch/dynamicemb tables are skipped: their ids are only
+        known after the in-step collision remap, so pre-staged raw-id
+        routes would serve the wrong rows."""
+        skip = {
+            self.engine._table_group[t]
+            for t in self._zch_cfgs
+            if t in self.engine._table_group
+        }
+        return self.engine.stage_route(
+            batch.sparse_features, batch.sequence_sparse_features,
+            skip_groups=skip,
         )
 
     def host_prefetch_into(self, batch: Batch) -> Dict[str, Any]:

@@ -700,8 +700,13 @@ class EmbeddingEngine:
         sequence_sparse: Optional[Dict[str, SparseField]] = None,
         feature_filter: Optional[set] = None,
         host_rows: Optional[Dict[str, jnp.ndarray]] = None,
+        staged: Optional[Dict[str, jnp.ndarray]] = None,
     ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, Any]]:
         """Returns (outputs, residuals).
+
+        staged: pre-exchanged id buffers from stage_route() (issued in
+        the PREVIOUS step's jit for this batch) — the a2a-routed groups
+        skip their ids all-to-all and serve rows directly.
 
         outputs[key]: [B, dim] pooled, or [B, L, dim] for sequence lookups.
         residuals: per-group routing info for update().
@@ -734,10 +739,73 @@ class EmbeddingEngine:
                     )
                 rows = host_rows[gk].astype(jnp.float32)
             else:
-                rows = self._dist_gather(tables[gk], flat_ids, g)
+                rows = self._dist_gather(
+                    tables[gk], flat_ids, g,
+                    staged_recv=(staged or {}).get(gk),
+                )
             self._emit_outputs(g, lks, plan, rows, outputs)
             residuals[gk] = (flat_ids, plan)
         return outputs, residuals
+
+    def stage_route(
+        self,
+        sparse: Dict[str, SparseField],
+        sequence_sparse: Optional[Dict[str, SparseField]] = None,
+        skip_groups: Optional[set] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        """Issue the ids all-to-all for every a2a-routed group AHEAD of
+        its lookup — the TrainPipelineSparseDist analogue (reference
+        tzrec/utils/dist_util.py:221-303 starts batch N+1's KJT input
+        dist during batch N's dense compute). Called on batch N+1's
+        sparse features INSIDE step N's jit: the exchange depends only
+        on batch N+1's ids, so XLA's latency-hiding scheduler runs the
+        collective concurrently with step N's dense fwd/bwd instead of
+        serializing it at the top of step N+1.
+
+        Returns {group_key: recv_ids [D*D, C]} — pass as ``staged=`` to
+        lookup() in the NEXT step. Ids are data, not parameters, so the
+        math is bit-identical to the unpipelined path (tested in
+        tests/test_sparse_overlap.py). Groups that don't exchange ids
+        (data_parallel / column_wise / packed / host tiers, allgather
+        mode, no mesh) are simply absent.
+        """
+        sequence_sparse = sequence_sparse or {}
+        staged: Dict[str, jnp.ndarray] = {}
+        if self.mesh is None or self._exchange_mode == "allgather":
+            return staged
+        for gk, lks in self._lookups_by_group.items():
+            g = self.groups[gk]
+            if skip_groups and gk in skip_groups:
+                continue
+            if g.packed or g.sharding in (
+                DATA_PARALLEL, COLUMN_WISE, HOST_OFFLOAD
+            ):
+                continue
+            flat_ids, _ = self._flatten_group_ids(
+                g, lks, sparse, sequence_sparse
+            )
+            n = flat_ids.shape[0]
+            pad = (-n) % self.num_shards
+            if pad:
+                flat_ids = jnp.concatenate([
+                    flat_ids, jnp.full((pad,), -1, flat_ids.dtype)
+                ])
+            rows_per_shard = g.padded_rows // self.num_shards
+
+            def _route_fn(ids_loc, _rps=rows_per_shard):
+                cap = self._a2a_capacity(ids_loc.shape[0])
+                _, _, _, send_ids = self._a2a_route(ids_loc, _rps, cap)
+                return jax.lax.all_to_all(
+                    send_ids, DATA_AXIS, split_axis=0, concat_axis=0
+                )
+
+            staged[gk] = jax.shard_map(
+                _route_fn,
+                mesh=self.mesh,
+                in_specs=P(DATA_AXIS),
+                out_specs=P(DATA_AXIS, None),
+            )(flat_ids)
+        return staged
 
     def _flatten_group_ids(self, g, lks, sparse, sequence_sparse):
         """Concat all features' ids (offset into megatable) + per-feature
@@ -849,11 +917,15 @@ class EmbeddingEngine:
     # ------------------------------------------------------------------
 
     def _dist_gather(
-        self, weight: jnp.ndarray, flat_ids: jnp.ndarray, g: _Group
+        self, weight: jnp.ndarray, flat_ids: jnp.ndarray, g: _Group,
+        staged_recv: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """rows[i] = weight[flat_ids[i]] with cross-shard exchange.
 
         flat_ids == -1 (invalid padding) returns zeros.
+        staged_recv: this batch's pre-exchanged owner-bucketed ids from
+        stage_route() — the a2a path serves rows without re-running the
+        ids all-to-all.
         """
         if g.packed:
             # packed rows: gather the 128-lane physical row, select the
@@ -887,7 +959,9 @@ class EmbeddingEngine:
             flat_ids = jnp.concatenate(
                 [flat_ids, jnp.full((pad,), -1, flat_ids.dtype)]
             )
-            return self._dist_gather(weight, flat_ids, g)[:n]
+            return self._dist_gather(
+                weight, flat_ids, g, staged_recv=staged_recv
+            )[:n]
 
         if g.sharding == COLUMN_WISE:
             # each shard gathers its dim-slice for EVERY shard's ids,
@@ -929,20 +1003,24 @@ class EmbeddingEngine:
                 r, DATA_AXIS, scatter_dimension=0, tiled=False
             )
 
-        def _a2a_fn(w_loc, ids_loc):
+        def _a2a_fn(w_loc, ids_loc, recv=None):
             # owner-bucketed exchange (TorchRec KJT input_dist /
             # pooled-emb output_dist, reference dist_util.py:335-376):
             # route ids to owners, gather locally, route rows back.
             # Per-shard bytes ~ 2*(D-1)*C*dim vs (D-1)*N_loc*dim for
-            # _dense_fn — a D/(2*alpha) reduction.
+            # _dense_fn — a D/(2*alpha) reduction. ``recv`` (from
+            # stage_route, exchanged in the previous step's jit) skips
+            # the ids all-to-all; the local route metadata recomputes
+            # deterministically from ids_loc.
             D = self.num_shards
             my = jax.lax.axis_index(DATA_AXIS)
             cap = self._a2a_capacity(ids_loc.shape[0])
             route = self._a2a_route(ids_loc, rows_per_shard, cap)
             order, fits, flat_idx, send_ids = route
-            recv = jax.lax.all_to_all(
-                send_ids, DATA_AXIS, split_axis=0, concat_axis=0
-            )  # [D, C]: recv[s] = ids src s routed to me
+            if recv is None:
+                recv = jax.lax.all_to_all(
+                    send_ids, DATA_AXIS, split_axis=0, concat_axis=0
+                )  # [D, C]: recv[s] = ids src s routed to me
             ok = recv >= 0
             lrow = jnp.where(ok, recv - my * rows_per_shard, 0)
             rows = jnp.where(ok[..., None], w_loc[lrow],
@@ -960,19 +1038,34 @@ class EmbeddingEngine:
             )
 
         mode = self._exchange_mode
+        use_staged = staged_recv is not None and mode != "allgather"
         if mode == "allgather":
             fn = _dense_fn
         elif mode == "a2a":
             fn = _a2a_fn
         else:  # auto: a2a fast path, exact dense fallback on overflow
-            def fn(w_loc, ids_loc):
+            def fn(w_loc, ids_loc, recv=None):
                 over = self._a2a_overflow(
                     ids_loc, rows_per_shard,
                     self._a2a_capacity(ids_loc.shape[0]),
                 )
-                return jax.lax.cond(over, _dense_fn, _a2a_fn,
-                                    w_loc, ids_loc)
+                if recv is None:
+                    return jax.lax.cond(over, _dense_fn, _a2a_fn,
+                                        w_loc, ids_loc)
+                return jax.lax.cond(
+                    over, lambda w, i, _r: _dense_fn(w, i), _a2a_fn,
+                    w_loc, ids_loc, recv,
+                )
 
+        if use_staged:
+            return jax.shard_map(
+                fn,
+                mesh=self.mesh,
+                in_specs=(
+                    P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS, None)
+                ),
+                out_specs=P(DATA_AXIS, None),
+            )(weight, flat_ids, staged_recv)
         return jax.shard_map(
             fn,
             mesh=self.mesh,
@@ -1868,6 +1961,49 @@ class EmbeddingEngine:
             else:
                 out[k] = v
         return out
+
+    def write_logical_rows(
+        self,
+        weight: jnp.ndarray,
+        g: "_Group",
+        flat_ids: jnp.ndarray,
+        rows: jnp.ndarray,
+        col_off: int = 0,
+    ) -> jnp.ndarray:
+        """Scatter logical row vectors into a group table under ANY
+        physical layout (packed or flat). ``flat_ids`` are megatable
+        row indices (-1 = dropped); ``rows`` is [N, d] written at
+        columns [col_off, col_off + d) of each logical row. Weight
+        columns only — in-row optimizer state (packed groups) is left
+        untouched (a restored key restarts its optimizer state; the
+        host-spill tier stores vectors, not accumulators). Traceable:
+        used by the jitted spill-restore scatter (main.py)."""
+        d = rows.shape[1]
+        if g.packed:
+            invalid = flat_ids < 0
+            pid = jnp.where(
+                invalid, g.p_rows, flat_ids // g.spr
+            ).astype(jnp.int32)
+            lane = jnp.where(invalid, 0, flat_ids % g.spr).astype(
+                jnp.int32
+            )
+            cols = (
+                lane[:, None] * g.slot
+                + col_off
+                + jnp.arange(d, dtype=jnp.int32)[None, :]
+            )
+            return weight.at[pid[:, None], cols].set(
+                rows.astype(weight.dtype), mode="drop"
+            )
+        safe = jnp.where(flat_ids < 0, weight.shape[0], flat_ids)
+        if col_off == 0 and d == weight.shape[1]:
+            return weight.at[safe].set(
+                rows.astype(weight.dtype), mode="drop"
+            )
+        cols = col_off + jnp.arange(d, dtype=jnp.int32)
+        return weight.at[safe[:, None], cols[None, :]].set(
+            rows.astype(weight.dtype), mode="drop"
+        )
 
     def export_weight_matrices(self, tables) -> Dict[str, Any]:
         """{group_key: [padded_rows, dim] fp32 numpy weights} — the

@@ -133,8 +133,24 @@ def lookup_insert(
     ids: jnp.ndarray,  # int [N] raw ids (>= 0 valid; negatives = padding)
     step: jnp.ndarray,
     training: bool,
+    collect_spill: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Returns (slots [N] int32, new_state)."""
+    """Returns (slots [N] int32, new_state).
+
+    With ``collect_spill=True`` returns (slots, new_state, spill) where
+    spill carries the host-spill tier's per-element eviction/admission
+    record (reference dynamicemb/HKV: unbounded key space with host
+    memory behind the device cache, feature.proto:90-117):
+
+      evicted_keys[i]: the raw key whose row element i displaced from
+        its slot this step (-1 if none) — the host stores that row.
+      fresh_keys[i]:   the raw key newly inserted at slots[i] (-1 if
+        the element matched an existing entry) — if the host store
+        holds a previously-spilled row for it, the row is restored
+        into the device table before the NEXT step (one-step-late
+        readmission; the insert step itself trains from the slot's
+        prior contents).
+    """
     shape = ids.shape
     flat = ids.reshape(-1).astype(jnp.int32)
     n = flat.shape[0]
@@ -201,6 +217,12 @@ def lookup_insert(
         slots_ro = jnp.where(valid, slots_ro, -1)
         if new_admit is not None:
             state = dict(state, admit_cnt=new_admit)
+        if collect_spill:
+            none = jnp.full((n,), -1, jnp.int32)
+            return slots_ro.reshape(shape), state, {
+                "evicted_keys": none, "fresh_keys": none,
+                "slots": slots_ro,
+            }
         return slots_ro.reshape(shape), state
 
     # interval eviction: between sweeps an unmatched id without an
@@ -234,4 +256,25 @@ def lookup_insert(
     if new_admit is not None:
         new_state["admit_cnt"] = new_admit
     slots = jnp.where(valid, slots, -1)
+    if collect_spill:
+        old_key = jnp.take_along_axis(
+            keys_at, chosen_k[:, None], axis=1
+        )[:, 0]
+        # a fresh insert that displaced a live key spills that key's
+        # row; a fresh insert (evicting OR claiming an empty slot) is a
+        # readmission candidate. Within-batch duplicate fresh inserts
+        # of the same id are harmless (same slot, same stored row);
+        # DIFFERENT new ids racing for one slot resolve last-writer-
+        # wins in the scatter, so a restore may seed the winner's row
+        # from the loser's spill — one random-init-equivalent row, self-
+        # corrected by training (documented, matches the scatter race
+        # already inherent to lookup_insert).
+        spill = {
+            "evicted_keys": jnp.where(
+                fresh & (old_key >= 0), old_key, -1
+            ).astype(jnp.int32),
+            "fresh_keys": jnp.where(fresh, flat, -1).astype(jnp.int32),
+            "slots": slots.astype(jnp.int32),
+        }
+        return slots.reshape(shape), new_state, spill
     return slots.reshape(shape), new_state
