@@ -136,3 +136,67 @@ def test_engine_unknown_sharding_raises():
             [TableSpec("t", rows=1000, dim=16, sharding="diagonal")],
             [],
         )
+
+
+# -- cost-model magnitude/ordering assertions (the "est ms/step" the
+# -- planner logs must be non-trivial and correctly ordered at real
+# -- shapes, not ~0 everywhere)
+
+
+def _criteo_specs():
+    # the five 40M-row dim-16 tables + a tail of small ones, as in
+    # examples/deepfm_criteo.config
+    return (
+        [TableSpec(f"big{i}", rows=40_000_000, dim=16) for i in range(5)]
+        + [TableSpec(f"small{i}", rows=100_000, dim=16) for i in range(21)]
+    )
+
+
+def test_cost_estimate_nontrivial_at_criteo_shapes():
+    from torcheasyrec_tpu.parallel.planner import plan_cost
+
+    plan, est, per_table = plan_cost(
+        _criteo_specs(), n_devices=8, batch_size=8192,
+        optimizer_kind="rowwise_adagrad",
+    )
+    # 26 tables x 8192 ids x ~64B rows over ICI + HBM: the estimate
+    # must land in a physically-plausible band, not collapse to ~0
+    assert 1e-4 < est < 1.0, est
+    assert all(plan[f"big{i}"] == ROW_WISE for i in range(5))
+    assert all(c > 0.0 for c in per_table.values()), per_table
+
+
+def test_cost_ordering_row_wise_beats_data_parallel_on_big_tables():
+    from torcheasyrec_tpu.parallel.planner import _options
+
+    spec = TableSpec("big", rows=40_000_000, dim=16)
+    opts = {
+        o.sharding: o
+        for o in _options(
+            spec, n_devices=8, ids_per_step=8192.0, opt_factor=1.0
+        )
+    }
+    # update allgather of (ids, grads) across 8 devices outweighs the
+    # owner-bucketed a2a; and replication needs 8x the HBM
+    assert opts[ROW_WISE].time_cost < opts[DATA_PARALLEL].time_cost
+    assert opts[ROW_WISE].mem_bytes * 8 == opts[DATA_PARALLEL].mem_bytes * 1
+
+
+def test_cost_ordering_host_offload_pays_pcie():
+    from torcheasyrec_tpu.parallel.emb_engine import HOST_OFFLOAD
+    from torcheasyrec_tpu.parallel.planner import _options
+
+    spec = TableSpec("big", rows=40_000_000, dim=16)
+    opts = {
+        o.sharding: o
+        for o in _options(
+            spec, n_devices=8, ids_per_step=8192.0, opt_factor=1.0
+        )
+    }
+    # PCIe (1e10 B/s default) is slower than ICI (4.5e10): spilling the
+    # batch's rows over the host link must cost more than serving them
+    # from sharded HBM
+    assert opts[HOST_OFFLOAD].time_cost > opts[ROW_WISE].time_cost
+    # and the host tier trades HBM for DDR, not the reverse
+    assert opts[HOST_OFFLOAD].mem_bytes < opts[ROW_WISE].mem_bytes
+    assert opts[HOST_OFFLOAD].ddr_bytes > 0

@@ -56,6 +56,14 @@ _ENV_DEFAULTS = {
     "HBM_BANDWIDTH": 8.1e11,  # B/s
     "HBM_CAPACITY": 16e9,  # bytes
     "STORAGE_RESERVE_PERCENT": 0.15,
+    # fixed launch/sync latency per collective: why tiny tables prefer
+    # replication (1 grad allgather) over row_wise (3 tiny a2a's) even
+    # though sharding moves fewer bytes
+    "COLLECTIVE_LAUNCH_OVERHEAD": 5e-6,  # s
+    # fixed host round-trip per step for the host_offload tier (H2D
+    # staging + D2H row grads, dispatch + PCIe latency): why small
+    # tables never offload — only capacity-driven spills pay this
+    "HOST_LINK_LATENCY": 3e-5,  # s
 }
 
 
@@ -123,12 +131,18 @@ def _options(
     n = ids_per_step  # global ids per step for this table
     out = []
     n_hosts = max(n_devices // max(shards_per_host, 1), 1)
+    lat = _env("COLLECTIVE_LAUNCH_OVERHEAD")
     if n_devices > 1:
-        # row_wise: a2a ids (n*4) + a2a rows (n*row_bytes) +
-        # a2a grads back (n*row_bytes); per-device wire bytes
-        wire = n * (4.0 + 2.0 * row_bytes)
-        comm = _wire_time(wire, n_devices, shards_per_host)
-        hbm = (n * row_bytes * 3.0) / _env("HBM_BANDWIDTH")
+        # row_wise: 3 a2a's (ids out, rows back, grad rows out) of this
+        # device's LOCAL n/D ids — per-device wire bytes, the quantity
+        # every link actually carries (using global n here overcounted
+        # sharding by D and made replication look faster than row_wise
+        # even for 40M-row tables)
+        n_loc = n / n_devices
+        wire = n_loc * (4.0 + 2.0 * row_bytes)
+        comm = _wire_time(wire, n_devices, shards_per_host) + 3 * lat
+        # each shard serves ~n/D gathers + n/D RMW updates
+        hbm = (n_loc * row_bytes * 3.0) / _env("HBM_BANDWIDTH")
         out.append(_Option(ROW_WISE, comm + hbm, bytes_table / n_devices))
         # column_wise: every shard touches every id but only dim/D of
         # each row — same wire volume, small tie-break penalty so
@@ -138,33 +152,42 @@ def _options(
             out.append(_Option(
                 COLUMN_WISE, (comm + hbm) * 1.05, bytes_table / n_devices
             ))
-        # table_wise: the owning shard serves ALL the row traffic
+        # table_wise: the owning shard serves ALL n ids' row traffic
         # (hot-spot on its HBM + its links, riding DCN from other hosts)
         tw_comm = (
             n * (4.0 + 2.0 * row_bytes)
         ) / (_env("CROSS_NODE_BANDWIDTH") if n_hosts > 1 else _env("INTRA_NODE_BANDWIDTH"))
         out.append(_Option(
-            TABLE_WISE, tw_comm + hbm * n_devices, bytes_table
+            TABLE_WISE,
+            tw_comm + 3 * lat
+            + (n * row_bytes * 3.0) / _env("HBM_BANDWIDTH"),
+            bytes_table,
         ))
         # table_row_wise: rows split over ONE host group — remote hosts'
         # ids/rows ride DCN to that group, the gather fans out on ICI
         if 1 < shards_per_host < n_devices:
-            cross = n * (4.0 + 2.0 * row_bytes) * (n_hosts - 1) / n_hosts
+            group_wire = n / shards_per_host * (4.0 + 2.0 * row_bytes)
+            cross = group_wire * (n_hosts - 1) / n_hosts
             twrw_comm = cross / _env("CROSS_NODE_BANDWIDTH") + (
-                n * (4.0 + 2.0 * row_bytes) - cross
+                group_wire - cross
             ) / _env("INTRA_NODE_BANDWIDTH")
             out.append(_Option(
                 TABLE_ROW_WISE,
-                twrw_comm + hbm * n_hosts,
+                twrw_comm + 3 * lat
+                + (n / shards_per_host * row_bytes * 3.0)
+                / _env("HBM_BANDWIDTH"),
                 bytes_table / shards_per_host,
             ))
-    # data_parallel: local gather; update allgathers (ids, grads)
+    # data_parallel: local gather of n/D ids; the update allgathers
+    # every device's (ids, grads) and applies ALL n rows locally
     comm_dp = (
         _wire_time(n * (4.0 + row_bytes) * (n_devices - 1) / n_devices,
-                   n_devices, shards_per_host)
+                   n_devices, shards_per_host) + lat
         if n_devices > 1 else 0.0
     )
-    hbm_dp = (n * row_bytes * 3.0) / _env("HBM_BANDWIDTH")
+    hbm_dp = (
+        (n / n_devices + 2.0 * n) * row_bytes
+    ) / _env("HBM_BANDWIDTH")
     out.append(_Option(DATA_PARALLEL, comm_dp + hbm_dp, bytes_table))
     if allow_host:
         # host_offload: batch rows H2D + row grads D2H over the host
@@ -173,7 +196,8 @@ def _options(
         host_traffic = 2.0 * n * row_bytes / _env("HOST_LINK_BANDWIDTH")
         host_mem = 3.0 * n * row_bytes / 5.0e10
         out.append(_Option(
-            HOST_OFFLOAD, host_traffic + host_mem,
+            HOST_OFFLOAD,
+            host_traffic + host_mem + _env("HOST_LINK_LATENCY"),
             mem_bytes=2.0 * n * row_bytes,
             ddr_bytes=bytes_table,
         ))
@@ -192,11 +216,16 @@ def create_plan(
     n_ddr_bins: int = 16,
     shards_per_host: int = 1,
     host_excluded: Optional[Set[str]] = None,
+    _return_cost: bool = False,
 ) -> Dict[str, str]:
     """2-D DP over (HBM, DDR) memory bins -> {table_name: sharding}.
 
     host_excluded: table names that must not offload (zch/dynamicemb
     tables remap ids on-device).
+    With ``_return_cost`` returns (plan, est_seconds_per_step,
+    {table: est_seconds}) — the cost-model estimate the log line
+    prints, exposed so tests can pin non-trivial estimates
+    (plan_cost() is the public wrapper).
     """
     if not specs:
         return {}
@@ -308,12 +337,24 @@ def create_plan(
     counts: Dict[str, int] = {}
     for v in plan.values():
         counts[v] = counts.get(v, 0) + 1
+    per_table = {
+        s.name: table_opts[i][oi].time_cost
+        for i, (s, oi) in enumerate(zip(specs, best[1]))
+    }
     logger.info(
         "planner: "
         + ", ".join(f"{c} {k}" for k, c in sorted(counts.items()))
-        + f" tables (est {best[0] * 1e3:.2f} ms/step comm+mem)"
+        + f" tables (est {best[0] * 1e3:.3f} ms/step comm+mem)"
     )
+    if _return_cost:
+        return plan, best[0], per_table
     return plan
+
+
+def plan_cost(specs: Sequence[TableSpec], **kw):
+    """(plan, est_seconds_per_step, {table: est_seconds}) — same
+    arguments as create_plan."""
+    return create_plan(specs, _return_cost=True, **kw)
 
 
 def save_plan(plan: Dict[str, str], model_dir: str) -> None:
