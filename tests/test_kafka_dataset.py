@@ -216,6 +216,34 @@ def test_kafka_missing_wheel_raises(monkeypatch):
         kafka_dataset.KafkaReader("kafka://b/t", batch_size=8)
 
 
+def test_kafka_message_errors_skipped(fake_kafka):
+    """librdkafka delivers broker errors as messages whose error() is
+    set (e.g. _PARTITION_EOF); the reader must skip them, not parse."""
+    _fill_topic(fake_kafka, "events", per_part=4, parts=1)
+
+    class _ErrMessage(_FakeMessage):
+        def error(self):
+            return types.SimpleNamespace(
+                code=lambda: 3, str=lambda: "_PARTITION_EOF"
+            )
+
+    real_consume = _FakeConsumer.consume
+
+    def consume_with_errors(self, num_messages, timeout=None):
+        msgs = real_consume(self, num_messages, timeout)
+        return [_ErrMessage(0, -1, 0, b"")] + msgs
+
+    fake_kafka.consume = consume_with_errors
+    try:
+        reader = kafka_dataset.KafkaReader("kafka://b/events", batch_size=4)
+        (batch,) = _take_batches(reader, 1)
+        np.testing.assert_array_equal(
+            np.asarray(batch["user_id"].to_pylist()), [0, 1, 2, 3]
+        )
+    finally:
+        fake_kafka.consume = real_consume
+
+
 def test_kafka_bad_json_skipped(fake_kafka):
     fake_kafka.topics["events"] = {0: [
         (0, 1_700_000_000_000, b"not json"),
