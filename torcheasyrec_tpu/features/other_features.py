@@ -270,6 +270,26 @@ class TokenizeFeature(BaseFeature):
 
     def _get_tokenizer(self):
         if self._tokenizer is None and self.config.vocab_file:
+            ttype = (
+                getattr(self.config, "tokenizer_type", "") or "bpe"
+            ).lower()
+            if ttype == "sentencepiece" or self.config.vocab_file.endswith(
+                ".model"
+            ):
+                # serialized spm model (reference tokenize_feature.py:
+                # 149-159); pure-python loader + unigram Viterbi — the
+                # sentencepiece wheel is not required (features/spiece.py)
+                from torcheasyrec_tpu.features.spiece import (
+                    SpmTokenizerAdapter,
+                )
+
+                try:
+                    self._tokenizer = SpmTokenizerAdapter.from_file(
+                        self.config.vocab_file
+                    )
+                except Exception:  # noqa: BLE001
+                    self._tokenizer = None
+                return self._tokenizer
             try:
                 from tokenizers import Tokenizer
 
