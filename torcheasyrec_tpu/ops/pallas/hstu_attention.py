@@ -206,14 +206,18 @@ def _fwd_kernel(
 
 def _bwd_dv_dk_kernel(
     lengths_ref, targets_ref, q_ref, k_ref, v_ref, do_ref,
-    dv_ref, dk_ref,
+    dv_ref, dk_ref, dq_ref,
     *, h, n, alpha, scale, causal, has_targets, max_attn_len,
     contextual_seq_len, min_full_attn_seq_len, bq, bk,
     sla_k1=0, sla_k2=0, folded=True,
 ):
     BQ, BK = bq, bk
     """grid (B, H, num_k_blocks): dv_j = sum_i s_ij^T do_i;
-    dk_j = sum_i (ds_ij)^T q_i."""
+    dk_j = sum_i (ds_ij)^T q_i. FUSED dq: dq_i += ds_ij k_j accumulates
+    into the full-[N, D] f32 output block, which Mosaic keeps resident
+    in VMEM across the sequential ki steps of one (b, h) and writes
+    back once — the separate dq kernel re-ran the z and dattn dots
+    (2 of backward's 7), ~18 ms of a 194 ms DLRM-HSTU step."""
     b = pl.program_id(0) if folded else pl.program_id(0) // h
     ki = pl.program_id(2)
     seq_len = lengths_ref[b]
@@ -233,6 +237,12 @@ def _bwd_dv_dk_kernel(
     len_qb = (seq_len + BQ - 1) // BQ
     end_qb = jnp.minimum(num_qb, len_qb)
     h_bound = seq_len - (n_t if n_t is not None else 0)
+
+    # the dq block covers the whole sequence for this (b, h); zero it
+    # once at the first ki step (dead samples stay zero throughout)
+    @pl.when(ki == 0)
+    def _():
+        dq_ref[0] = jnp.zeros_like(dq_ref[0])
 
     def _qb_body(qi, carry, masked):
         dv, dk = carry
@@ -268,6 +278,12 @@ def _bwd_dv_dk_kernel(
             dz.astype(qblk.dtype), qblk, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        # fused dq accumulation (f32 read-modify-write in VMEM)
+        dqi = jax.lax.dot_general(
+            dz.astype(kblk.dtype), kblk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dq_ref[0, pl.ds(qi * BQ, BQ), :] += dqi
         return dv, dk
 
     def compute_qb(qi, carry):
@@ -309,87 +325,6 @@ def _bwd_dv_dk_kernel(
             )
         dv_ref[0] = dv.astype(dv_ref.dtype)
         dk_ref[0] = dk.astype(dk_ref.dtype)
-
-
-def _bwd_dq_kernel(
-    lengths_ref, targets_ref, q_ref, k_ref, v_ref, do_ref, dq_ref,
-    *, h, n, alpha, scale, causal, has_targets, max_attn_len,
-    contextual_seq_len, min_full_attn_seq_len, bq, bk,
-    sla_k1=0, sla_k2=0, folded=True,
-):
-    BQ, BK = bq, bk
-    b = pl.program_id(0) if folded else pl.program_id(0) // h
-    qi = pl.program_id(2)
-    seq_len = lengths_ref[b]
-    n_t = targets_ref[b] if has_targets else None
-    qblk = q_ref[0]
-    doblk = do_ref[0]
-    rows = qi * BQ + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
-    sla = sla_k1 > 0 or sla_k2 > 0
-    num_kb_eff = (
-        (qi + 1)
-        if (causal and (contextual_seq_len == 0 or sla))
-        else (n // BK)
-    )
-    # jagged-equivalent bound (cols >= seq_len masked everywhere)
-    num_kb_eff = jnp.minimum(num_kb_eff, (seq_len + BK - 1) // BK)
-    h_bound = seq_len - (n_t if n_t is not None else 0)
-
-    def _kb_body(kb, dq, masked):
-        kblk = k_ref[0, pl.ds(kb * BK, BK), :]
-        vblk = v_ref[0, pl.ds(kb * BK, BK), :]
-        z = jax.lax.dot_general(
-            qblk, kblk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * alpha
-        dattn = jax.lax.dot_general(
-            doblk, vblk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dz = dattn * _dsilu(z) * (alpha / scale)
-        if masked:
-            cols = kb * BK + jax.lax.broadcasted_iota(
-                jnp.int32, (BQ, BK), 1
-            )
-            mask = _mask_block(
-                rows, cols, seq_len, n_t, causal, max_attn_len,
-                contextual_seq_len, min_full_attn_seq_len, sla_k1, sla_k2,
-            )
-            dz = jnp.where(mask, dz, 0.0)
-        return dq + jax.lax.dot_general(
-            dz.astype(kblk.dtype), kblk, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    def compute(kb, dq):
-        return _kb_body(kb, dq, True)
-
-    live = qi * BQ < seq_len
-
-    @pl.when(jnp.logical_not(live))
-    def _():
-        dq_ref[0] = jnp.zeros_like(dq_ref[0])
-
-    @pl.when(live)
-    def _():
-        if sla:
-            eff_k2 = max(sla_k2, contextual_seq_len)
-            n_pref = jnp.minimum((eff_k2 + BK - 1) // BK, num_kb_eff)
-            win_start = jnp.maximum(
-                (qi * BQ - sla_k1 + 1) // BK, n_pref
-            )
-            has_tgt = (qi * BQ + BQ) > h_bound
-            start2 = jnp.where(has_tgt, n_pref, win_start)
-            dq = jnp.zeros((BQ, qblk.shape[-1]), jnp.float32)
-            dq = jax.lax.fori_loop(0, n_pref, compute, dq)
-            dq = jax.lax.fori_loop(start2, num_kb_eff, compute, dq)
-            dq_ref[0] = dq.astype(dq_ref.dtype)
-        else:
-            dq = jax.lax.fori_loop(
-                0, num_kb_eff, compute,
-                jnp.zeros((BQ, qblk.shape[-1]), jnp.float32),
-            )
-            dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
 def _prep(q, k, v, lengths, num_targets):
@@ -528,7 +463,6 @@ def _bwd_rule(
         kf = k.reshape(b, n, h * d)
         vf = v.reshape(b, n, h * vd)
         dof = do.reshape(b, n, h * vd)
-        grid_q = (b, h, n // bq)
         grid_k = (b, h, n // bk)
         blk_ix = lambda i, hh, j, *_: (i, j, hh)
         full_ix = lambda i, hh, j, *_: (i, 0, hh)
@@ -537,11 +471,14 @@ def _bwd_rule(
         kf = k.transpose(0, 2, 1, 3).reshape(b * h, n, d)
         vf = v.transpose(0, 2, 1, 3).reshape(b * h, n, vd)
         dof = do.transpose(0, 2, 1, 3).reshape(b * h, n, vd)
-        grid_q = (b * h, 1, n // bq)
         grid_k = (b * h, 1, n // bk)
         blk_ix = lambda i, hh, j, *_: (i, j, 0)
         full_ix = lambda i, hh, j, *_: (i, 0, 0)
-    dv, dk = pl.pallas_call(
+    # ONE fused pass: dv/dk per k-block + dq accumulated into a
+    # VMEM-resident full-[N, D] f32 output block (zeroed at ki == 0,
+    # flushed when (b, h) advances). The separate dq kernel re-ran the
+    # z and dattn dots — 2 of backward's 7 matmuls.
+    dv, dk, dq = pl.pallas_call(
         functools.partial(_bwd_dv_dk_kernel, **common),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -555,28 +492,16 @@ def _bwd_rule(
             out_specs=[
                 pl.BlockSpec((1, bk, vd), blk_ix),
                 pl.BlockSpec((1, bk, d), blk_ix),
+                pl.BlockSpec((1, n, d), full_ix),
             ],
         ),
         out_shape=[
             jax.ShapeDtypeStruct(vf.shape, v.dtype),
             jax.ShapeDtypeStruct(kf.shape, k.dtype),
+            jax.ShapeDtypeStruct(qf.shape, jnp.float32),
         ],
     )(lengths, targets, qf, kf, vf, dof)
-    dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, **common),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=grid_q,
-            in_specs=[
-                pl.BlockSpec((1, bq, d), blk_ix),
-                pl.BlockSpec((1, n, d), full_ix),
-                pl.BlockSpec((1, n, vd), full_ix),
-                pl.BlockSpec((1, bq, vd), blk_ix),
-            ],
-            out_specs=pl.BlockSpec((1, bq, d), blk_ix),
-        ),
-        out_shape=jax.ShapeDtypeStruct(qf.shape, q.dtype),
-    )(lengths, targets, qf, kf, vf, dof)
+    dq = dq.astype(q.dtype)
     if folded:
         return (
             dq.reshape(b, n, h, d),
