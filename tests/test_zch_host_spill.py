@@ -238,3 +238,96 @@ model_config {{
 
     result = tzrec_main.train_and_evaluate(cfg_path)
     assert "auc" in result
+
+
+def test_spill_restore_row_wise_mesh():
+    """write_logical_rows / gather path under an 8-device row_wise
+    sharded table: an evicted+readmitted key recovers its vector with
+    the table distributed over the mesh."""
+    import jax
+
+    from torcheasyrec_tpu.datasets.utils import Batch, SparseField
+    from torcheasyrec_tpu.features import create_features
+    from torcheasyrec_tpu.modules.embedding import EmbeddingGroup
+    from torcheasyrec_tpu.parallel.mesh import create_mesh
+    from torcheasyrec_tpu.protos import feature_pb2, model_pb2
+
+    dim, cap = 8, 8
+    mesh = create_mesh()
+    fc = text_format.Parse(
+        f"""id_feature {{
+            feature_name: 'dyn'
+            embedding_dim: {dim}
+            dynamicemb {{ max_capacity: {cap} score_strategy: "LFU" }}
+        }}""",
+        feature_pb2.FeatureConfig(),
+    )
+    feats = create_features([fc])
+    mc = text_format.Parse(
+        """feature_groups { group_name: "deep" feature_names: "dyn"
+                            group_type: DEEP }""",
+        model_pb2.ModelConfig(),
+    )
+    eg = EmbeddingGroup(
+        feats, list(mc.feature_groups), mesh=mesh,
+        plan={"dyn_emb": "row_wise"},
+    )
+    engine = eg.engine
+    tables = eg.init_tables(jax.random.key(0))
+    zst = eg.init_zch_states()
+    mgr = eg.make_spill_manager()
+    gk, off, _r, coff, d = engine._table_slice("dyn_emb")
+    g = engine.groups[gk]
+    assert g.sharding == "row_wise" and not g.packed
+
+    def step(ids, tables, zst, step_i):
+        batch = Batch(sparse_features={
+            "dyn": SparseField(values=jnp.asarray(ids, jnp.int32)[:, None]),
+        })
+        nb, zst, spills = eg.remap_zch(
+            batch, zst, jnp.int32(step_i), True, collect_spill=True
+        )
+        rec = eg.gather_spill_rows(tables, spills)
+        restores = mgr.process(jax.device_get(rec))
+        if restores:
+            tables = eg.apply_spill_restores(tables, restores)
+        slot = np.asarray(nb.sparse_features["dyn"].values).reshape(-1)
+        return tables, zst, slot
+
+    A = 777_001
+    vA = np.linspace(3.0, 4.0, dim, dtype=np.float32)
+    tables, zst, slots = step([A] * 8, tables, zst, 1)
+    slot_A = int(slots[0])
+    tables = dict(tables)
+    tables[gk] = engine.write_logical_rows(
+        tables[gk], g, jnp.asarray([off + slot_A], jnp.int32),
+        jnp.asarray(vA[None, :]), coff,
+    )
+    got = np.asarray(engine._dist_gather(
+        tables[gk], jnp.asarray([off + slot_A] * 8, jnp.int32), g
+    ))[0, coff:coff + d]
+    np.testing.assert_allclose(got, vA, rtol=1e-6)
+
+    store = mgr.stores["dyn_emb"]
+    step_i = 2
+    for wave in range(40):
+        flood = [5000 + 16 * wave + j for j in range(16)]
+        for _ in range(3):
+            tables, zst, _ = step(flood, tables, zst, step_i)
+            step_i += 1
+        if A in store:
+            break
+    assert A in store
+    np.testing.assert_allclose(store.get(A), vA, rtol=1e-6)
+    for _ in range(30):
+        tables, zst, slots = step([A] * 8, tables, zst, step_i)
+        step_i += 1
+        if A not in store and int(slots[0]) >= 0:
+            new_slot = int(slots[0])
+            break
+    else:
+        raise AssertionError("key A was never readmitted")
+    got = np.asarray(engine._dist_gather(
+        tables[gk], jnp.asarray([off + new_slot] * 8, jnp.int32), g
+    ))[0, coff:coff + d]
+    np.testing.assert_allclose(got, vA, rtol=1e-6)
