@@ -113,3 +113,86 @@ def test_stage_route_matches_inline_lookup():
     assert set(a) == set(b)
     for k in a:
         np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_driver_loop_overlap_e2e(tmp_path):
+    """train_and_evaluate with sparse_dist_overlap exercises the whole
+    driver wiring (paired iterator, batch_next threading, epoch-
+    boundary staged drop, checkpoint filter) and must reproduce the
+    unpipelined run's metrics exactly."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from torcheasyrec_tpu import main as tzrec_main
+
+    tmp_path = str(tmp_path)
+    rng = np.random.default_rng(0)
+    n = 512
+    tbl = pa.table({
+        "cat_a": pa.array(rng.integers(0, 100000, n).astype(np.int64)),
+        "cat_b": pa.array(rng.integers(0, 1000, n).astype(np.int64)),
+        "num_a": pa.array(rng.normal(size=n).astype(np.float32)),
+        "label": pa.array((rng.random(n) > 0.5).astype(np.float32)),
+    })
+    train = os.path.join(tmp_path, "train.parquet")
+    evalp = os.path.join(tmp_path, "eval.parquet")
+    pq.write_table(tbl.slice(0, 384), train)
+    pq.write_table(tbl.slice(384), evalp)
+
+    def _cfg(overlap: bool, model_dir: str) -> str:
+        txt = f"""
+train_input_path: "{train}"
+eval_input_path: "{evalp}"
+model_dir: "{model_dir}"
+train_config {{
+    sparse_optimizer {{ adagrad_optimizer {{ lr: 0.05 }}
+                        constant_learning_rate {{}} }}
+    dense_optimizer {{ adam_optimizer {{ lr: 0.01 }}
+                       constant_learning_rate {{}} }}
+    num_epochs: 2
+    save_checkpoints_steps: 10000
+    sparse_dist_overlap: {"true" if overlap else "false"}
+}}
+data_config {{
+    batch_size: 64
+    dataset_type: ParquetDataset
+    fg_mode: FG_NONE
+    label_fields: "label"
+}}
+feature_configs {{ id_feature {{ feature_name: "cat_a"
+    num_buckets: 100000 embedding_dim: 16
+    embedding_constraints {{ sharding_types: "row_wise" }} }} }}
+feature_configs {{ id_feature {{ feature_name: "cat_b"
+    num_buckets: 1000 embedding_dim: 16 }} }}
+feature_configs {{ raw_feature {{ feature_name: "num_a" }} }}
+model_config {{
+    feature_groups {{ group_name: "wide"
+        feature_names: ["cat_a", "cat_b"] group_type: WIDE }}
+    feature_groups {{ group_name: "fm"
+        feature_names: ["cat_a", "cat_b"] group_type: DEEP }}
+    feature_groups {{ group_name: "deep"
+        feature_names: ["cat_a", "cat_b", "num_a"] group_type: DEEP }}
+    deepfm {{ deep {{ hidden_units: [16] }} }}
+    losses {{ binary_cross_entropy {{}} }}
+    metrics {{ auc {{}} }}
+}}
+"""
+        p = os.path.join(model_dir + ".config")
+        with open(p, "w") as f:
+            f.write(txt)
+        return p
+
+    assert len(jax.devices()) == 8  # maybe_mesh() builds the mesh
+    r_overlap = tzrec_main.train_and_evaluate(
+        _cfg(True, os.path.join(tmp_path, "m_overlap"))
+    )
+    r_plain = tzrec_main.train_and_evaluate(
+        _cfg(False, os.path.join(tmp_path, "m_plain"))
+    )
+    assert r_overlap.keys() == r_plain.keys()
+    for k in r_plain:
+        np.testing.assert_allclose(
+            r_overlap[k], r_plain[k], rtol=0, atol=0, err_msg=k
+        )
