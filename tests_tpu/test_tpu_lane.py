@@ -249,3 +249,64 @@ def test_jitted_deepfm_train_step():
         losses.append(float(jax.device_get(metrics["total_loss"])))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]  # learning on a fixed batch
+
+
+def test_perf_floor_hstu_kernel_and_row_write():
+    """Order-of-magnitude perf regression gate on the two hot kernels.
+
+    Bounds are ~4x the round-4 measurements (HSTU fwd+bwd 14.3 ms at
+    B32/N4096/H4/D128; row_write ~36 ns/row) so shared-chip noise
+    can't flake the lane, while a silent fallback to the XLA path or a
+    serialization bug (10x+) still fails.
+    """
+    import time
+
+    from torcheasyrec_tpu.ops.pallas.hstu_attention import pallas_hstu_mha
+    from torcheasyrec_tpu.ops.pallas.row_write import write_rows
+
+    b, n, h, d = 8, 2048, 4, 128
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(b, n, h, d)).astype(np.float32)
+                    ).astype(jnp.bfloat16) * 0.1
+    k = (jnp.asarray(rng.normal(size=(b, n, h, d)).astype(np.float32))
+         * 0.1).astype(jnp.bfloat16)
+    v = (jnp.asarray(rng.normal(size=(b, n, h, d)).astype(np.float32))
+         * 0.1).astype(jnp.bfloat16)
+    lengths = jnp.asarray(
+        np.clip(rng.integers(200, n, b), 0, n).astype(np.int32))
+
+    g = jax.jit(jax.grad(
+        lambda q, k, v: pallas_hstu_mha(
+            q, k, v, lengths, 1.0 / d, causal=True
+        ).astype(jnp.float32).sum(),
+        argnums=(0, 1, 2),
+    ))
+    o = g(q, k, v)
+    jax.device_get(o[0].ravel()[0])
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(5):
+            o = g(q, k, v)
+        jax.device_get(o[0].ravel()[0])
+        best = min(best, (time.perf_counter() - t0) / 5)
+    # measured ~3.5 ms at these shapes (1/4 the bench B*N) round 4
+    assert best < 0.020, f"hstu fwd+bwd {best*1e3:.1f} ms (>20 ms)"
+
+    P, N = 2_000_000, 131_072
+    tgt = jnp.asarray(
+        np.sort(rng.choice(P - 2, N, replace=False)).astype(np.int32))
+    rows = jnp.asarray(rng.normal(size=(N, 128)).astype(np.float32))
+    w = jax.jit(
+        lambda t, i, r: write_rows(t, i, r, scratch_id=P - 1),
+        donate_argnums=(0,),
+    )
+    t = w(jnp.zeros((P, 128), jnp.float32), tgt, rows)
+    jax.device_get(t.ravel()[0])
+    t0 = time.perf_counter()
+    for _ in range(10):
+        t = w(t, tgt, rows)
+    jax.device_get(t.ravel()[0])
+    per_row = (time.perf_counter() - t0) / 10 / N
+    # measured ~36 ns/row round 4; XLA scatter fallback is ~90-110
+    assert per_row < 150e-9, f"row_write {per_row*1e9:.0f} ns/row (>150)"
