@@ -351,9 +351,84 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 - bench must not die here
             print(f"mp pipeline stage skipped: {e!r}", file=sys.stderr)
 
+    # grouped multi-step dispatch (steps_per_dispatch analogue): K
+    # batches stacked into ONE (K, W) wire, one H2D put, one scanned
+    # K-step jitted call. The per-batch path pays ~2 host dispatches
+    # per batch; when the host link is latency-bound (and on this
+    # container the tunnel's put latency DEGRADES with lifetime
+    # transferred bytes — a platform bug documented above), this is
+    # the resilient production path (docs/pipeline.md).
+    mp_grouped_eps = None
+    if mesh is None:
+        try:
+            from torcheasyrec_tpu.datasets.mp_loader import MpBatchLoader
+            from torcheasyrec_tpu.datasets.pack import put_packed_group
+            from torcheasyrec_tpu.main import make_train_step_scan
+
+            K = 8
+            scan_step = jax.jit(
+                make_train_step_scan(
+                    model, tx, sparse_sched, dense_sched, jnp.bfloat16
+                ),
+                donate_argnums=(0,),
+            )
+            loader = MpBatchLoader(
+                _BenchDatasetFactory(features, 100_000),
+                3,
+                dense_bf16=True,
+                device_put_fn=put_packed_group,
+                prefetch=6,
+                group_size=K,
+            )
+            try:
+                time.sleep(8.0)
+                for _ in range(6):
+                    g, infos = next(loader)
+                    state, m, _ = scan_step(state, g, step_rng)
+                float(jax.device_get(m["total_loss"]))
+                best_dt = float("inf")
+                n_timed = 60  # groups (480 batches)
+                for _ in range(3):
+                    done = 0
+                    t0 = time.perf_counter()
+                    for _ in range(n_timed):
+                        g, infos = next(loader)
+                        state, m, _ = scan_step(state, g, step_rng)
+                        done += sum(i.batch_size for i in infos)
+                    float(jax.device_get(m["total_loss"]))
+                    dt_w = time.perf_counter() - t0
+                    best_dt = min(best_dt, dt_w / done)
+                mp_grouped_eps = 1.0 / best_dt
+            finally:
+                loader.close()
+        except Exception as e:  # noqa: BLE001
+            print(f"mp grouped stage skipped: {e!r}", file=sys.stderr)
+
+    # offline-inference lane (reference predict pipeline): forward-only
+    # jitted eval step over resident batches — the per-chip serving
+    # ceiling for the same model/batch
+    from torcheasyrec_tpu.main import make_eval_step
+
+    eval_step = jax.jit(make_eval_step(model, jnp.bfloat16,
+                                       with_loss=False))
+    preds, _ = eval_step(state, batch)
+    first = jax.tree_util.tree_leaves(preds)[0]
+    float(jax.device_get(first.ravel()[0]))
+    pdt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(STEPS):
+            preds, _ = eval_step(state, batch)
+        float(jax.device_get(
+            jax.tree_util.tree_leaves(preds)[0].ravel()[0]
+        ))
+        pdt = min(pdt, time.perf_counter() - t0)
+
     n_dev = len(jax.devices())
     compute_eps = BATCH_SIZE * STEPS / dt / n_dev
-    best_pipeline = max(pipeline_eps, mp_pipeline_eps or 0.0)
+    best_pipeline = max(
+        pipeline_eps, mp_pipeline_eps or 0.0, mp_grouped_eps or 0.0
+    )
     per_chip = best_pipeline / n_dev
     result = {
         "metric": "deepfm_criteo_train_examples_per_sec_per_chip",
@@ -362,9 +437,15 @@ def main() -> None:
         "vs_baseline": round(per_chip / A100_BASELINE_EXAMPLES_PER_SEC, 3),
         "compute_path_examples_per_sec": round(compute_eps, 1),
         "compute_step_ms": round(dt / STEPS * 1000, 3),
+        "predict_examples_per_sec_per_chip": round(
+            BATCH_SIZE * STEPS / pdt / n_dev, 1
+        ),
         "thread_pipeline_examples_per_sec": round(pipeline_eps, 1),
         "mp_pipeline_examples_per_sec": (
             round(mp_pipeline_eps, 1) if mp_pipeline_eps else None
+        ),
+        "mp_grouped_dispatch_examples_per_sec": (
+            round(mp_grouped_eps, 1) if mp_grouped_eps else None
         ),
         "n_devices": n_dev,
         "batch_size": BATCH_SIZE,
