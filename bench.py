@@ -387,8 +387,8 @@ def main() -> None:
                     state, m, _ = scan_step(state, g, step_rng)
                 float(jax.device_get(m["total_loss"]))
                 best_dt = float("inf")
-                n_timed = 60  # groups (480 batches)
-                for _ in range(3):
+                n_timed = 40  # groups (320 batches)
+                for _ in range(2):
                     done = 0
                     t0 = time.perf_counter()
                     for _ in range(n_timed):
