@@ -26,10 +26,11 @@ SYNC HONESTY: on this container's tunnel platform,
 window here ends with ``jax.device_get`` of a loss scalar whose value
 transitively depends on the whole donated-state chain — that forces
 real completion. Rounds 1-2 of this repo used block_until_ready and
-overstated device throughput ~400x; the honest DeepFM step is
-~90 ms/step at batch 8192, dominated by embedding-table gather/scatter
-(213k rows/step; measured v5e floor ~20 ns/row gather, ~95 ns/row
-scatter — the step is DMA-bound, not MXU-bound).
+overstated device throughput ~400x. The honest round-4 step is
+~15.3 ms at batch 8192 (round 3: ~88 ms) — DMA-descriptor-bound on
+the packed-row gather (~9 ns/row) + Pallas DMA row-write (~36 ns/row)
+over ~140-213k physical rows/step, not MXU-bound (dense FLOPs are
+~0.1 ms).
 """
 
 import json
