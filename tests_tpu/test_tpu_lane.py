@@ -310,3 +310,190 @@ def test_perf_floor_hstu_kernel_and_row_write():
     per_row = (time.perf_counter() - t0) / 10 / N
     # measured ~36 ns/row round 4; XLA scatter fallback is ~90-110
     assert per_row < 150e-9, f"row_write {per_row*1e9:.0f} ns/row (>150)"
+
+
+def test_sla_truncation_kernel_vs_ref_compiled():
+    """Semi-Local Attention + target masking, compiled Mosaic vs the
+    XLA reference (VERDICT r4 #9: every Pallas mask family must run
+    compiled on the chip, not just interpret-mode on CPU)."""
+    from torcheasyrec_tpu.ops.hstu import _jax_hstu_mha
+    from torcheasyrec_tpu.ops.pallas.hstu_attention import pallas_hstu_mha
+
+    b, n, h, d = 2, 256, 2, 64
+    key = jax.random.key(3)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, n, h, d), jnp.float32) * 0.1
+    k = jax.random.normal(kk, (b, n, h, d), jnp.float32) * 0.1
+    v = jax.random.normal(kv, (b, n, h, d), jnp.float32) * 0.1
+    lengths = jnp.array([230, 150], jnp.int32)
+    targets = jnp.array([16, 8], jnp.int32)
+    alpha = 1.0 / d
+    kw = dict(causal=True, sla_k1=64, sla_k2=32)
+
+    def run_p(q, k, v):
+        return pallas_hstu_mha(q, k, v, lengths, alpha,
+                               num_targets=targets, **kw)
+
+    out_p = jax.jit(run_p)(q, k, v)
+    out_r = _jax_hstu_mha(q, k, v, lengths, alpha, True, targets,
+                          0, 0, 0, n, sla_k1=64, sla_k2=32)
+    np.testing.assert_allclose(
+        jax.device_get(out_p), jax.device_get(out_r),
+        rtol=2e-3, atol=2e-4,
+    )
+    gp = jax.jit(jax.grad(lambda *a: run_p(*a).sum(),
+                          argnums=(0, 1, 2)))(q, k, v)
+    gr = jax.grad(
+        lambda q, k, v: _jax_hstu_mha(
+            q, k, v, lengths, alpha, True, targets, 0, 0, 0, n,
+            sla_k1=64, sla_k2=32,
+        ).sum(),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, bb in zip(gp, gr):
+        np.testing.assert_allclose(
+            jax.device_get(a), jax.device_get(bb), rtol=2e-2, atol=2e-3
+        )
+
+
+def test_sharded_packed_step_on_chip(monkeypatch):
+    """VERDICT r4 #9: the packed+sharded paths (shard_map owner a2a,
+    per-shard packed blocks, pallas row-write inside shard_map) run
+    COMPILED on the real chip via a 1-chip mesh + TZREC_FORCE_SHARDED.
+    Numerics must match the unsharded packed engine."""
+    monkeypatch.setenv("TZREC_FORCE_SHARDED", "1")
+    from torcheasyrec_tpu.datasets.utils import SparseField
+    from torcheasyrec_tpu.parallel.emb_engine import (
+        EmbeddingEngine, LookupSpec, TableSpec,
+    )
+    from torcheasyrec_tpu.parallel.mesh import create_mesh
+    from torcheasyrec_tpu.parallel.sparse_optim import SparseOptimizer
+
+    tables = [TableSpec("t", rows=100_000, dim=16)]
+    lookups = [LookupSpec("o", "f", "t", "sum")]
+    mesh = create_mesh(jax.devices()[:1])
+    opt = SparseOptimizer("rowwise_adagrad", {"lr": 0.05})
+    sharded = EmbeddingEngine(tables, lookups, mesh=mesh, optimizer=opt)
+    monkeypatch.delenv("TZREC_FORCE_SHARDED")
+    plain = EmbeddingEngine(tables, lookups, optimizer=opt)
+    (gk, g), = sharded.groups.items()
+    assert g.packed and g.sharding == "row_wise"
+
+    ids = jnp.asarray(
+        np.random.default_rng(1).integers(-1, 100_000, (4096, 2))
+    )
+    sparse = {"f": SparseField(values=ids)}
+    outs = []
+    finals = []
+    for eng in (sharded, plain):
+        t = eng.init(jax.random.key(0))
+        s = eng.init_opt_state()
+
+        @jax.jit
+        def step(t, s, eng=eng):
+            staged = eng.stage_route(sparse)
+            o, r = eng.lookup(t, sparse, staged=staged)
+            grads = {k: v * 0.1 for k, v in o.items()}
+            nt, ns = eng.update(t, s, r, grads, jnp.float32(1.0))
+            return o, nt, ns
+
+        for _ in range(2):
+            o, t, s = step(t, s)
+        outs.append(np.asarray(jax.device_get(o["o"])))
+        finals.append(np.asarray(eng.extract_table(t, "t")))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(finals[0], finals[1], rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_grouped_dispatch_scan_step_on_chip():
+    """steps_per_dispatch > 1: the scanned K-step train step (ONE
+    dispatch, lax.scan over stacked batches) compiles and trains on the
+    chip — the degradation-resilient production pipeline lane."""
+    import pyarrow as pa
+
+    from torcheasyrec_tpu.datasets.data_parser import DataParser
+    from torcheasyrec_tpu.datasets.pack import (
+        pack_batch, put_packed_group, stack_packed,
+    )
+    from torcheasyrec_tpu.main import (
+        _build_model_and_optim, _init_state, make_train_step_scan,
+    )
+    from torcheasyrec_tpu.optim.optimizer_builder import (
+        create_dense_optimizer,
+    )
+    from google.protobuf import text_format
+    from torcheasyrec_tpu.protos import pipeline_pb2
+
+    cfg = text_format.Parse(
+        """
+train_input_path: "x"
+eval_input_path: "x"
+model_dir: "/tmp/tpu_lane_scan_model"
+train_config {
+  sparse_optimizer { adagrad_optimizer { lr: 0.05 }
+                     constant_learning_rate {} }
+  dense_optimizer { adam_optimizer { lr: 0.002 }
+                    constant_learning_rate {} }
+  num_epochs: 1
+}
+data_config { batch_size: 256 dataset_type: ParquetDataset
+              fg_mode: FG_NONE label_fields: "label" }
+feature_configs { id_feature { feature_name: "cat_a"
+                  num_buckets: 10000 embedding_dim: 16 } }
+feature_configs { id_feature { feature_name: "cat_b"
+                  num_buckets: 1000 embedding_dim: 16 } }
+feature_configs { raw_feature { feature_name: "num_a" } }
+model_config {
+  feature_groups { group_name: "wide" feature_names: "cat_a"
+                   feature_names: "cat_b" group_type: WIDE }
+  feature_groups { group_name: "fm" feature_names: "cat_a"
+                   feature_names: "cat_b" group_type: DEEP }
+  feature_groups { group_name: "deep" feature_names: "cat_a"
+                   feature_names: "cat_b" feature_names: "num_a"
+                   group_type: DEEP }
+  deepfm { deep { hidden_units: [32, 16] }
+           final { hidden_units: [16] } wide_embedding_dim: 8 }
+  num_class: 1
+  losses { binary_cross_entropy {} }
+  metrics { auc {} }
+}
+""",
+        pipeline_pb2.EasyRecConfig(),
+    )
+    model, features, sparse_sched = _build_model_and_optim(cfg, None)
+    parser = DataParser(features, labels=["label"])
+    rng = np.random.default_rng(0)
+    K, B = 4, 256
+    packs = []
+    for i in range(K):
+        cols = {
+            "cat_a": pa.array(rng.integers(0, 10000, B)),
+            "cat_b": pa.array(rng.integers(0, 1000, B)),
+            "num_a": pa.array(rng.normal(size=B).astype(np.float32)),
+            "label": pa.array((rng.random(B) > 0.5).astype(np.float32)),
+        }
+        packs.append(pack_batch(parser.parse_to_batch(cols)))
+    group = put_packed_group(stack_packed(packs))
+    dense, tables, sparse_opt = _init_state(model, cfg)
+    tx, dense_sched = create_dense_optimizer(
+        cfg.train_config.dense_optimizer, dense
+    )
+    state = {
+        "dense": dense, "tables": tables, "sparse_opt": sparse_opt,
+        "dense_opt": tx.init(dense),
+        "step": jnp.zeros((), jnp.int32),
+    }
+    scan_step = jax.jit(
+        make_train_step_scan(model, tx, sparse_sched, dense_sched,
+                             jnp.float32),
+        donate_argnums=(0,),
+    )
+    state, m, _ = scan_step(state, group, jax.random.key(0))
+    l0 = float(jax.device_get(m["total_loss"]))
+    for _ in range(5):
+        state, m, _ = scan_step(state, group, jax.random.key(0))
+    l1 = float(jax.device_get(m["total_loss"]))
+    assert np.isfinite(l0) and np.isfinite(l1)
+    assert l1 < l0, (l0, l1)
+    assert int(jax.device_get(state["step"])) == 6 * K

@@ -30,7 +30,7 @@ from torcheasyrec_tpu.optim.optimizer_builder import (
     create_grad_clipper,
     create_sparse_optimizer,
 )
-from torcheasyrec_tpu.parallel.mesh import DATA_AXIS, maybe_mesh
+from torcheasyrec_tpu.parallel.mesh import maybe_mesh
 from torcheasyrec_tpu.utils import checkpoint_util, config_util
 from torcheasyrec_tpu.utils.logging_util import ProgressLogger, logger
 
@@ -118,10 +118,14 @@ def _shard_batch(batch: Batch, mesh) -> Batch:
 
     n = mesh.devices.size
 
+    from torcheasyrec_tpu.parallel.mesh import data_axes
+
+    ax = data_axes(mesh)
+
     def _sharding(x):
         arr = np.asarray(x)
         if arr.ndim >= 1 and arr.shape[0] % n == 0:
-            return NamedSharding(mesh, P(DATA_AXIS))
+            return NamedSharding(mesh, P(ax))
         return NamedSharding(mesh, P())
 
     shardings = jax.tree_util.tree_map(_sharding, batch)

@@ -221,11 +221,25 @@ class EmbeddingGroup(M.Module):
                     for c in group.sequence_encoders
                 ]
 
+        # zch/dynamicemb table names must be known BEFORE engine
+        # construction: they are excluded from co-keyed merging (their
+        # feature ids are collision-remapped in-step; a merged gather
+        # would feed remapped slots to co-keyed plain tables, and the
+        # stage_route skip set below is keyed by these original names)
+        zch_table_names = {
+            f.embedding_name
+            for f in features
+            if (getattr(f.config, "zch", None) is not None
+                and _has_field(f.config, "zch"))
+            or (getattr(f.config, "dynamicemb", None) is not None
+                and _has_field(f.config, "dynamicemb"))
+        }
         self.engine = EmbeddingEngine(
             list(tables.values()),
             list(lookups.values()),
             mesh=mesh,
             optimizer=sparse_optimizer,
+            no_merge_tables=zch_table_names or None,
         )
 
         # zero-collision-hash managers (reference feature.py:693-736)
@@ -299,7 +313,24 @@ class EmbeddingGroup(M.Module):
                     ),
                 )
                 if os.environ.get("TZREC_HOST_SPILL", "1") != "0":
-                    self._spill_tables.add(f.embedding_name)
+                    if jax.process_count() > 1:
+                        # the spill tier device_gets the per-step spill
+                        # records and keeps a per-host LRU — under
+                        # multi-host those arrays are not fully
+                        # addressable and each host would only see its
+                        # shard's evictions (mirrors the
+                        # sparse_dist_overlap guard in main.py)
+                        from torcheasyrec_tpu.utils.logging_util import (
+                            logger,
+                        )
+
+                        logger.warning(
+                            f"table {f.embedding_name}: host-spill "
+                            "tier disabled under multi-process "
+                            "training (single-process only in v1)"
+                        )
+                    else:
+                        self._spill_tables.add(f.embedding_name)
 
         # host-offloaded tables gather rows BEFORE the jitted step, but
         # zch remap runs inside it — the host gather would see raw ids

@@ -44,7 +44,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from torcheasyrec_tpu.datasets.utils import SparseField, segment_ids_from_lengths
 from torcheasyrec_tpu.features.feature import EmbConfig
 from torcheasyrec_tpu.modules.module import default_emb_init, parse_init_fn
-from torcheasyrec_tpu.parallel.mesh import DATA_AXIS
+from torcheasyrec_tpu.parallel.mesh import (
+    DATA_AXIS,
+    DCN_AXIS,
+    ICI_AXIS,
+    data_axes,
+    mesh_hier,
+)
 from torcheasyrec_tpu.parallel.sparse_optim import SparseOptimizer
 
 ROW_WISE = "row_wise"
@@ -124,16 +130,33 @@ class _Group:
     total_rows: int
     padded_rows: int
     dtype: str = "FP32"
-    # packed-row storage (single-device; see _maybe_pack_group): the
-    # megatable is stored as [p_rows, 128] f32 physical rows, each
-    # holding ``spr`` logical slots of ``slot = dim + state`` lanes
-    # (TBE-style in-row optimizer state). p_rows includes one trailing
-    # scratch row that absorbs duplicate-rank writes.
+    # packed-row storage (see _maybe_pack_group): the megatable is
+    # stored as [p_rows, 128] f32 physical rows, each holding ``spr``
+    # logical slots of ``slot = dim + state`` lanes (TBE-style in-row
+    # optimizer state). Scratch rows absorb duplicate-rank writes:
+    # p_shards == 1 (single device / replicated) appends ONE trailing
+    # scratch row; p_shards == D (row-sharded meshes) lays the packed
+    # rows out as D per-shard blocks of ``pps + 1`` physical rows each
+    # (pps = rows_per_shard // spr), so every shard owns a contiguous
+    # block WITH its own local scratch row and the ownership rule
+    # ``owner = logical_id // rows_per_shard`` survives packing.
     packed: bool = False
     slot: int = 0
     spr: int = 0
     p_rows: int = 0
+    p_shards: int = 1
     state_widths: Tuple[Tuple[str, int], ...] = ()
+    # dense-lane region (single-device packed groups, identity-safe
+    # sparse optimizers): SMALL tables (rows <= TZREC_DENSE_LANE) are
+    # laid out FIRST in the megatable; their lookups run as fused
+    # one-hot matmuls on the MXU and their update rewrites the whole
+    # contiguous [0, dense_rows) region with ONE block DMA — skipping
+    # the sort/dedup stream and the per-row scatter entirely, which is
+    # where a descriptor-bound update spends its time when ids are
+    # many but tables are tiny (Criteo: 13 of 26 tables, half the id
+    # stream). dense_rows == 0 means no region.
+    dense_rows: int = 0
+    dense_tables: frozenset = frozenset()
     # column-segment widths when the group holds merged co-keyed tables
     # (all specs in such a group share one segment structure); () =
     # ordinary single-segment group
@@ -199,6 +222,7 @@ def merge_cokeyed_tables(
     tables: List[TableSpec],
     lookups: List[LookupSpec],
     resolved: Dict[str, str],
+    no_merge: Optional[set] = None,
 ) -> Tuple[List[TableSpec], List[LookupSpec], Dict[str, Tuple[str, int, int]]]:
     """Fuse tables that are looked up by exactly the same id streams.
 
@@ -227,6 +251,16 @@ def merge_cokeyed_tables(
     for t in tables:
         lks = by_table.get(t.name, [])
         if not lks or t.merged_from:
+            continue
+        if no_merge and any(
+            t.name == z or t.name.startswith(z) for z in no_merge
+        ):
+            # zch/dynamicemb tables: their feature streams are
+            # collision-REMAPPED in-step, so a merged gather would feed
+            # remapped slots to any co-keyed plain table (and
+            # stage_route's zch skip set is keyed by original names).
+            # Prefix match covers suffixed twins; over-exclusion only
+            # costs a missed fusion, never correctness.
             continue
         sharding = resolved.get(t.name, t.sharding)
         if sharding in (COLUMN_WISE, HOST_OFFLOAD):
@@ -298,12 +332,21 @@ class EmbeddingEngine:
         mesh: Optional[Mesh] = None,
         optimizer: Optional[SparseOptimizer] = None,
         shards_per_host: Optional[int] = None,
+        no_merge_tables: Optional[set] = None,
     ) -> None:
         self.mesh = mesh
         self.num_shards = mesh.devices.size if mesh is not None else 1
+        # data-axis spec: the flat "data" axis name, or the
+        # ("dcn", "ici") tuple on a two-level mesh — valid both as a
+        # PartitionSpec entry and as a collective axis_name
+        self._ax = data_axes(mesh) or DATA_AXIS
+        self._hier = mesh_hier(mesh)  # (hosts, chips) or None
         # host-group width for table_row_wise placement (shards per
-        # host); clamped to a divisor of the shard count
-        g = shards_per_host or jax.local_device_count()
+        # host); clamped to a divisor of the shard count. A two-level
+        # mesh pins it to the ici width: host groups ARE dcn rows.
+        g = shards_per_host or (
+            self._hier[1] if self._hier else jax.local_device_count()
+        )
         while self.num_shards % g:
             g -= 1
         self.shards_per_host = max(g, 1)
@@ -334,7 +377,8 @@ class EmbeddingEngine:
                 t.name: self._resolve_sharding(t) for t in tables
             }
             m_tables, m_lookups, self._merged = merge_cokeyed_tables(
-                list(tables), self.lookups, resolved
+                list(tables), self.lookups, resolved,
+                no_merge=no_merge_tables,
             )
             if self._merged:
                 tables = m_tables
@@ -404,7 +448,18 @@ class EmbeddingEngine:
                 )
             return HOST_OFFLOAD
         if self.num_shards <= 1:
-            return DATA_PARALLEL
+            import os as _os
+
+            if self.mesh is not None and _os.environ.get(
+                "TZREC_FORCE_SHARDED", "0"
+            ) == "1":
+                # test hook: keep the SHARDED code paths (shard_map
+                # exchanges, per-shard packed blocks) on a 1-device
+                # mesh — the only way to execute them on this
+                # container's single real TPU chip (tests_tpu)
+                pass
+            else:
+                return DATA_PARALLEL
         if t.sharding == TABLE_ROW_WISE and (
             self.shards_per_host >= self.num_shards
         ):
@@ -429,7 +484,26 @@ class EmbeddingEngine:
         TABLE_WISE placement, plan_util.py, without a separate code
         path). Other layouts lay tables out sequentially.
         """
+        import math as _math
+
         D = self.num_shards
+        # row alignment: packed groups additionally require
+        # rows_per_shard % spr == 0 so each shard's logical block maps
+        # to whole physical rows (ownership rule survives packing)
+        pk = self._pack_params(g)
+        align = _math.lcm(pk[2], 8) if pk is not None else 8
+        # per-TABLE offset alignment inside packed groups: spr-aligned
+        # offsets mean no physical row ever straddles two tables —
+        # required for the dense-lane region boundary (and it keeps
+        # per-table physical rows exclusive). Cost: <= spr-1 pad rows
+        # per table. (A per-table BATCHED dedup sort was also built on
+        # this and measured SLOWER than the global argsort on v5e —
+        # 8.1 ms vs 6.3 ms for the Criteo stream — so it was removed;
+        # don't re-derive it.)
+        t_align = pk[2] if pk is not None else 1
+
+        def _up(x: int) -> int:
+            return ((x + t_align - 1) // t_align) * t_align
         if g.sharding == TABLE_WISE and D > 1:
             loads = [0] * D
             within: Dict[str, int] = {}
@@ -438,8 +512,8 @@ class EmbeddingEngine:
                 shard = min(range(D), key=lambda i: loads[i])
                 owner[t.name] = shard
                 within[t.name] = loads[shard]
-                loads[shard] += t.rows
-            rps = ((max(loads) + 7) // 8) * 8
+                loads[shard] += _up(t.rows)
+            rps = ((max(loads) + align - 1) // align) * align
             for t in g.specs:
                 g.offsets[t.name] = owner[t.name] * rps + within[t.name]
             g.padded_rows = rps * D
@@ -458,59 +532,126 @@ class EmbeddingEngine:
                 host = min(range(n_hosts), key=lambda i: loads[i])
                 owner[t.name] = host
                 within[t.name] = loads[host]
-                loads[host] += t.rows
+                loads[host] += _up(t.rows)
             # per-host region = spg shard blocks
-            rps = ((max(loads) + spg * 8 - 1) // (spg * 8)) * 8
+            rps = (
+                (max(loads) + spg * align - 1) // (spg * align)
+            ) * align
             for t in g.specs:
                 g.offsets[t.name] = (
                     owner[t.name] * spg * rps + within[t.name]
                 )
             g.padded_rows = rps * D
             return
+        dense = self._dense_lane_tables(g, pk)
+        if dense:
+            # dense-lane tables first: their packed rows form one
+            # contiguous region [0, dense_rows) rewritten by a single
+            # block DMA each step (see _Group.dense_rows)
+            g.specs.sort(key=lambda t: t.name not in dense)
         pos = 0
         for t in g.specs:
             g.offsets[t.name] = pos
-            pos += t.rows
+            pos += _up(t.rows)
+            if dense and t.name in dense:
+                g.dense_rows = pos
+        g.dense_tables = frozenset(dense)
         # pad rows to a multiple of shards (block sharding); host /
         # column-wise groups are never row-sharded
-        mult = D * 8 if g.sharding not in (COLUMN_WISE, HOST_OFFLOAD) else 8
+        mult = (
+            D * align
+            if g.sharding not in (COLUMN_WISE, HOST_OFFLOAD)
+            else align
+        )
         g.padded_rows = ((pos + mult - 1) // mult) * mult
 
-    def _maybe_pack_group(self, g: _Group) -> None:
-        """Enable packed-row storage when it is a strict win.
+    # sparse optimizers whose zero-grad update is the identity: the
+    # dense lane applies the optimizer to EVERY region row each step,
+    # so rows the batch didn't touch must come out bit-unchanged
+    # (adagrad family: acc += 0, w -= lr*0/... == w). Momentum/decay
+    # kinds (adam, rmsprop, ...) mutate untouched rows and stay on the
+    # sorted sparse path.
+    _DENSE_LANE_OPTS = frozenset({"sgd", "adagrad", "rowwise_adagrad"})
 
-        Packed layout (single device, fp32): logical row r of the
-        megatable lives in physical row ``r // spr`` at lane offset
-        ``(r % spr) * slot``, where ``slot = dim + Σ optimizer
-        row-state widths`` and ``spr = 128 // slot``. Why: Mosaic can
-        only DMA 128-lane-aligned HBM slices, and XLA's scatter costs
-        ~95-120 ns/row vs ~46 ns/row for the pallas row-write kernel
-        (ops/pallas/row_write.py) — plus in-row state halves the
-        update's gather/scatter passes (the fbgemm TBE trick).
-        Sharded meshes keep the [rows, dim] layout (exchange paths
-        reason in logical megatable rows)."""
-        if not self._packed_env or self.mesh is not None:
-            return
-        if g.sharding == HOST_OFFLOAD or g.dtype.upper() != "FP32":
-            return
+    def _dense_lane_tables(self, g: _Group, pk) -> set:
+        """Names of this group's tables eligible for the dense lane."""
+        import os as _os
+
+        # default from a v5e threshold sweep on the Criteo workload
+        # (lookup+update, B=8192): 0 -> 16.5 ms, 4096 -> 12.4,
+        # 8192 -> 11.2, 16384 -> 9.3, 32768 -> 8.7, 65536 -> 8.9 —
+        # the knee is where a table's one-hot matmul FLOPs outgrow the
+        # descriptor+sort cost its ids would have paid
+        thr = int(_os.environ.get("TZREC_DENSE_LANE", "32768") or 0)
+        if (
+            pk is None
+            or thr <= 0
+            or self.mesh is not None
+            or self.optimizer.kind not in self._DENSE_LANE_OPTS
+        ):
+            return set()
+        return {t.name for t in g.specs if t.rows <= thr}
+
+    def _pack_params(
+        self, g: _Group
+    ) -> Optional[Tuple[Tuple[Tuple[str, int], ...], int, int]]:
+        """(state_widths, slot, spr) when the group is pack-eligible,
+        else None. Must be deterministic BEFORE row finalization — the
+        row alignment in _finalize_group depends on spr."""
+        if not self._packed_env:
+            return None
+        if g.sharding in (HOST_OFFLOAD, COLUMN_WISE):
+            return None
+        if self.mesh is not None and g.sharding == DATA_PARALLEL:
+            # replicated tables on a mesh keep [rows, dim]: the packed
+            # update's row-write runs outside shard_map, where a pallas
+            # call can't consume the mesh-sharded id stream
+            return None
+        if g.dtype.upper() != "FP32":
+            return None
         widths = tuple(self.optimizer.row_state_widths(
             g.dim, g.col_segments or None
         ))
         slot = g.dim + sum(w for _, w in widths)
         if slot > 128:
-            return
-        spr = 128 // slot
-        g.packed = True
-        g.slot = slot
-        g.spr = spr
-        g.state_widths = widths
-        # keep padded_rows a multiple of BOTH spr (physical-row packing)
-        # and 8 (the documented row alignment other layouts guarantee)
-        import math as _math
+            return None
+        return widths, slot, 128 // slot
 
-        mult = _math.lcm(spr, 8)
-        g.padded_rows = ((g.padded_rows + mult - 1) // mult) * mult
-        g.p_rows = g.padded_rows // spr + 1  # + trailing scratch row
+    def _maybe_pack_group(self, g: _Group) -> None:
+        """Enable packed-row storage when it is a strict win.
+
+        Packed layout (fp32): logical row r of the megatable lives in
+        physical row ``r // spr`` at lane offset ``(r % spr) * slot``,
+        where ``slot = dim + Σ optimizer row-state widths`` and
+        ``spr = 128 // slot``. Why: Mosaic can only DMA 128-lane-aligned
+        HBM slices, and XLA's scatter costs ~95-120 ns/row vs ~46 ns/row
+        for the pallas row-write kernel (ops/pallas/row_write.py) — plus
+        in-row state halves the update's gather/scatter passes (the
+        fbgemm TBE trick; reference runs TBE inside every sharded rank,
+        tzrec/utils/dist_util.py:22-52).
+
+        Row-sharded meshes pack too (p_shards = D): each shard's
+        contiguous logical block [o*rows_per_shard, (o+1)*rows_per_shard)
+        packs into its own physical block of ``pps + 1`` rows (the +1 is
+        the shard-local scratch row), so the a2a exchange keeps routing
+        LOGICAL megatable ids while gather/update run packed shard-
+        locally. column_wise keeps [rows, dim] (dim sharding does not
+        compose with 128-lane slot packing)."""
+        pk = self._pack_params(g)
+        if pk is None:
+            return
+        g.state_widths, g.slot, g.spr = pk
+        g.packed = True
+        if self.mesh is not None and g.sharding in (
+            ROW_WISE, TABLE_WISE, TABLE_ROW_WISE
+        ):
+            D = self.num_shards
+            g.p_shards = D
+            pps = g.padded_rows // D // g.spr
+            g.p_rows = D * (pps + 1)
+        else:
+            g.p_shards = 1
+            g.p_rows = g.padded_rows // g.spr + 1  # + trailing scratch
 
     def _init_packed_group(self, g: _Group, key: jax.Array) -> jnp.ndarray:
         """Host-side init of a packed group: per-table init fns run on
@@ -546,10 +687,36 @@ class EmbeddingEngine:
                 )
                 coff += m.dim
         packed = np_.zeros((g.p_rows, 128), np_.float32)
-        packed[:-1, : g.spr * g.slot] = body.reshape(
-            g.padded_rows // g.spr, g.spr * g.slot
-        )
+        if g.p_shards > 1:
+            D = g.p_shards
+            pps = g.p_rows // D - 1
+            blocks = body.reshape(D, pps, g.spr * g.slot)
+            p3 = packed.reshape(D, pps + 1, 128)
+            p3[:, :pps, : g.spr * g.slot] = blocks
+        else:
+            packed[:-1, : g.spr * g.slot] = body.reshape(
+                g.padded_rows // g.spr, g.spr * g.slot
+            )
         return jnp.asarray(packed)
+
+    def _packed_phys(self, g: _Group, flat_ids):
+        """Logical megatable row -> (physical row, in-row slot lane,
+        invalid mask) under the GLOBAL packed layout (p_shards-aware).
+        Traceable; invalid ids map to pid == g.p_rows (an OOB index —
+        gather with mode='fill' returns zeros, scatter mode='drop'
+        skips)."""
+        invalid = flat_ids < 0
+        if g.p_shards > 1:
+            rps = g.padded_rows // g.p_shards
+            pps = rps // g.spr
+            o = flat_ids // rps
+            l = flat_ids - o * rps
+            pid = jnp.where(invalid, g.p_rows, o * (pps + 1) + l // g.spr)
+            lane = jnp.where(invalid, 0, l % g.spr)
+        else:
+            pid = jnp.where(invalid, g.p_rows, flat_ids // g.spr)
+            lane = jnp.where(invalid, 0, flat_ids % g.spr)
+        return pid.astype(jnp.int32), lane.astype(jnp.int32), invalid
 
     # -- packed-layout converters (device or numpy arrays) ---------------
 
@@ -567,14 +734,32 @@ class EmbeddingEngine:
         for name, _ in g.state_widths:
             parts.append(np_.asarray(jax.device_get(srows[name]), np_.float32))
         body = np_.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
-        body = body.reshape(g.padded_rows // g.spr, g.spr * g.slot)
         out = np_.zeros((g.p_rows, 128), np_.float32)
-        out[:-1, : g.spr * g.slot] = body
+        if g.p_shards > 1:
+            D = g.p_shards
+            pps = g.p_rows // D - 1
+            blocks = body.reshape(D, pps, g.spr * g.slot)
+            out.reshape(D, pps + 1, 128)[
+                :, :pps, : g.spr * g.slot
+            ] = blocks
+        else:
+            out[:-1, : g.spr * g.slot] = body.reshape(
+                g.padded_rows // g.spr, g.spr * g.slot
+            )
         return jnp.asarray(out)
 
     def unpack_group(self, g: _Group, packed):
         """Inverse of pack_group; works on device or numpy arrays."""
-        body = packed[:-1, : g.spr * g.slot].reshape(g.padded_rows, g.slot)
+        if g.p_shards > 1:
+            D = g.p_shards
+            pps = g.p_rows // D - 1
+            body = packed.reshape(D, pps + 1, 128)[
+                :, :pps, : g.spr * g.slot
+            ].reshape(g.padded_rows, g.slot)
+        else:
+            body = packed[:-1, : g.spr * g.slot].reshape(
+                g.padded_rows, g.slot
+            )
         w = body[:, : g.dim]
         srows = {}
         off = g.dim
@@ -599,32 +784,48 @@ class EmbeddingEngine:
         out: Dict[str, jnp.ndarray] = {}
         for gk, g in self.groups.items():
             if g.packed:
-                out[gk] = self._init_packed_group(g, key)
+                out[gk] = self._device_put_table(
+                    self._init_packed_group(g, key), g
+                )
                 continue
-            w = jnp.zeros((g.padded_rows, g.dim), jnp.float32)
-            for t in g.specs:
-                off = g.offsets[t.name]
-                # merged tables init each member column block with the
-                # MEMBER's key/init_fn, so values match the unmerged
-                # layout bit-for-bit (cross-layout restore contract)
-                coff = 0
-                for m in (t.merged_from or (t,)):
-                    sub = jax.random.fold_in(
-                        key, zlib.crc32(m.name.encode()) & 0x7FFFFFFF
-                    )
-                    fn = parse_init_fn(m.init_fn) or default_emb_init
-                    w = w.at[
-                        off : off + t.rows, coff : coff + m.dim
-                    ].set(fn(sub, (t.rows, m.dim), jnp.float32))
-                    coff += m.dim
-            if g.sharding == HOST_OFFLOAD:
+            host = g.sharding == HOST_OFFLOAD
+            dt = jnp.float32 if host else g.store_dtype
+
+            def _build(key, g=g, dt=dt):
+                # ONE traced build in the STORE dtype: eager per-table
+                # sets kept a full fp32 intermediate alive (full-size
+                # Criteo: a 16 GB array beside the 8 GB bf16 result —
+                # the r5 full-size stage OOM), while under jit XLA
+                # aliases the updates in place
+                w = jnp.zeros((g.padded_rows, g.dim), dt)
+                for t in g.specs:
+                    off = g.offsets[t.name]
+                    # merged tables init each member column block with
+                    # the MEMBER's key/init_fn, so values match the
+                    # unmerged layout bit-for-bit (cross-layout restore
+                    # contract)
+                    coff = 0
+                    for m in (t.merged_from or (t,)):
+                        sub = jax.random.fold_in(
+                            key, zlib.crc32(m.name.encode()) & 0x7FFFFFFF
+                        )
+                        fn = parse_init_fn(m.init_fn) or default_emb_init
+                        w = w.at[
+                            off : off + t.rows, coff : coff + m.dim
+                        ].set(fn(sub, (t.rows, m.dim), jnp.float32)
+                              .astype(dt))
+                        coff += m.dim
+                return w
+
+            w = jax.jit(_build)(key)
+            if host:
                 import numpy as np_
 
                 self.host_tables[gk] = np_.array(
                     jax.device_get(w), np_.float32
                 )
                 continue
-            out[gk] = self._device_put_table(w.astype(g.store_dtype), g)
+            out[gk] = self._device_put_table(w, g)
         return out
 
     def init_opt_state(self) -> Dict[str, Any]:
@@ -656,16 +857,22 @@ class EmbeddingEngine:
 
     def _array_spec(self, x: Any, g: _Group) -> P:
         nd = getattr(x, "ndim", 0)
+        if g.packed and nd >= 1 and x.shape[0] == g.p_rows:
+            # packed physical rows: per-shard blocks of pps+1 rows
+            # shard over the data axis; p_shards == 1 replicates
+            if g.p_shards > 1:
+                return P(self._ax, *([None] * (nd - 1)))
+            return P()
         if g.sharding in (ROW_WISE, TABLE_WISE, TABLE_ROW_WISE):
             if nd >= 1 and x.shape[0] == g.padded_rows:
-                return P(DATA_AXIS, *([None] * (nd - 1)))
+                return P(self._ax, *([None] * (nd - 1)))
             return P()
         if g.sharding == COLUMN_WISE:
             # full-dim arrays shard on the dim axis; row-wise state
             # ([rows, 1]) and scalars replicate (each shard computes
             # identical values via psum'd dim reductions)
             if nd >= 2 and x.shape[-1] == g.dim and x.shape[0] == g.padded_rows:
-                return P(*([None] * (nd - 1)), DATA_AXIS)
+                return P(*([None] * (nd - 1)), self._ax)
             return P()
         return P()
 
@@ -683,13 +890,14 @@ class EmbeddingEngine:
             if self.mesh is None:
                 out[gk] = None
             else:
+                shape = (
+                    (g.p_rows, 128) if g.packed
+                    else (g.padded_rows, g.dim)
+                )
                 out[gk] = NamedSharding(
                     self.mesh,
                     self._array_spec(
-                        jax.ShapeDtypeStruct(
-                            (g.padded_rows, g.dim), jnp.float32
-                        ),
-                        g,
+                        jax.ShapeDtypeStruct(shape, jnp.float32), g
                     ),
                 )
         return out
@@ -747,6 +955,7 @@ class EmbeddingEngine:
                 rows = self._dist_gather(
                     tables[gk], flat_ids, g,
                     staged_recv=(staged or {}).get(gk),
+                    plan=plan,
                 )
             self._emit_outputs(g, lks, plan, rows, outputs)
             residuals[gk] = (flat_ids, plan)
@@ -771,8 +980,10 @@ class EmbeddingEngine:
         lookup() in the NEXT step. Ids are data, not parameters, so the
         math is bit-identical to the unpipelined path (tested in
         tests/test_sparse_overlap.py). Groups that don't exchange ids
-        (data_parallel / column_wise / packed / host tiers, allgather
-        mode, no mesh) are simply absent.
+        (data_parallel / column_wise / host tiers, allgather mode, no
+        mesh) are simply absent; packed row-sharded groups route like
+        unpacked ones (the exchange carries logical megatable ids
+        either way).
         """
         sequence_sparse = sequence_sparse or {}
         staged: Dict[str, jnp.ndarray] = {}
@@ -782,7 +993,7 @@ class EmbeddingEngine:
             g = self.groups[gk]
             if skip_groups and gk in skip_groups:
                 continue
-            if g.packed or g.sharding in (
+            if g.sharding in (
                 DATA_PARALLEL, COLUMN_WISE, HOST_OFFLOAD
             ):
                 continue
@@ -800,15 +1011,13 @@ class EmbeddingEngine:
             def _route_fn(ids_loc, _rps=rows_per_shard):
                 cap = self._a2a_capacity(ids_loc.shape[0])
                 _, _, _, send_ids = self._a2a_route(ids_loc, _rps, cap)
-                return jax.lax.all_to_all(
-                    send_ids, DATA_AXIS, split_axis=0, concat_axis=0
-                )
+                return self._xchg(send_ids)
 
             staged[gk] = jax.shard_map(
                 _route_fn,
                 mesh=self.mesh,
-                in_specs=P(DATA_AXIS),
-                out_specs=P(DATA_AXIS, None),
+                in_specs=P(self._ax),
+                out_specs=P(self._ax, None),
             )(flat_ids)
         return staged
 
@@ -930,9 +1139,65 @@ class EmbeddingEngine:
     # distributed gather
     # ------------------------------------------------------------------
 
+    def _packed_gather(self, weight, flat_ids, g: _Group):
+        """Packed rows: gather the 128-lane physical row, select the
+        logical slot with a one-hot multiply (pure VPU — a
+        take_along_axis here lowers to a second descriptor-bound
+        gather and costs ~2x)."""
+        n = flat_ids.shape[0]
+        pid, lane, _ = self._packed_phys(g, flat_ids)
+        phys = weight.at[pid].get(mode="fill", fill_value=0.0)
+        body = phys[:, : g.spr * g.slot].reshape(n, g.spr, g.slot)
+        onehot = jax.nn.one_hot(lane, g.spr, dtype=jnp.float32)
+        return (body * onehot[:, :, None]).sum(axis=1)[:, : g.dim]
+
+    def _packed_gather_dense_lane(self, weight, flat_ids, g: _Group,
+                                  plan):
+        """Forward with the dense lane: big-table slices go through one
+        compacted physical-row gather; dense-lane slices become fused
+        one-hot matmuls against the unpacked region weights (exact row
+        copies — no descriptor cost). Pieces reassemble in plan order,
+        which is the flat stream's layout."""
+        spr, slot, dim = g.spr, g.slot, g.dim
+        s_phys = g.dense_rows // spr
+        body = weight[:s_phys, : spr * slot].reshape(g.dense_rows, slot)
+        w_region = body[:, :dim]
+        big = [e for e in plan if e.lk.table_name not in g.dense_tables]
+        rows_big = None
+        if big:
+            ids_big = jnp.concatenate([
+                jax.lax.dynamic_slice_in_dim(flat_ids, e.start, e.count)
+                for e in big
+            ])
+            rows_big = self._packed_gather(weight, ids_big, g)
+        pieces = []
+        bpos = 0
+        for e in plan:
+            if e.lk.table_name in g.dense_tables:
+                off = g.offsets[e.lk.table_name]
+                rows_t = int(self._specs[e.lk.table_name].rows)
+                idsl = jax.lax.dynamic_slice_in_dim(
+                    flat_ids, e.start, e.count
+                ) - off
+                oh = jax.nn.one_hot(idsl, rows_t, dtype=jnp.float32)
+                pieces.append(jax.lax.dot_general(
+                    oh, w_region[off : off + rows_t],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ))
+            else:
+                pieces.append(jax.lax.dynamic_slice_in_dim(
+                    rows_big, bpos, e.count
+                ))
+                bpos += e.count
+        return (
+            jnp.concatenate(pieces) if len(pieces) > 1 else pieces[0]
+        )
+
     def _dist_gather(
         self, weight: jnp.ndarray, flat_ids: jnp.ndarray, g: _Group,
         staged_recv: Optional[jnp.ndarray] = None,
+        plan: Optional[List[PlanEntry]] = None,
     ) -> jnp.ndarray:
         """rows[i] = weight[flat_ids[i]] with cross-shard exchange.
 
@@ -940,22 +1205,21 @@ class EmbeddingEngine:
         staged_recv: this batch's pre-exchanged owner-bucketed ids from
         stage_route() — the a2a path serves rows without re-running the
         ids all-to-all.
+        plan: the lookup slicing plan — activates the forward dense
+        lane (small-table entries become one-hot MXU matmuls, exact:
+        each one-hot row has a single 1, so the dot copies the f32
+        weight row bit-for-bit).
         """
-        if g.packed:
-            # packed rows: gather the 128-lane physical row, select the
-            # logical slot with a one-hot multiply (pure VPU — a
-            # take_along_axis here lowers to a second descriptor-bound
-            # gather and costs ~2x)
-            n = flat_ids.shape[0]
-            invalid = flat_ids < 0
-            pid = jnp.where(
-                invalid, g.p_rows, flat_ids // g.spr
-            ).astype(jnp.int32)
-            lane = jnp.where(invalid, 0, flat_ids % g.spr).astype(jnp.int32)
-            phys = weight.at[pid].get(mode="fill", fill_value=0.0)
-            body = phys[:, : g.spr * g.slot].reshape(n, g.spr, g.slot)
-            onehot = jax.nn.one_hot(lane, g.spr, dtype=jnp.float32)
-            return (body * onehot[:, :, None]).sum(axis=1)[:, : g.dim]
+        if g.packed and (
+            self.mesh is None or g.sharding == DATA_PARALLEL
+        ):
+            if plan is not None and g.dense_rows:
+                dense_set = g.dense_tables
+                if any(e.lk.table_name in dense_set for e in plan):
+                    return self._packed_gather_dense_lane(
+                        weight, flat_ids, g, plan
+                    )
+            return self._packed_gather(weight, flat_ids, g)
         if self.mesh is None or g.sharding == DATA_PARALLEL:
             # negatives must be EXPLICITLY out-of-bounds: fill-mode
             # treatment of a -1 index is lowering-dependent (some
@@ -984,37 +1248,55 @@ class EmbeddingEngine:
             # the same bytes as the row_wise psum_scatter.
             def _cw_fn(w_loc, ids_loc):
                 all_ids = jax.lax.all_gather(
-                    ids_loc, DATA_AXIS, tiled=True
+                    ids_loc, self._ax, tiled=True
                 )  # [D * N_loc]
                 safe = jnp.where(all_ids < 0, w_loc.shape[0], all_ids)
                 r = w_loc.at[safe].get(mode="fill", fill_value=0.0)
                 return jax.lax.all_to_all(
-                    r, DATA_AXIS, split_axis=0, concat_axis=1, tiled=True
+                    r, self._ax, split_axis=0, concat_axis=1, tiled=True
                 )  # [N_loc, dim]
 
             return jax.shard_map(
                 _cw_fn,
                 mesh=self.mesh,
-                in_specs=(P(None, DATA_AXIS), P(DATA_AXIS)),
-                out_specs=P(DATA_AXIS, None),
+                in_specs=(P(None, self._ax), P(self._ax)),
+                out_specs=P(self._ax, None),
             )(weight, flat_ids)
 
         rows_per_shard = g.padded_rows // self.num_shards
+        pps = rows_per_shard // g.spr if g.packed else 0
+
+        def _local_rows(w_loc, lrow, ok):
+            """Owner-side local gather: local logical rows ``lrow``
+            (masked by ``ok``) -> [..., dim] row vectors, zeros where
+            not ok. Packed groups gather the 128-lane physical row of
+            their local [pps+1, 128] block and slot-select (one-hot
+            VPU multiply, same trick as the single-device branch)."""
+            if not g.packed:
+                r = w_loc[jnp.where(ok, lrow, 0)]
+                return jnp.where(ok[..., None], r,
+                                 jnp.zeros((), w_loc.dtype))
+            pid = jnp.where(ok, lrow // g.spr, pps + 1).astype(jnp.int32)
+            lane = jnp.where(ok, lrow % g.spr, 0).astype(jnp.int32)
+            phys = w_loc.at[pid].get(mode="fill", fill_value=0.0)
+            body = phys[..., : g.spr * g.slot].reshape(
+                *pid.shape, g.spr, g.slot
+            )
+            onehot = jax.nn.one_hot(lane, g.spr, dtype=jnp.float32)
+            return (body * onehot[..., None]).sum(axis=-2)[..., : g.dim]
 
         def _dense_fn(w_loc, ids_loc):
             # O(D)-redundant but skew-proof: every shard serves ALL ids
-            # w_loc: [rows/D, dim]; ids_loc: [N_loc]
-            my = jax.lax.axis_index(DATA_AXIS)
-            all_ids = jax.lax.all_gather(ids_loc, DATA_AXIS)  # [D, N_loc]
+            # w_loc: [rows/D, dim] (or [pps+1, 128] packed); ids_loc: [N_loc]
+            my = jax.lax.axis_index(self._ax)
+            all_ids = jax.lax.all_gather(ids_loc, self._ax)  # [D, N_loc]
             owner = all_ids // rows_per_shard
             local_row = all_ids - owner * rows_per_shard
             mine = (owner == my) & (all_ids >= 0)
-            safe_row = jnp.where(mine, local_row, 0)
-            r = w_loc[safe_row]  # [D, N_loc, dim]
-            r = jnp.where(mine[..., None], r, 0.0)
+            r = _local_rows(w_loc, local_row, mine)  # [D, N_loc, dim]
             # sum over shards, return my chunk: [N_loc, dim]
             return jax.lax.psum_scatter(
-                r, DATA_AXIS, scatter_dimension=0, tiled=False
+                r, self._ax, scatter_dimension=0, tiled=False
             )
 
         def _a2a_fn(w_loc, ids_loc, recv=None):
@@ -1027,27 +1309,21 @@ class EmbeddingEngine:
             # the ids all-to-all; the local route metadata recomputes
             # deterministically from ids_loc.
             D = self.num_shards
-            my = jax.lax.axis_index(DATA_AXIS)
+            my = jax.lax.axis_index(self._ax)
             cap = self._a2a_capacity(ids_loc.shape[0])
             route = self._a2a_route(ids_loc, rows_per_shard, cap)
             order, fits, flat_idx, send_ids = route
             if recv is None:
-                recv = jax.lax.all_to_all(
-                    send_ids, DATA_AXIS, split_axis=0, concat_axis=0
-                )  # [D, C]: recv[s] = ids src s routed to me
+                recv = self._xchg(send_ids)  # [D, C]: recv[s] = ids src s routed to me
             ok = recv >= 0
-            lrow = jnp.where(ok, recv - my * rows_per_shard, 0)
-            rows = jnp.where(ok[..., None], w_loc[lrow],
-                             jnp.zeros((), w_loc.dtype))
-            back = jax.lax.all_to_all(
-                rows, DATA_AXIS, split_axis=0, concat_axis=0
-            )  # [D, C, dim]: back[d] = rows for my ids routed to d
+            rows = _local_rows(w_loc, recv - my * rows_per_shard, ok)
+            back = self._xchg(rows)  # [D, C, dim]: back[d] = rows for my ids routed to d
             got = back.reshape(D * cap, -1)[
                 jnp.clip(flat_idx, 0, D * cap - 1)
             ]
-            got = jnp.where(fits[:, None], got, jnp.zeros((), w_loc.dtype))
+            got = jnp.where(fits[:, None], got, jnp.zeros((), back.dtype))
             return (
-                jnp.zeros((ids_loc.shape[0], w_loc.shape[1]), w_loc.dtype)
+                jnp.zeros((ids_loc.shape[0], g.dim), back.dtype)
                 .at[order].set(got)
             )
 
@@ -1076,18 +1352,41 @@ class EmbeddingEngine:
                 fn,
                 mesh=self.mesh,
                 in_specs=(
-                    P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS, None)
+                    P(self._ax, None), P(self._ax), P(self._ax, None)
                 ),
-                out_specs=P(DATA_AXIS, None),
+                out_specs=P(self._ax, None),
             )(weight, flat_ids, staged_recv)
         return jax.shard_map(
             fn,
             mesh=self.mesh,
-            in_specs=(P(DATA_AXIS, None), P(DATA_AXIS)),
-            out_specs=P(DATA_AXIS, None),
+            in_specs=(P(self._ax, None), P(self._ax)),
+            out_specs=P(self._ax, None),
         )(weight, flat_ids)
 
     # -- owner-bucketed all-to-all helpers ------------------------------
+
+    def _xchg(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Owner exchange: ``x[d]`` (local [D, ...]) is delivered to
+        shard d; returns [D, ...] with entry s from source shard s.
+
+        Flat mesh: one all_to_all. Two-level mesh: HIERARCHICAL — an
+        intra-host all_to_all over the ici axis regroups buckets by
+        destination chip-index, then a cross-host all_to_all over the
+        dcn axis ships ONE host-aggregated slab per host pair (the
+        INTRA/CROSS_NODE bandwidth contract of the reference planner,
+        plan_util.py:111-114: DCN carries H-1 aggregated messages
+        instead of (H-1)*C^2 chip-pair messages). The factoring is a
+        pure permutation — numerics identical to the flat exchange
+        (tests/test_two_level_mesh.py)."""
+        if self._hier is None:
+            return jax.lax.all_to_all(
+                x, self._ax, split_axis=0, concat_axis=0
+            )
+        H, C = self._hier
+        xr = x.reshape(H, C, *x.shape[1:])
+        s1 = jax.lax.all_to_all(xr, ICI_AXIS, split_axis=1, concat_axis=1)
+        s2 = jax.lax.all_to_all(s1, DCN_AXIS, split_axis=0, concat_axis=0)
+        return s2.reshape(x.shape)
 
     def _a2a_capacity(self, n_local: int) -> int:
         """Static per-(src,dst) bucket capacity for n_local ids."""
@@ -1135,7 +1434,7 @@ class EmbeddingEngine:
             .at[owner].add(valid.astype(jnp.int32), mode="drop")
         )
         over = (counts > cap).any().astype(jnp.int32)
-        return jax.lax.psum(over, DATA_AXIS) > 0
+        return jax.lax.psum(over, self._ax) > 0
 
     # ------------------------------------------------------------------
     # backward + fused optimizer update
@@ -1169,10 +1468,21 @@ class EmbeddingEngine:
                 for e in plan
             )
             if g.packed:
-                new_tables[gk], new_state[gk] = self._packed_update(
-                    g, tables[gk], opt_state.get(gk, {}), flat_ids,
-                    grads, lr, u_cap=u_cap,
-                )
+                # sharded row-like groups take the shard_map update
+                # (p_shards == num_shards; under the 1-chip
+                # TZREC_FORCE_SHARDED test hook that is a 1-wide mesh)
+                if self.mesh is not None and g.sharding != DATA_PARALLEL:
+                    new_tables[gk], new_state[gk] = (
+                        self._dist_packed_update(
+                            g, tables[gk], opt_state.get(gk, {}),
+                            flat_ids, grads, lr, u_cap=u_cap,
+                        )
+                    )
+                else:
+                    new_tables[gk], new_state[gk] = self._packed_update(
+                        g, tables[gk], opt_state.get(gk, {}), flat_ids,
+                        grads, lr, u_cap=u_cap, plan=plan,
+                    )
                 continue
             new_tables[gk], new_state[gk] = self._dist_update(
                 tables[gk], opt_state[gk], flat_ids, grads, g, lr,
@@ -1180,21 +1490,17 @@ class EmbeddingEngine:
             )
         return new_tables, new_state
 
-    def _packed_update(self, g, table, scalar_state, flat_ids, grads, lr,
-                       u_cap=None):
-        """Fused update on a packed-row megatable.
+    def _dedup_global(self, flat_ids, grads, oob, u_cap):
+        """Global sort-dedup: (gsum [cap, d], uids [cap], cap).
 
-        sort-dedup -> ONE physical-row gather -> optimizer row math ->
-        log-step segmented merge of slots sharing a physical row ->
-        ONE row write (pallas kernel on TPU, XLA scatter elsewhere).
-        Replaces the unpacked path's {2 gathers + 2..3 scatters} and
-        runs the write at ~46 ns/row vs XLA scatter's ~95-120 (v5e).
-        """
-        from torcheasyrec_tpu.ops.pallas.row_write import write_rows
-
-        R = g.padded_rows
+        ONE sorted scatter-add dedups grads AND compacts the unique
+        ids: the id rides as two fp32 columns (hi/lo base-4096 split —
+        exact for any id < 2^24 * 4096; only the head row of a run
+        contributes) plus a head-count column distinguishing live
+        ranks from empty ones. Separate segment_sum + uids scatter
+        cost 5.2 ms at 213k rows on v5e; this fused 23-col sorted
+        scatter runs 2.9 ms."""
         n = flat_ids.shape[0]
-        oob = jnp.int32(R)
         ids = jnp.where(flat_ids < 0, oob, flat_ids)
         order = jnp.argsort(ids)
         sids = ids[order]
@@ -1205,13 +1511,6 @@ class EmbeddingEngine:
         )
         seg = jnp.cumsum(head) - 1
         cap = n if u_cap is None else min(int(u_cap), n)
-        # ONE sorted scatter-add dedups grads AND compacts the unique
-        # ids: the id rides as two fp32 columns (hi/lo base-4096 split —
-        # exact for any id < 2^24 * 4096; only the head row of a run
-        # contributes) plus a head-count column distinguishing live
-        # ranks from empty ones. Separate segment_sum + uids scatter
-        # cost 5.2 ms at 213k rows on v5e; this fused 23-col sorted
-        # scatter runs 2.9 ms.
         headf = head.astype(jnp.float32)
         payload = jnp.concatenate([
             sg,
@@ -1232,10 +1531,119 @@ class EmbeddingEngine:
             + out[:, d_cols + 1].astype(jnp.int32),
             oob,
         )
+        return gsum, uids, cap
+
+    def _dense_lane_update(self, g, table, flat_ids, grads, lr, plan):
+        """Update the dense-lane region (see _Group.dense_rows).
+
+        Per dense entry: grad_table = onehot(local_ids)^T @ grads — a
+        fused MXU matmul (no sort, no scatter); invalid ids (< 0 after
+        the offset subtraction) one-hot to zero rows. The whole region
+        then runs the optimizer densely (zero-grad rows are identity
+        by the _DENSE_LANE_OPTS gate) and writes back as ONE contiguous
+        block. Returns the updated table."""
+        spr, slot, dim = g.spr, g.slot, g.dim
+        s_phys = g.dense_rows // spr
+        region = table[:s_phys]
+        body = region[:, : spr * slot].reshape(g.dense_rows, slot)
+        w_r = body[:, :dim]
+        srows = {}
+        off_l = dim
+        for name, width in g.state_widths:
+            srows[name] = body[:, off_l : off_l + width]
+            off_l += width
+        grad_region = jnp.zeros((g.dense_rows, dim), jnp.float32)
+        for e in plan:
+            off = g.offsets[e.lk.table_name]
+            rows_t = int(self._specs[e.lk.table_name].rows)
+            idsl = jax.lax.dynamic_slice_in_dim(
+                flat_ids, e.start, e.count
+            ) - off
+            ge = jax.lax.dynamic_slice_in_dim(grads, e.start, e.count)
+            oh = jax.nn.one_hot(idsl, rows_t, dtype=jnp.float32)
+            gt = jax.lax.dot_general(
+                oh, ge, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            grad_region = grad_region.at[off : off + rows_t].add(gt)
+        new_rows, new_srows, _ = self.optimizer.apply_rows(
+            w_r, srows, grad_region, lr, {},
+            col_segments=g.col_segments or None,
+        )
+        parts = [new_rows] + [new_srows[nm] for nm, _ in g.state_widths]
+        new_body = (
+            jnp.concatenate(parts, axis=1) if len(parts) > 1 else new_rows
+        ).astype(jnp.float32)
+        new_region = jnp.concatenate([
+            new_body.reshape(s_phys, spr * slot),
+            region[:, spr * slot :],
+        ], axis=1)
+        return jax.lax.dynamic_update_slice(table, new_region, (0, 0))
+
+    def _packed_update(self, g, table, scalar_state, flat_ids, grads, lr,
+                       u_cap=None, R=None, n_phys=None, scratch=None,
+                       plan=None):
+        """Fused update on a packed-row megatable.
+
+        sort-dedup -> ONE physical-row gather -> optimizer row math ->
+        log-step segmented merge of slots sharing a physical row ->
+        ONE row write (pallas kernel on TPU, XLA scatter elsewhere).
+        Replaces the unpacked path's {2 gathers + 2..3 scatters} and
+        runs the write at ~46 ns/row vs XLA scatter's ~95-120 (v5e).
+
+        Defaults operate on the whole megatable (p_shards == 1 layout:
+        ``ids // spr`` physical mapping, trailing scratch row). The
+        shard-local path (_dist_packed_update) passes the shard's
+        bounds instead: R = rows_per_shard, n_phys = pps + 1,
+        scratch = pps, with ``table`` the local [pps+1, 128] block and
+        ``flat_ids`` LOCAL logical rows — the mapping is identical, so
+        the math is shared verbatim.
+
+        ``plan`` (the lookup slicing plan) activates the DENSE LANE for
+        groups with a dense-lane region: small-table entries peel off
+        into _dense_lane_update (one-hot MXU grad + one block write)
+        and only the big-table slices enter the sort/dedup/scatter
+        stream — on Criteo that halves the stream (213k -> 107k ids)
+        and removes ~20k scatter rows.
+        """
+        from torcheasyrec_tpu.ops.pallas.row_write import write_rows
+
+        R = g.padded_rows if R is None else R
+        n_phys = g.p_rows if n_phys is None else n_phys
+        scratch = (n_phys - 1) if scratch is None else scratch
+        oob = jnp.int32(R)
+        if plan is not None and g.dense_rows and R == g.padded_rows:
+            dense_e = [
+                e for e in plan if e.lk.table_name in g.dense_tables
+            ]
+            big_e = [
+                e for e in plan if e.lk.table_name not in g.dense_tables
+            ]
+            if dense_e:
+                table = self._dense_lane_update(
+                    g, table, flat_ids, grads, lr, dense_e
+                )
+                if not big_e:
+                    return table, scalar_state
+                flat_ids = jnp.concatenate([
+                    jax.lax.dynamic_slice_in_dim(
+                        flat_ids, e.start, e.count
+                    ) for e in big_e
+                ])
+                grads = jnp.concatenate([
+                    jax.lax.dynamic_slice_in_dim(grads, e.start, e.count)
+                    for e in big_e
+                ])
+                u_cap = 1 + sum(
+                    min(int(e.count),
+                        int(self._specs[e.lk.table_name].rows))
+                    for e in big_e
+                )
+        gsum, uids, cap = self._dedup_global(flat_ids, grads, oob, u_cap)
 
         spr, slot, dim = g.spr, g.slot, g.dim
         invalid = uids >= R
-        pid = jnp.where(invalid, g.p_rows, uids // spr).astype(jnp.int32)
+        pid = jnp.where(invalid, n_phys, uids // spr).astype(jnp.int32)
         lane = jnp.where(invalid, 0, uids % spr).astype(jnp.int32)
         phys = table.at[pid].get(mode="fill", fill_value=0.0)  # [cap, 128]
         body = phys[:, : spr * slot].reshape(cap, spr, slot)
@@ -1260,7 +1668,11 @@ class EmbeddingEngine:
         # DELTA merge: spread each slot's CHANGE to its 128-lane
         # position; untouched lanes carry delta 0 exactly, so the final
         # merge is one add — no validity mask to build, fold, or apply
-        # (the mask variant folded two [cap, 128] arrays and cost ~1.5x)
+        # (the mask variant folded two [cap, 128] arrays and cost ~1.5x).
+        # NOTE: fl(x + fl(y - x)) can differ from y by 1 ulp per touched
+        # lane, so packed and unpacked layouts agree to ~1 ulp/step, not
+        # bit-for-bit — cross-layout tests use small tolerances
+        # accordingly (tests/test_table_merge.py, test_emb_engine.py)
         delta = new_slot - rowv
         spread = (onehot[:, :, None] * delta[:, None, :]).reshape(
             cap, spr * slot
@@ -1294,13 +1706,104 @@ class EmbeddingEngine:
         head2 = jnp.concatenate(
             [jnp.ones((1,), bool), pid[1:] != pid[:-1]]
         )
-        scratch = g.p_rows - 1
         tgt = jnp.where(head2 & ~invalid, pid, scratch).astype(jnp.int32)
         new_table = write_rows(
             table, tgt, merged, scratch_id=scratch,
             use_pallas=self._pallas_write,
         )
         return new_table, new_scalar
+
+    def _dist_packed_update(self, g, table, scalar_state, flat_ids,
+                            grads, lr, u_cap=None):
+        """Sharded fused update on a packed megatable (p_shards == D).
+
+        Routes (id, row-grad) pairs to owning shards exactly like
+        _dist_update's row_wise paths — a2a fast path with an exact
+        allgather fallback on bucket overflow — then each shard runs
+        the SAME packed update (_packed_update) on its local
+        [pps+1, 128] block with its local scratch row. This is the
+        TBE-inside-every-rank layout (reference
+        tzrec/utils/dist_util.py:22-52 + main.py:721-728): the
+        multi-chip path keeps the single-chip packed-row win instead
+        of regressing to separate opt-state gathers/scatters. Shared
+        scalar state (adam/lamb step) is computed identically on every
+        shard and stays replicated."""
+        D = self.num_shards
+        rps = g.padded_rows // D
+        pps = rps // g.spr
+        pad = (-flat_ids.shape[0]) % D
+        if pad:
+            flat_ids = jnp.concatenate(
+                [flat_ids, jnp.full((pad,), -1, flat_ids.dtype)]
+            )
+            grads = jnp.concatenate(
+                [grads, jnp.zeros((pad, grads.shape[1]), grads.dtype)]
+            )
+        lcap = None if u_cap is None else min(int(u_cap), rps + 1)
+
+        def _local(w_loc, scal, local_ids, g_rows, lr_):
+            return self._packed_update(
+                g, w_loc, scal, local_ids, g_rows, lr_, u_cap=lcap,
+                R=rps, n_phys=pps + 1, scratch=pps,
+            )
+
+        def _dense_upd(w_loc, scal, ids_loc, g_loc, lr_):
+            my = jax.lax.axis_index(self._ax)
+            all_ids = jax.lax.all_gather(ids_loc, self._ax, tiled=True)
+            all_g = jax.lax.all_gather(g_loc, self._ax, tiled=True)
+            owner = all_ids // rps
+            mine = (owner == my) & (all_ids >= 0)
+            local = jnp.where(mine, all_ids - owner * rps, -1)
+            return _local(w_loc, scal, local, all_g, lr_)
+
+        def _a2a_upd(w_loc, scal, ids_loc, g_loc, lr_):
+            my = jax.lax.axis_index(self._ax)
+            cap = self._a2a_capacity(ids_loc.shape[0])
+            order, fits, flat_idx, send_ids = self._a2a_route(
+                ids_loc, rps, cap
+            )
+            dim = g_loc.shape[1]
+            sg = g_loc[order]
+            send_g = (
+                jnp.zeros((D * cap, dim), g_loc.dtype)
+                .at[flat_idx].set(
+                    jnp.where(fits[:, None], sg, 0.0), mode="drop"
+                )
+                .reshape(D, cap, dim)
+            )
+            recv_ids = self._xchg(send_ids)
+            recv_g = self._xchg(send_g)
+            local = jnp.where(
+                recv_ids >= 0, recv_ids - my * rps, -1
+            ).reshape(-1)
+            return _local(w_loc, scal, local, recv_g.reshape(-1, dim),
+                          lr_)
+
+        mode = self._exchange_mode
+        if mode == "allgather":
+            _fn = _dense_upd
+        elif mode == "a2a":
+            _fn = _a2a_upd
+        else:
+            def _fn(w_loc, scal, ids_loc, g_loc, lr_):
+                over = self._a2a_overflow(
+                    ids_loc, rps,
+                    self._a2a_capacity(ids_loc.shape[0]),
+                )
+                return jax.lax.cond(
+                    over, _dense_upd, _a2a_upd,
+                    w_loc, scal, ids_loc, g_loc, lr_,
+                )
+
+        scal_specs = jax.tree_util.tree_map(lambda _: P(), scalar_state)
+        return jax.shard_map(
+            _fn,
+            mesh=self.mesh,
+            in_specs=(P(self._ax, None), scal_specs, P(self._ax),
+                      P(self._ax, None), P()),
+            out_specs=(P(self._ax, None), scal_specs),
+            check_vma=False,
+        )(table, scalar_state, flat_ids, grads, lr)
 
     # ------------------------------------------------------------------
     # host-offload (HBM x host-DDR tier)
@@ -1601,17 +2104,17 @@ class EmbeddingEngine:
         if g.sharding == COLUMN_WISE:
             def _cw_upd(w_loc, st_loc, ids_loc, g_loc, lr_):
                 all_ids = jax.lax.all_gather(
-                    ids_loc, DATA_AXIS, tiled=True
+                    ids_loc, self._ax, tiled=True
                 )  # [D * N_loc] — identical on every shard, so the
                 # dedup sort below lines uids up across shards and the
                 # optimizer's psum'd dim reductions stay exact
                 g_slices = jax.lax.all_to_all(
-                    g_loc, DATA_AXIS, split_axis=1, concat_axis=0,
+                    g_loc, self._ax, split_axis=1, concat_axis=0,
                     tiled=True,
                 )  # [D * N_loc, dim/D]
                 return self._dedup_apply(
                     w_loc, st_loc, all_ids, g_slices, g.padded_rows, lr_,
-                    dim_psum_axis=DATA_AXIS, full_dim=g.dim, u_cap=u_cap,
+                    dim_psum_axis=self._ax, full_dim=g.dim, u_cap=u_cap,
                 )
 
             st_specs = jax.tree_util.tree_map(
@@ -1620,9 +2123,9 @@ class EmbeddingEngine:
             return jax.shard_map(
                 _cw_upd,
                 mesh=self.mesh,
-                in_specs=(P(None, DATA_AXIS), st_specs, P(DATA_AXIS),
-                          P(DATA_AXIS, None), P()),
-                out_specs=(P(None, DATA_AXIS), st_specs),
+                in_specs=(P(None, self._ax), st_specs, P(self._ax),
+                          P(self._ax, None), P()),
+                out_specs=(P(None, self._ax), st_specs),
                 check_vma=False,
             )(weight, state, flat_ids, grads, lr)
 
@@ -1632,9 +2135,9 @@ class EmbeddingEngine:
             def _dp_fn(w, st, ids_loc, g_loc, lr_):
                 # gather every shard's (ids, grads); apply identically
                 all_ids = jax.lax.all_gather(
-                    ids_loc, DATA_AXIS, tiled=True
+                    ids_loc, self._ax, tiled=True
                 )
-                all_g = jax.lax.all_gather(g_loc, DATA_AXIS, tiled=True)
+                all_g = jax.lax.all_gather(g_loc, self._ax, tiled=True)
                 return self._dedup_apply(
                     w, st, all_ids, all_g, g.padded_rows, lr_, u_cap=u_cap,
                     col_segments=g.col_segments or None,
@@ -1643,15 +2146,15 @@ class EmbeddingEngine:
             return jax.shard_map(
                 _dp_fn,
                 mesh=self.mesh,
-                in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P()),
+                in_specs=(P(), P(), P(self._ax), P(self._ax), P()),
                 out_specs=(P(), P()),
                 check_vma=False,
             )(weight, state, flat_ids, grads, lr)
 
         def _rw_dense_fn(w_loc, st_loc, ids_loc, g_loc, lr_):
-            my = jax.lax.axis_index(DATA_AXIS)
-            all_ids = jax.lax.all_gather(ids_loc, DATA_AXIS, tiled=True)
-            all_g = jax.lax.all_gather(g_loc, DATA_AXIS, tiled=True)
+            my = jax.lax.axis_index(self._ax)
+            all_ids = jax.lax.all_gather(ids_loc, self._ax, tiled=True)
+            all_g = jax.lax.all_gather(g_loc, self._ax, tiled=True)
             owner = all_ids // rows_per_shard
             mine = (owner == my) & (all_ids >= 0)
             local = jnp.where(mine, all_ids - owner * rows_per_shard, -1)
@@ -1666,7 +2169,7 @@ class EmbeddingEngine:
             # route (id, row-grad) pairs to owners: one ids a2a + one
             # grads a2a instead of all-gathering every shard's grads
             D = self.num_shards
-            my = jax.lax.axis_index(DATA_AXIS)
+            my = jax.lax.axis_index(self._ax)
             cap = self._a2a_capacity(ids_loc.shape[0])
             order, fits, flat_idx, send_ids = self._a2a_route(
                 ids_loc, rows_per_shard, cap
@@ -1680,12 +2183,8 @@ class EmbeddingEngine:
                 )
                 .reshape(D, cap, dim)
             )
-            recv_ids = jax.lax.all_to_all(
-                send_ids, DATA_AXIS, split_axis=0, concat_axis=0
-            )
-            recv_g = jax.lax.all_to_all(
-                send_g, DATA_AXIS, split_axis=0, concat_axis=0
-            )
+            recv_ids = self._xchg(send_ids)
+            recv_g = self._xchg(send_g)
             local = jnp.where(
                 recv_ids >= 0, recv_ids - my * rows_per_shard, -1
             ).reshape(-1)
@@ -1714,17 +2213,17 @@ class EmbeddingEngine:
                 )
 
         st_specs = jax.tree_util.tree_map(
-            lambda x: P(DATA_AXIS, None)
+            lambda x: P(self._ax, None)
             if getattr(x, "ndim", 0) >= 2 and x.shape[0] == g.padded_rows
-            else (P(DATA_AXIS) if getattr(x, "ndim", 0) == 1 else P()),
+            else (P(self._ax) if getattr(x, "ndim", 0) == 1 else P()),
             state,
         )
         return jax.shard_map(
             _rw_fn,
             mesh=self.mesh,
-            in_specs=(P(DATA_AXIS, None), st_specs, P(DATA_AXIS),
-                      P(DATA_AXIS), P()),
-            out_specs=(P(DATA_AXIS, None), st_specs),
+            in_specs=(P(self._ax, None), st_specs, P(self._ax),
+                      P(self._ax), P()),
+            out_specs=(P(self._ax, None), st_specs),
             check_vma=False,
         )(weight, state, flat_ids, grads, lr)
 
@@ -1884,7 +2383,9 @@ class EmbeddingEngine:
                 )
                 for t in g.specs:
                     self._restore_spec(g, w, srows, scalar, t, canon)
-                new_tables[gk] = self.pack_group(g, w, srows)
+                new_tables[gk] = self._device_put_table(
+                    self.pack_group(g, w, srows), g
+                )
                 if opt_state:
                     new_state[gk] = {
                         k: jnp.asarray(v) for k, v in scalar.items()
@@ -2035,13 +2536,7 @@ class EmbeddingEngine:
         used by the jitted spill-restore scatter (main.py)."""
         d = rows.shape[1]
         if g.packed:
-            invalid = flat_ids < 0
-            pid = jnp.where(
-                invalid, g.p_rows, flat_ids // g.spr
-            ).astype(jnp.int32)
-            lane = jnp.where(invalid, 0, flat_ids % g.spr).astype(
-                jnp.int32
-            )
+            pid, lane, _ = self._packed_phys(g, flat_ids)
             cols = (
                 lane[:, None] * g.slot
                 + col_off
@@ -2096,8 +2591,9 @@ class EmbeddingEngine:
                                    fills.get(name, 0.0), np_.float32)
                     for name, width in g.state_widths
                 }
-                out[gk] = self.pack_group(
-                    g, np_.asarray(w, np_.float32), srows
+                out[gk] = self._device_put_table(
+                    self.pack_group(g, np_.asarray(w, np_.float32), srows),
+                    g,
                 )
             else:
                 out[gk] = self._device_put_table(

@@ -39,7 +39,7 @@ treated read-only for this batch.
 """
 
 import dataclasses
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -134,7 +134,10 @@ def lookup_insert(
     step: jnp.ndarray,
     training: bool,
     collect_spill: bool = False,
-) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+) -> Union[
+    Tuple[jnp.ndarray, Dict[str, jnp.ndarray]],
+    Tuple[jnp.ndarray, Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]],
+]:
     """Returns (slots [N] int32, new_state).
 
     With ``collect_spill=True`` returns (slots, new_state, spill) where

@@ -37,7 +37,6 @@ from torcheasyrec_tpu.datasets.utils import (
     SequenceDenseField,
     SparseField,
 )
-from torcheasyrec_tpu.parallel.mesh import DATA_AXIS
 
 
 def _leaf_arrays(batch: Batch) -> List[np.ndarray]:
@@ -206,7 +205,9 @@ def make_global_batch(batch: Batch, mesh) -> Batch:
             return jax.make_array_from_process_local_data(
                 NamedSharding(mesh, P()), a
             )
-        spec = P(DATA_AXIS, *([None] * (a.ndim - 1)))
+        from torcheasyrec_tpu.parallel.mesh import data_axes
+
+        spec = P(data_axes(mesh), *([None] * (a.ndim - 1)))
         return jax.make_array_from_process_local_data(
             NamedSharding(mesh, spec), a
         )

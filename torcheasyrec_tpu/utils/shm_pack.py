@@ -29,7 +29,15 @@ def _attach_buf(name: str):
     import mmap
     import os
 
-    fd = os.open(f"/dev/shm/{name}", os.O_RDWR)
+    try:
+        fd = os.open(f"/dev/shm/{name}", os.O_RDWR)
+    except FileNotFoundError:
+        # non-Linux POSIX (e.g. macOS) has no /dev/shm: fall back to
+        # multiprocessing attach and accept the resource-tracker quirk
+        # (worst case a benign unlink warning at exit)
+        seg = shared_memory.SharedMemory(name=name)
+        _OWNED.setdefault(f"__attached__{name}", seg)
+        return seg.buf
     try:
         size = os.fstat(fd).st_size
         return mmap.mmap(fd, size)
