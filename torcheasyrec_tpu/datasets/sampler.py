@@ -212,22 +212,35 @@ class BaseSampler(metaclass=_meta):
         self._attr_offsets = arrs.get("attr_offsets")
         self._attr_bytes = arrs.get("attr_bytes")
 
+    def _extra_shared_arrays(self) -> Dict[str, np.ndarray]:
+        """Subclass hook: additional flat arrays to publish in the shm
+        pack next to the item table (e.g. NegativeSamplerV2's
+        positive-edge CSR). Built once in the parent."""
+        return {}
+
+    def _install_extra_shared(self, arrs: Dict[str, np.ndarray]) -> None:
+        """Subclass hook: install the arrays from _extra_shared_arrays
+        (called on both the build and the shm-attach path)."""
+
     def _load_item_table(self, path: str) -> None:
         shm_name = getattr(self, "_shm_name", None)
         if shm_name:
             from torcheasyrec_tpu.utils import shm_pack
 
-            self._install_item_arrays(shm_pack.attach(shm_name))
+            arrs = shm_pack.attach(shm_name)
+            self._install_item_arrays(arrs)
+            self._install_extra_shared(arrs)
             return
         self._install_item_arrays(self._build_item_arrays(path))
 
     def prepare_shared(self) -> None:
-        """Build the item table ONCE in the parent process and publish
-        it as a shared-memory segment; pickled copies of this sampler
-        (mp-loader workers) attach instead of re-parsing the item file —
-        N workers share one table (reference: one graphlearn server per
-        host, sampler.py:322-335). Edge tables (pos/hard edges, TDM
-        tree) stay per-worker; they are orders of magnitude smaller."""
+        """Build the item table (and the subclass's edge tables — see
+        _extra_shared_arrays) ONCE in the parent process and publish
+        them as a shared-memory segment; pickled copies of this sampler
+        (mp-loader workers) attach instead of re-parsing the files —
+        N workers share one table set (reference: one graphlearn server
+        per host, sampler.py:322-335). The TDM tree stays per-worker;
+        it is orders of magnitude smaller."""
         if getattr(self, "_shm_name", None):
             return
         import uuid
@@ -236,7 +249,10 @@ class BaseSampler(metaclass=_meta):
 
         name = f"tzrec_item_{uuid.uuid4().hex[:12]}"
         arrs = self._build_item_arrays(self._item_table_path())
-        self._install_item_arrays(shm_pack.build(name, arrs))
+        arrs.update(self._extra_shared_arrays())
+        packed = shm_pack.build(name, arrs)
+        self._install_item_arrays(packed)
+        self._install_extra_shared(packed)
         self._shm_name = name
 
     def close_shared(self) -> None:
@@ -348,19 +364,73 @@ class NegativeSampler(BaseSampler):
         return self._append_negatives(columns, rows)
 
 
+def _edges_to_csr(path: str, prefix: str) -> Dict[str, np.ndarray]:
+    """(user, item) edge file -> CSR arrays {prefix_users (unique,
+    sorted), prefix_offs [U+1], prefix_items [E]} — flat numpy so the
+    whole edge table rides in the per-host shm pack (reference:
+    graphlearn's edge tables live in the per-host sampling server,
+    sampler.py:540-636)."""
+    edges = _read_table(path)
+    u = edges.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    i = edges.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(u, kind="stable")
+    u, i = u[order], i[order]
+    users, starts = np.unique(u, return_index=True)
+    offs = np.concatenate([starts, [u.size]]).astype(np.int64)
+    return {
+        f"{prefix}_users": users,
+        f"{prefix}_offs": offs,
+        f"{prefix}_items": i,
+    }
+
+
 class NegativeSamplerV2(BaseSampler):
     """Negatives excluding the user's positive edges
-    (reference sampler.py:540-636)."""
+    (reference sampler.py:540-636). The edge table is CSR numpy and
+    ships in the shm pack — mp-loader workers attach, not re-parse."""
+
+    _ITEM_TABLE_FIELDS = BaseSampler._ITEM_TABLE_FIELDS + (
+        "_pe_users", "_pe_offs", "_pe_items",
+    )
+
+    def _extra_shared_arrays(self) -> Dict[str, np.ndarray]:
+        path = getattr(self._config, "pos_edge_input_path", "")
+        return _edges_to_csr(path, "pe") if path else {}
+
+    def _install_extra_shared(self, arrs: Dict[str, np.ndarray]) -> None:
+        if "pe_users" in arrs:
+            self._pe_users = arrs["pe_users"]
+            self._pe_offs = arrs["pe_offs"]
+            self._pe_items = arrs["pe_items"]
 
     def _load(self) -> None:
         self._load_item_table(self._config.item_input_path)
-        edges = _read_table(self._config.pos_edge_input_path)
-        u = edges.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
-        i = edges.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
-        self._pos_edges: Dict[int, set] = {}
-        for uu, ii in zip(u, i):
-            self._pos_edges.setdefault(int(uu), set()).add(int(ii))
+        if not hasattr(self, "_pe_users"):
+            self._install_extra_shared(self._extra_shared_arrays())
+        if not hasattr(self, "_pe_users"):
+            self._pe_users = np.zeros(0, np.int64)
+            self._pe_offs = np.zeros(1, np.int64)
+            self._pe_items = np.zeros(0, np.int64)
         self._user_id_field = self._config.user_id_field
+
+    def _banned_for(self, users) -> np.ndarray:
+        """Distinct positive-edge item ids of the given users (sorted)."""
+        if not len(users) or self._pe_users.size == 0:
+            return np.zeros(0, np.int64)
+        uu = np.unique(np.asarray(users, np.int64))
+        pos = np.searchsorted(self._pe_users, uu)
+        pos = pos[
+            (pos < self._pe_users.size)
+            & (self._pe_users[np.minimum(pos, self._pe_users.size - 1)]
+               == uu)
+        ]
+        if not pos.size:
+            return np.zeros(0, np.int64)
+        parts = [
+            self._pe_items[self._pe_offs[p] : self._pe_offs[p + 1]]
+            for p in pos
+        ]
+        return np.unique(np.concatenate(parts))
 
     def process(self, columns: Dict[str, pa.Array]) -> Dict[str, pa.Array]:
         self.init()
@@ -369,29 +439,20 @@ class NegativeSamplerV2(BaseSampler):
             users = (
                 columns[self._user_id_field]
                 .cast(pa.int64(), safe=False)
-                .to_pylist()
+                .to_numpy(zero_copy_only=False)
             )
-            banned = set()
-            for uu in users:
-                banned |= self._pos_edges.get(int(uu), set())
+            banned = self._banned_for(users)
             for _ in range(2):
-                bad = np.asarray(
-                    [int(self._item_ids[r]) in banned for r in rows]
-                )
+                bad = np.isin(self._item_ids[rows], banned)
                 if not bad.any():
                     break
                 rows[bad] = self._alias.sample(int(bad.sum()), self._rng)
-            bad = np.asarray(
-                [int(self._item_ids[r]) in banned for r in rows]
-            )
+            bad = np.isin(self._item_ids[rows], banned)
             if bad.any():
                 # exact fallback: the exclusion is a CONTRACT (reference
                 # graphlearn negative_sampler_v2 samples the complement);
                 # under heavy ban ratios resampling alone leaks
-                ok_mask = np.asarray(
-                    [int(i) not in banned for i in self._item_ids]
-                )
-                w = self._item_weights * ok_mask
+                w = self._item_weights * ~np.isin(self._item_ids, banned)
                 if w.sum() > 0:
                     rows[bad] = self._rng.choice(
                         len(self._item_ids), size=int(bad.sum()),
@@ -413,24 +474,37 @@ class HardNegativeSampler(NegativeSamplerV2):
     match_model.py:66-95 builds the same sparse [B, max_col+1] sim and
     masks absent slots)."""
 
+    _ITEM_TABLE_FIELDS = NegativeSamplerV2._ITEM_TABLE_FIELDS + (
+        "_he_users", "_he_offs", "_he_items",
+    )
+
+    def _extra_shared_arrays(self) -> Dict[str, np.ndarray]:
+        arrs = NegativeSamplerV2._extra_shared_arrays(self)
+        arrs.update(_edges_to_csr(
+            self._config.hard_neg_edge_input_path, "he"
+        ))
+        return arrs
+
+    def _install_extra_shared(self, arrs: Dict[str, np.ndarray]) -> None:
+        NegativeSamplerV2._install_extra_shared(self, arrs)
+        if "he_users" in arrs:
+            self._he_users = arrs["he_users"]
+            self._he_offs = arrs["he_offs"]
+            self._he_items = arrs["he_items"]
+
     def _load(self) -> None:
-        self._load_item_table(self._config.item_input_path)
-        edges = _read_table(self._config.hard_neg_edge_input_path)
-        u = edges.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
-        i = edges.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
-        self._hard_edges: Dict[int, List[int]] = {}
-        for uu, ii in zip(u, i):
-            self._hard_edges.setdefault(int(uu), []).append(int(ii))
-        self._user_id_field = self._config.user_id_field
+        NegativeSamplerV2._load(self)
+        if not hasattr(self, "_he_users"):
+            self._install_extra_shared(_edges_to_csr(
+                self._config.hard_neg_edge_input_path, "he"
+            ))
         self._num_hard = int(self._config.num_hard_sample)
-        self._pos_edges = {}
-        pos_path = getattr(self._config, "pos_edge_input_path", "")
-        if pos_path:
-            pe = _read_table(pos_path)
-            pu = pe.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
-            pi = pe.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
-            for uu, ii in zip(pu, pi):
-                self._pos_edges.setdefault(int(uu), set()).add(int(ii))
+
+    def _hard_cands(self, user: int) -> np.ndarray:
+        p = int(np.searchsorted(self._he_users, user))
+        if p >= self._he_users.size or self._he_users[p] != user:
+            return np.zeros(0, np.int64)
+        return self._he_items[self._he_offs[p] : self._he_offs[p + 1]]
 
     def process(self, columns: Dict[str, pa.Array]) -> Dict[str, pa.Array]:
         self.init()
@@ -440,19 +514,15 @@ class HardNegativeSampler(NegativeSamplerV2):
             users = (
                 columns[self._user_id_field]
                 .cast(pa.int64(), safe=False)
-                .to_pylist()
+                .to_numpy(zero_copy_only=False)
             )
-        if users and self._pos_edges:
+        if users is not None and self._pe_users.size:
             # V2 semantics: shared negatives avoid the batch users'
             # positive edges (reference sampler.py:540-636)
-            banned = set()
-            for uu in users:
-                banned |= self._pos_edges.get(int(uu), set())
+            banned = self._banned_for(users)
             rows_np = np.asarray(rows, dtype=np.int64)
             for _ in range(2):
-                bad = np.asarray(
-                    [int(self._item_ids[r]) in banned for r in rows_np]
-                )
+                bad = np.isin(self._item_ids[rows_np], banned)
                 if not bad.any():
                     break
                 rows_np[bad] = self._alias.sample(int(bad.sum()), self._rng)
@@ -463,7 +533,11 @@ class HardNegativeSampler(NegativeSamplerV2):
         indices[:, 0] = b  # sentinel: dropped by the model's scatter
         indices[:, 1] = 0
         for i in range(b):
-            cands = self._hard_edges.get(int(users[i]), []) if users else []
+            cands = (
+                self._hard_cands(int(users[i]))
+                if users is not None
+                else np.zeros(0, np.int64)
+            )
             crows = self._rows_of(np.asarray(cands, np.int64))
             crows = crows[crows >= 0]
             take = (

@@ -122,45 +122,70 @@ class MatchModel(BaseModel):
         its own user, scattered into columns [1+num_neg, 1+num_neg+
         H//B); absent slots (user_row == B, out of bounds) are dropped
         and masked to -1e9 (reference match_model.py:53-95
-        _sim_with_sampler's sparse_coo + hard_neg_mask)."""
+        _sim_with_sampler's sparse_coo + hard_neg_mask).
+
+        MULTI-PROCESS batches are PER-PROCESS BLOCKS: the global item
+        rows are [p0: Bl pos | S neg | Bl*k hard][p1: ...] (each host's
+        sampler appended its own negatives before the global row
+        concat), NOT [B pos | ...]. The block decomposition below keeps
+        each process's users paired with their own positives and scored
+        against their own process's negatives — the reference's
+        per-rank loss semantics (each rank's sampler excluded ITS batch
+        users' positive edges), and the alignment bug the naive slicing
+        would hit (tests/test_multihost.py sampler e2e caught row
+        misalignment that silently destroyed retrieval training)."""
         b = user_emb.shape[0]
         if self._in_batch_negative:
             # full item matrix: B in-batch positives on the diagonal PLUS
             # any sampler-appended negatives (reference match_model.py:282)
+            # (globally row-aligned under multi-process too)
             return jnp.dot(
                 user_emb, item_emb.T, preferred_element_type=jnp.float32
             )
         n_hard = (
             hard_neg_indices.shape[0] if hard_neg_indices is not None else 0
         )
-        simple_emb = item_emb[: item_emb.shape[0] - n_hard]
+        import jax as _jax
+
+        P = _jax.process_count()
+        if P <= 1 or b % P or item_emb.shape[0] % P or n_hard % P:
+            P = 1
+        bl = b // P
+        tot = item_emb.shape[0] // P
+        hb = n_hard // P
+        s = tot - bl - hb
+        d = item_emb.shape[-1]
+        blocks = item_emb.reshape(P, tot, d)
+        pos_rows = blocks[:, :bl].reshape(b, d)
         pos = jnp.sum(
-            user_emb.astype(jnp.float32)
-            * simple_emb[:b].astype(jnp.float32),
+            user_emb.astype(jnp.float32) * pos_rows.astype(jnp.float32),
             axis=-1, keepdims=True,
         )
         out = pos
-        if simple_emb.shape[0] > b:
-            neg = jnp.dot(
-                user_emb, simple_emb[b:].T,
+        if s > 0:
+            neg = jnp.einsum(
+                "pbd,psd->pbs",
+                user_emb.reshape(P, bl, d), blocks[:, bl : bl + s],
                 preferred_element_type=jnp.float32,
-            )
+            ).reshape(b, s)
             out = jnp.concatenate([pos, neg], axis=-1)
-        if n_hard:
-            hard_emb = item_emb[item_emb.shape[0] - n_hard:]
-            rows = hard_neg_indices[:, 0]
+        if hb:
+            hard_emb = blocks[:, bl + s :].reshape(n_hard, d)
+            rows = hard_neg_indices[:, 0]  # process-LOCAL user rows
             cols = hard_neg_indices[:, 1]
+            block_of = jnp.arange(n_hard, dtype=rows.dtype) // hb
+            grows = jnp.where(rows >= bl, b, rows + block_of * bl)
             hard_user = jnp.take(
-                user_emb, jnp.minimum(rows, b - 1), axis=0
+                user_emb, jnp.minimum(grows, b - 1), axis=0
             )
             hard_sim = jnp.sum(
                 hard_user.astype(jnp.float32)
                 * hard_emb.astype(jnp.float32),
                 axis=-1,
             )
-            n_cols = max(n_hard // b, 1)
+            n_cols = max(hb // bl, 1)
             hard_mat = jnp.full((b, n_cols), -1e9, jnp.float32)
-            hard_mat = hard_mat.at[rows, cols].set(hard_sim, mode="drop")
+            hard_mat = hard_mat.at[grows, cols].set(hard_sim, mode="drop")
             out = jnp.concatenate([out, hard_mat], axis=-1)
         return out
 
