@@ -653,51 +653,115 @@ class EmbeddingEngine:
             g.p_shards = 1
             g.p_rows = g.padded_rows // g.spr + 1  # + trailing scratch
 
-    def _init_packed_group(self, g: _Group, key: jax.Array) -> jnp.ndarray:
-        """Host-side init of a packed group: per-table init fns run on
-        the CPU backend (identical threefry bits to any other backend)
-        and land straight in the numpy packed buffer — the device never
-        sees a [padded_rows, *] intermediate."""
+    # init-value generation chunk (logical rows). Rationale: a 40M-row
+    # dim-16 fp32 value array is 20 GB ON DEVICE under T(8,128) lane
+    # padding (the round-3 OOM class) and 2.5 GB over the host link if
+    # generated host-side (H2D at init is what degrades this
+    # container's tunnel before the pipeline ever runs). Chunked
+    # generation keys each block independently (fold_in(table_key,
+    # chunk_idx)) so EVERY layout — packed/unpacked, merged/unmerged,
+    # sharded/single — produces identical values from identical chunks.
+    _INIT_CHUNK = 4 << 20
+
+    def _member_chunks(self, key, m, rows: int):
+        """Yield (row_offset, values [n, m.dim] f32) blocks for member
+        table ``m`` — the single source of init values for every
+        layout path."""
         import zlib
 
+        base = jax.random.fold_in(
+            key, zlib.crc32(m.name.encode()) & 0x7FFFFFFF
+        )
+        fn = parse_init_fn(m.init_fn) or default_emb_init
+        pos, c = 0, 0
+        while pos < rows:
+            n = min(self._INIT_CHUNK, rows - pos)
+            sub = jax.random.fold_in(base, c)
+            yield pos, fn(sub, (n, m.dim), jnp.float32)
+            pos += n
+            c += 1
+
+    def _init_packed_group(self, g: _Group, key: jax.Array) -> jnp.ndarray:
+        """Device-side init of a packed group under ONE jit: weights
+        land in their 128-lane slot positions via per-lane strided
+        updates (logical rows r with r % spr == s occupy lane block
+        s of consecutive physical rows), so no [padded_rows, slot]
+        intermediate and no multi-GB H2D ever exists. State lanes
+        start from their fill template."""
+        fills = self.optimizer.row_state_init()
         import numpy as np_
 
-        fills = self.optimizer.row_state_init()
-        body = np_.zeros((g.padded_rows, g.slot), np_.float32)
+        lane_fill = np_.zeros((128,), np_.float32)
         off_l = g.dim
         for name, width in g.state_widths:
             fill = float(fills.get(name, 0.0))
             if fill:
-                body[:, off_l : off_l + width] = fill
+                for s in range(g.spr):
+                    lo = s * g.slot + off_l
+                    lane_fill[lo : lo + width] = fill
             off_l += width
-        cpu = jax.local_devices(backend="cpu")[0]
-        key_host = jax.device_put(key, cpu)
-        for t in g.specs:
-            off = g.offsets[t.name]
-            coff = 0
-            for m in (t.merged_from or (t,)):
-                sub = jax.random.fold_in(
-                    key_host, zlib.crc32(m.name.encode()) & 0x7FFFFFFF
-                )
-                fn = parse_init_fn(m.init_fn) or default_emb_init
-                with jax.default_device(cpu):
-                    vals = fn(sub, (t.rows, m.dim), jnp.float32)
-                body[off : off + t.rows, coff : coff + m.dim] = (
-                    np_.asarray(vals)
-                )
-                coff += m.dim
-        packed = np_.zeros((g.p_rows, 128), np_.float32)
+
+        spr, slot = g.spr, g.slot
         if g.p_shards > 1:
-            D = g.p_shards
-            pps = g.p_rows // D - 1
-            blocks = body.reshape(D, pps, g.spr * g.slot)
-            p3 = packed.reshape(D, pps + 1, 128)
-            p3[:, :pps, : g.spr * g.slot] = blocks
+            pps = g.p_rows // g.p_shards - 1
         else:
-            packed[:-1, : g.spr * g.slot] = body.reshape(
-                g.padded_rows // g.spr, g.spr * g.slot
+            pps = g.p_rows - 1
+
+        def _phys_of(r: int) -> int:
+            # logical row -> physical row under the (possibly
+            # per-shard-scratch) packed layout; rows_per_shard is a
+            # multiple of spr so block arithmetic is exact
+            if g.p_shards > 1:
+                rps = g.padded_rows // g.p_shards
+                return (r // rps) * (pps + 1) + (r % rps) // spr
+            return r // spr
+
+        def _build(key):
+            packed = jnp.broadcast_to(
+                jnp.asarray(lane_fill), (g.p_rows, 128)
+            ).astype(jnp.float32)
+            # scratch rows may keep the fill template (never read)
+            rps = (
+                g.padded_rows // g.p_shards if g.p_shards > 1 else None
             )
-        return jnp.asarray(packed)
+            for t in g.specs:
+                off = g.offsets[t.name]
+                coff = 0
+                for m in (t.merged_from or (t,)):
+                    for cpos, vals in self._member_chunks(
+                        key, m, t.rows
+                    ):
+                        a = off + cpos  # global logical start
+                        n = vals.shape[0]
+                        # physical rows are only consecutive WITHIN a
+                        # shard block (scratch rows sit between) —
+                        # split the chunk at shard boundaries
+                        segs = []
+                        x = a
+                        while x < a + n:
+                            end = (
+                                min((x // rps + 1) * rps, a + n)
+                                if rps else a + n
+                            )
+                            segs.append((x, end))
+                            x = end
+                        for sa, se in segs:
+                            vseg = vals[sa - a : se - a]
+                            for s in range(spr):
+                                i0 = (s - sa) % spr
+                                if i0 >= se - sa:
+                                    continue
+                                p0 = _phys_of(sa + i0)
+                                col = s * slot + coff
+                                packed = jax.lax.dynamic_update_slice(
+                                    packed,
+                                    vseg[i0::spr].astype(jnp.float32),
+                                    (p0, col),
+                                )
+                    coff += m.dim
+            return packed
+
+        return jax.jit(_build)(key)
 
     def _packed_phys(self, g: _Group, flat_ids):
         """Logical megatable row -> (physical row, in-row slot lane,
@@ -779,8 +843,6 @@ class EmbeddingEngine:
         order) so initialization is identical under any grouping /
         sharding plan — required for the sharded-vs-single-device
         equivalence guarantees."""
-        import zlib
-
         out: Dict[str, jnp.ndarray] = {}
         for gk, g in self.groups.items():
             if g.packed:
@@ -796,24 +858,21 @@ class EmbeddingEngine:
                 # sets kept a full fp32 intermediate alive (full-size
                 # Criteo: a 16 GB array beside the 8 GB bf16 result —
                 # the r5 full-size stage OOM), while under jit XLA
-                # aliases the updates in place
+                # aliases the updates in place. Values come from the
+                # shared CHUNKED generator (_member_chunks) so every
+                # layout — packed/unpacked, merged/unmerged, sharded/
+                # single — initializes bit-identically.
                 w = jnp.zeros((g.padded_rows, g.dim), dt)
                 for t in g.specs:
                     off = g.offsets[t.name]
-                    # merged tables init each member column block with
-                    # the MEMBER's key/init_fn, so values match the
-                    # unmerged layout bit-for-bit (cross-layout restore
-                    # contract)
                     coff = 0
                     for m in (t.merged_from or (t,)):
-                        sub = jax.random.fold_in(
-                            key, zlib.crc32(m.name.encode()) & 0x7FFFFFFF
-                        )
-                        fn = parse_init_fn(m.init_fn) or default_emb_init
-                        w = w.at[
-                            off : off + t.rows, coff : coff + m.dim
-                        ].set(fn(sub, (t.rows, m.dim), jnp.float32)
-                              .astype(dt))
+                        for cpos, vals in self._member_chunks(
+                            key, m, t.rows
+                        ):
+                            w = jax.lax.dynamic_update_slice(
+                                w, vals.astype(dt), (off + cpos, coff)
+                            )
                         coff += m.dim
                 return w
 
