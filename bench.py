@@ -512,6 +512,25 @@ def main() -> None:
         ))
         pdt = min(pdt, time.perf_counter() - t0)
 
+    # host-link diagnostic: one-batch H2D put + readback roundtrip.
+    # On this container the put path DEGRADES with lifetime transferred
+    # bytes (platform bug, see methodology) — recording the link state
+    # at measurement time lets a reader separate framework throughput
+    # from link health when comparing artifacts across rounds.
+    h2d_ms = float("inf")
+    try:
+        wire = pack_batch(parser.parse_to_batch(all_cols[0]),
+                          dense_bf16=True)
+        for _ in range(5):
+            t0 = time.perf_counter()
+            dev_b = put_packed(wire)
+            leaf = jax.tree_util.tree_leaves(dev_b)[0]
+            jax.device_get(leaf.ravel()[0])
+            h2d_ms = min(h2d_ms, (time.perf_counter() - t0) * 1000)
+    except Exception as e:  # noqa: BLE001
+        print(f"h2d diagnostic skipped: {e!r}", file=sys.stderr)
+        h2d_ms = None
+
     n_dev = len(jax.devices())
     compute_eps = BATCH_SIZE * STEPS / dt / n_dev
     variants = {
@@ -541,6 +560,9 @@ def main() -> None:
         ),
         "n_devices": n_dev,
         "batch_size": BATCH_SIZE,
+        "h2d_put_roundtrip_ms": (
+            round(h2d_ms, 2) if h2d_ms is not None else None
+        ),
         "headline_note": (
             f"value = {winner} ({best_pipeline:,.0f} e/s), the best of "
             f"{{{', '.join(f'{k}: {v:,.0f}' for k, v in variants.items())}}}"

@@ -463,3 +463,26 @@ def test_exchange_modes_multi_step(monkeypatch, mode, capacity, skew,
             single.extract_table(t1, name), multi.extract_table(t2, name),
             rtol=1e-5, atol=1e-6, err_msg=name,
         )
+
+
+def test_chunked_init_preserves_table_scale(monkeypatch):
+    """Init values are generated in chunks (emb_engine._member_chunks);
+    scale-sensitive init fns must use the TABLE's total rows, not the
+    chunk's — a chunked 40M-row table would otherwise initialize ~3x
+    too wide (default bound is 1/sqrt(rows))."""
+    from torcheasyrec_tpu.parallel.emb_engine import EmbeddingEngine
+
+    monkeypatch.setattr(EmbeddingEngine, "_INIT_CHUNK", 64)
+    rows = 200  # > 3 chunks
+    eng = _mk_engine(
+        optimizer=SparseOptimizer("sgd", {"lr": 0.1}), sharding=ROW_WISE
+    )
+    # t_a has 100 rows -> 2 chunks at chunk=64
+    t = eng.init(jax.random.key(0))
+    w = np.asarray(eng.extract_table(t, "t_a"))
+    bound = 1.0 / np.sqrt(100)
+    assert np.abs(w).max() <= bound + 1e-7
+    # both chunks actually carry values near the SAME bound (the bug
+    # gave chunk 0 bound 1/sqrt(64) and the tail 1/sqrt(36))
+    assert np.abs(w[:64]).max() > 0.8 * bound
+    assert np.abs(w[64:100]).max() > 0.8 * bound

@@ -406,7 +406,13 @@ class NegativeSamplerV2(BaseSampler):
     def _load(self) -> None:
         self._load_item_table(self._config.item_input_path)
         if not hasattr(self, "_pe_users"):
-            self._install_extra_shared(self._extra_shared_arrays())
+            # build ONLY the pos-edge CSR here — subclasses' extra
+            # arrays (hard-neg edges) have their own missing-check in
+            # their _load; rebuilding everything would discard the
+            # just-attached shm views
+            path = getattr(self._config, "pos_edge_input_path", "")
+            if path:
+                self._install_extra_shared(_edges_to_csr(path, "pe"))
         if not hasattr(self, "_pe_users"):
             self._pe_users = np.zeros(0, np.int64)
             self._pe_offs = np.zeros(1, np.int64)

@@ -135,18 +135,31 @@ class MatchModel(BaseModel):
         would hit (tests/test_multihost.py sampler e2e caught row
         misalignment that silently destroyed retrieval training)."""
         b = user_emb.shape[0]
+        import jax as _jax
+
         if self._in_batch_negative:
             # full item matrix: B in-batch positives on the diagonal PLUS
-            # any sampler-appended negatives (reference match_model.py:282)
-            # (globally row-aligned under multi-process too)
+            # any sampler-appended negatives (reference match_model.py:282).
+            # Multi-process WITH appended negatives: reorder the
+            # per-process [bl pos | S neg] blocks to [B pos | P*S neg]
+            # so the diagonal-positive label convention (arange(b))
+            # stays correct for every process's users
+            Pi = _jax.process_count()
+            rows = item_emb.shape[0]
+            if Pi > 1 and rows != b and b % Pi == 0 and rows % Pi == 0:
+                bl = b // Pi
+                tot = rows // Pi
+                blocks = item_emb.reshape(Pi, tot, item_emb.shape[-1])
+                item_emb = jnp.concatenate([
+                    blocks[:, :bl].reshape(b, -1),
+                    blocks[:, bl:].reshape(Pi * (tot - bl), -1),
+                ])
             return jnp.dot(
                 user_emb, item_emb.T, preferred_element_type=jnp.float32
             )
         n_hard = (
             hard_neg_indices.shape[0] if hard_neg_indices is not None else 0
         )
-        import jax as _jax
-
         P = _jax.process_count()
         if P <= 1 or b % P or item_emb.shape[0] % P or n_hard % P:
             P = 1

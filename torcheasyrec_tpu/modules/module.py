@@ -85,7 +85,12 @@ def parse_init_fn(spec: Optional[str]):
             except ValueError:
                 kwargs[k.strip()] = v.strip()
 
-    def _init(key, shape, dtype=jnp.float32):
+    def _init(key, shape, dtype=jnp.float32, fan_rows=None):
+        # fan_rows: the TABLE's total rows when a big table is
+        # generated in chunks (emb_engine._member_chunks) — fan-based
+        # inits must scale by the table, not the chunk
+        fan_in = fan_rows if fan_rows is not None else shape[0]
+        fan_out = shape[1] if len(shape) > 1 else 1
         if name in ("uniform", "uniform_"):
             a = kwargs.get("a", 0.0)
             b = kwargs.get("b", 1.0)
@@ -101,21 +106,33 @@ def parse_init_fn(spec: Optional[str]):
         if name in ("ones", "ones_"):
             return jnp.ones(shape, dtype)
         if name in ("xavier_uniform", "glorot_uniform"):
-            return jax.nn.initializers.glorot_uniform()(key, shape, dtype)
+            lim = (6.0 / (fan_in + fan_out)) ** 0.5
+            return jax.random.uniform(key, shape, dtype, minval=-lim,
+                                      maxval=lim)
         if name in ("xavier_normal", "glorot_normal"):
-            return jax.nn.initializers.glorot_normal()(key, shape, dtype)
+            std = (2.0 / (fan_in + fan_out)) ** 0.5
+            return std * jax.random.normal(key, shape, dtype)
         if name in ("kaiming_uniform", "he_uniform"):
-            return jax.nn.initializers.he_uniform()(key, shape, dtype)
+            lim = (6.0 / fan_in) ** 0.5
+            return jax.random.uniform(key, shape, dtype, minval=-lim,
+                                      maxval=lim)
         if name in ("kaiming_normal", "he_normal"):
-            return jax.nn.initializers.he_normal()(key, shape, dtype)
+            std = (2.0 / fan_in) ** 0.5
+            return std * jax.random.normal(key, shape, dtype)
         raise ValueError(f"unknown init fn {spec}")
 
     return _init
 
 
-def default_emb_init(key, shape, dtype=jnp.float32):
-    """TorchRec-style default embedding init: uniform(-1/sqrt(rows), ...)."""
-    bound = 1.0 / jnp.sqrt(jnp.maximum(shape[0], 1)).astype(jnp.float32)
+def default_emb_init(key, shape, dtype=jnp.float32, fan_rows=None):
+    """TorchRec-style default embedding init: uniform(-1/sqrt(rows), ...).
+
+    ``fan_rows`` overrides the row count used for the bound — the
+    embedding engine generates big tables in CHUNKS (emb_engine.
+    _member_chunks), and the bound must come from the TABLE's total
+    rows, not the chunk's."""
+    rows = fan_rows if fan_rows is not None else shape[0]
+    bound = 1.0 / jnp.sqrt(jnp.maximum(rows, 1)).astype(jnp.float32)
     return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
 
 

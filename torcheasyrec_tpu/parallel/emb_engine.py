@@ -677,7 +677,11 @@ class EmbeddingEngine:
         while pos < rows:
             n = min(self._INIT_CHUNK, rows - pos)
             sub = jax.random.fold_in(base, c)
-            yield pos, fn(sub, (n, m.dim), jnp.float32)
+            # fan_rows: scale-sensitive inits (1/sqrt(rows), xavier/he
+            # fans) must use the TABLE's rows, not the chunk's — a
+            # 40M-row table chunked at 4M would otherwise initialize
+            # ~3x too wide with a differently-scaled tail chunk
+            yield pos, fn(sub, (n, m.dim), jnp.float32, fan_rows=rows)
             pos += n
             c += 1
 
