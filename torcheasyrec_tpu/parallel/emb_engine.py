@@ -1708,7 +1708,10 @@ class EmbeddingEngine:
         invalid = uids >= R
         pid = jnp.where(invalid, n_phys, uids // spr).astype(jnp.int32)
         lane = jnp.where(invalid, 0, uids % spr).astype(jnp.int32)
-        phys = table.at[pid].get(mode="fill", fill_value=0.0)  # [cap, 128]
+        # pid is nondecreasing (derived from the sorted unique ids)
+        phys = table.at[pid].get(
+            mode="fill", fill_value=0.0, indices_are_sorted=True
+        )  # [cap, 128]
         body = phys[:, : spr * slot].reshape(cap, spr, slot)
         onehot = jax.nn.one_hot(lane, spr, dtype=jnp.float32)  # [cap, spr]
         rowv = (body * onehot[:, :, None]).sum(axis=1)         # [cap, slot]
