@@ -486,3 +486,59 @@ def test_chunked_init_preserves_table_scale(monkeypatch):
     # gave chunk 0 bound 1/sqrt(64) and the tail 1/sqrt(36))
     assert np.abs(w[:64]).max() > 0.8 * bound
     assert np.abs(w[64:100]).max() > 0.8 * bound
+
+
+def test_dense_lane_matches_sorted_path(monkeypatch):
+    """The dense lane (small tables via one-hot MXU grads + one block
+    write) must produce the same tables and outputs as the sorted
+    sparse path, across multiple steps, with a mix of dense-lane and
+    big tables, jagged ids, and invalid (-1) slots."""
+    rng = np.random.default_rng(9)
+    buckets = [1000, 37, 4, 500, 60_000, 8]  # 60k stays on sorted path
+    B = 64
+
+    def build():
+        tables = [TableSpec(f"t{i}", n, 16) for i, n in enumerate(buckets)]
+        lookups = [LookupSpec(f"o{i}", f"f{i}", f"t{i}")
+                   for i in range(len(buckets))]
+        return EmbeddingEngine(
+            tables, lookups,
+            optimizer=SparseOptimizer("rowwise_adagrad", {"lr": 0.05}),
+        )
+
+    sparse = {
+        f"f{i}": SparseField(values=jnp.asarray(
+            rng.integers(-1, n, (B, 2)), jnp.int32))
+        for i, n in enumerate(buckets)
+    }
+    results = []
+    for mode in ("32768", "0"):
+        monkeypatch.setenv("TZREC_DENSE_LANE", mode)
+        eng = build()
+        gk = eng._table_group["t0"]
+        if mode == "32768":
+            assert eng.groups[gk].dense_rows > 0
+            assert "t4" not in eng.groups[gk].dense_tables
+        else:
+            assert eng.groups[gk].dense_rows == 0
+        t = eng.init(jax.random.key(1))
+        s = eng.init_opt_state()
+
+        def run(t, s, sp, eng=eng):
+            o, r = eng.lookup(t, sp)
+            g = {k: v * 0.25 - 0.1 for k, v in o.items()}
+            nt, ns = eng.update(t, s, r, g, jnp.float32(1.0))
+            return o, nt, ns
+
+        for _ in range(3):
+            o, t, s = jax.jit(run)(t, s, sparse)
+        results.append((
+            {k: np.asarray(v) for k, v in o.items()},
+            {f"t{i}": np.asarray(eng.extract_table(t, f"t{i}"))
+             for i in range(len(buckets))},
+        ))
+    (o_d, w_d), (o_s, w_s) = results
+    for k in o_d:
+        np.testing.assert_allclose(o_d[k], o_s[k], rtol=1e-6, atol=1e-7)
+    for k in w_d:
+        np.testing.assert_allclose(w_d[k], w_s[k], rtol=1e-6, atol=1e-7)
